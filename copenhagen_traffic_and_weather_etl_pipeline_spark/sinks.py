@@ -1,0 +1,41 @@
+"""Table sinks (SURVEY.md §2.1 S5/S6/S7).
+
+The reference appends one-row CSV load jobs to BigQuery
+(deployment_function.py:182-196, ``if_exists='append'``) and refreshes
+``latest_joined_data`` with WRITE_TRUNCATE (README.md:84). Here:
+Parquet tables, append vs overwrite mode, date-partitioned for scale
+(partition pruning makes the latest-snapshot query touch one partition
+instead of the whole history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5: append-mode fact-table sink (deployment_function.py:188).
+
+    Unlike the reference's 40 one-row load jobs per tick, a single
+    distributed write lands the whole batch; ``partition_by=['date']``
+    keeps per-day files together so time filters prune.
+    """
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """S6: WRITE_TRUNCATE-style snapshot refresh (README.md:84)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
+    """S7: declarative table creation mirroring
+    bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's
+    parquet catalog; the ingestion path enforces it by dropping rows)."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet LOCATION '{location}'"
+    )
