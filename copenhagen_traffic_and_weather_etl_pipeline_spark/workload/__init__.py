@@ -1,0 +1,48 @@
+"""Workload registry: every operator from SURVEY.md §2 (plus the
+large-scale extension operators) exposed as a named query with a
+matching DuckDB oracle for the driver's correctness gate.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` and, where
+SQL-expressible, an ANSI-SQL string DuckDB runs over the same parquet
+tables. Column names are aliased identically on both sides (the driver
+sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: list[str] | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags or [])
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# Importing the modules populates REGISTRY.
+from . import reference_queries  # noqa: E402,F401
+from . import extension_queries  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "load"]

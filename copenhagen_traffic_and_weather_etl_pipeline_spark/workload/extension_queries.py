@@ -1,0 +1,642 @@
+"""Large-scale training-data-pipeline operators (north star in
+BASELINE.json): deduplication, similarity search, text analysis, and
+multimodal-column plumbing — each as a registry entry with a DuckDB
+oracle where the semantics are SQL-expressible.
+
+Cross-engine determinism notes:
+- All hashing is md5 over UTF-8 text (identical hex in Spark and DuckDB);
+  min() over hex strings is a valid MinHash and is collation-safe.
+- All floating-point pipelines cast to double FIRST, accumulate in index
+  order, and round BEFORE threshold filters so last-ULP drift can't flip
+  a comparison.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# Shared text primitives.
+# ---------------------------------------------------------------------------
+
+
+def _words_col():
+    """Normalized word array: trim, collapse whitespace, split."""
+    return F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+
+
+_DUCK_WORDS_CTE = (
+    "words AS (SELECT doc_id, "
+    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w "
+    "FROM documents)"
+)
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (doc_id, sh).
+
+    Scale: this is the shuffle-friendly representation for MinHash and
+    shingle-join dedup — narrow explode, no UDFs; at 100 TB the explode
+    output is what gets hashed/banded, never materialized wide.
+    """
+    w = _words_col()
+    idx = F.sequence(F.lit(0), F.size("w") - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+_DUCK_SHINGLES_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh "
+    "FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)"
+)
+
+# ---------------------------------------------------------------------------
+# Dedup 1: exact (hash-groupBy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    doc="exact dedup: hash-groupBy on content digest; keep lowest doc_id",
+    tags=["dedup"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: n-gram Jaccard via shingle self-join (exact near-dup pairs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+{_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+""",
+    doc="near-dup pairs with word-3gram Jaccard >= 0.8; shingle-join "
+    "(candidate generation is the shared-shingle join, quadratic only "
+    "within collision groups)",
+    tags=["dedup", "jaccard"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: MinHash + LSH banding (the scale path: candidate pairs come from
+# band-bucket joins, never an all-pairs comparison).
+# MinHash here = lexicographic min of md5(seed:shingle) — identical in both
+# engines, no engine-specific hash.
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+def _duck_minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, md5({parts}) AS band_val FROM sigs".format(
+            idx=b,
+            parts=" || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_WORDS_CTE},
+{_DUCK_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_duck_minhash_sql(),
+    doc=f"MinHash ({_N_HASHES} hashes) + LSH banding ({_N_BANDS} bands x "
+    f"{_ROWS_PER_BAND}): candidate near-dup pairs from band-bucket join",
+    tags=["dedup", "minhash", "lsh"],
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(load(spark, sf_dir, "documents"))
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                ).cast("binary")
+            ).alias(f"band{b}")
+            for b in range(_N_BANDS)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(_N_BANDS))
+    stacked = bands.select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {stack_args}) AS (band_idx, band_val)"),
+    ).select("doc_id", "band_idx", "band_val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: SimHash (16-bit) from md5 nibbles — portable bit extraction via
+# hex-char position, so Spark and DuckDB compute identical fingerprints.
+# ---------------------------------------------------------------------------
+
+_N_SIMHASH_BITS = 16
+
+
+def _bit_sum_sql(k: int) -> str:
+    j = k // 4 + 1  # 1-based hex char position in md5(w)
+    m = 1 << (k % 4)
+    return (
+        "sum(CASE WHEN ((instr('0123456789abcdef', substr(md5(w), "
+        f"{j}, 1)) - 1) & {m}) <> 0 THEN 1 ELSE -1 END)"
+    )
+
+
+def _duck_simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"CAST({_bit_sum_sql(k)} AS BIGINT) AS s{k}" for k in range(_N_SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(_N_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_DUCK_WORDS_CTE},
+toks AS (
+  SELECT DISTINCT doc_id, w2 AS w
+  FROM (SELECT doc_id, unnest(w) AS w2 FROM words)
+  WHERE w2 <> ''
+),
+s AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash16 FROM s
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_duck_simhash_sql(),
+    doc="16-bit SimHash document fingerprint over distinct words; equal "
+    "fingerprints bucket near-dups (hamming-adjacent buckets at scale)",
+    tags=["dedup", "simhash"],
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(_words_col())).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    aggs = [
+        F.expr(_bit_sum_sql(k)).cast("bigint").alias(f"s{k}")
+        for k in range(_N_SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    val = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(_N_SIMHASH_BITS)
+        ],
+    )
+    return sums.select("doc_id", val.cast("bigint").alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# Vector primitives (shared by embedding dedup + similarity search).
+# Explicit double casts + index-order accumulation on BOTH engines.
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+)
+SELECT v1, v2, cosine FROM (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) t
+WHERE cosine >= 0.4
+""",
+    doc="embedding-cosine near-dup pairs, blocked by label (blocking keeps "
+    "the pair space linear-ish at scale; rounded before thresholding)",
+    tags=["dedup", "embedding"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search 1: brute-force cosine top-k (the exact baseline).
+# ---------------------------------------------------------------------------
+
+_TOPK_QUERY_VEC_ID = 0
+_TOPK_K = 10
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_TOPK_QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id,
+         {_DUCK_DOT.format(a='e.embedding', b='qe')}
+           / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='qe')}) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> {_TOPK_QUERY_VEC_ID}
+)
+SELECT vec_id, round(cos, 4) AS cosine
+FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
+""",
+    doc="brute-force cosine top-k vs query vector (broadcast 1-row query; "
+    "exact ANN baseline — at scale, per-partition top-k then global merge)",
+    tags=["similarity", "topk"],
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _TOPK_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    )
+    return (
+        e.filter(F.col("vec_id") != _TOPK_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(_TOPK_K)
+        .select("vec_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search 2: LSH bucketing via random hyperplanes (the scale
+# path — candidates only within the query's bucket). Plane coefficients
+# are deterministic literals baked into both engines' plans.
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _duck_ann_sql() -> str:
+    bits = " + ".join(
+        "(CASE WHEN {dot} >= 0 THEN {weight} ELSE 0 END)".format(
+            dot=_DUCK_DOT.format(
+                a="embedding", b="[" + ", ".join(repr(v) for v in plane) + "]"
+            ),
+            weight=1 << i,
+        )
+        for i, plane in enumerate(_PLANES)
+    )
+    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket_id FROM embeddings"
+
+
+@register(
+    "sim_ann_lsh_buckets",
+    oracle=_duck_ann_sql(),
+    doc="random-hyperplane LSH bucket assignment (8 planes -> 256 buckets); "
+    "ANN search = brute-force within the query's bucket only",
+    tags=["similarity", "lsh"],
+)
+def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, plane in enumerate(_PLANES):
+        plane_col = F.expr("array(" + ", ".join(repr(v) for v in plane) + ")")
+        bit = F.when(_dot(F.col("embedding"), plane_col) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", bucket.cast("bigint").alias("bucket_id"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       round(len(replace(norm, ' ', '')) * 1.0
+             / len(string_split(norm, ' ')), 6) AS avg_token_len
+FROM t
+""",
+    doc="token counting: whitespace tokenization + length stats",
+    tags=["text"],
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    toks = F.split(norm, " ")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.replace(norm, F.lit(" "), F.lit(""))) * 1.0 / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w,
+         length(text) AS n_raw,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       round(len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w), 6) AS stopword_ratio,
+       round((n_raw - n_clean) * 1.0 / n_raw, 6) AS punct_ratio,
+       (len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w)) >= 0.05
+         AND len(w) >= 20 AS is_quality
+FROM t
+""",
+    doc="quality scoring: stopword ratio, punctuation ratio, length gate",
+    tags=["text"],
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words_col()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_tokens = F.size(w)
+    n_raw = F.length("text")
+    n_clean = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    stop_ratio = n_stop * 1.0 / n_tokens
+    punct_ratio = (n_raw - n_clean) * 1.0 / n_raw
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        ((stop_ratio >= 0.05) & (n_tokens >= 20)).alias("is_quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _duck_langid_sql() -> str:
+    scores = ", ".join(
+        "len(list_filter(w, x -> x IN ({m}))) AS score_{lang}".format(
+            m=", ".join(f"'{t}'" for t in toks), lang=lang
+        )
+        for lang, toks in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang AS declared_lang,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), s AS (SELECT doc_id, declared_lang, {scores} FROM t)
+SELECT doc_id, declared_lang,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         WHEN score_fr > 0 THEN 'fr'
+         ELSE 'unknown'
+       END AS lang_pred
+FROM s
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_duck_langid_sql(),
+    doc="language-ID heuristic: stopword-marker voting with fixed tie order",
+    tags=["text"],
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words_col()
+    def marker_count(toks):
+        arr = F.array(*[F.lit(t) for t in toks])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_count(toks) for lang, toks in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("declared_lang"), pred.alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp
+FROM t
+""",
+    doc="document fingerprinting: normalized content hash + word-bag hash "
+    "(order-insensitive)",
+    tags=["text"],
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(w)), " ").cast("binary")
+        ).alias("bag_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary column + typed metadata. The decode
+# step itself is stubbed (no image/audio libs in this container — see
+# operators/multimodal.py); the Spark-side schema/partitioning/hash path
+# is real and oracle-checked here.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+    doc="multimodal column plumbing: opaque binary payload + typed metadata "
+    "(byte length, digest) computed engine-side",
+    tags=["multimodal"],
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(bin_col).cast("bigint").alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+    )

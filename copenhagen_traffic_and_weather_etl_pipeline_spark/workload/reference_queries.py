@@ -1,0 +1,584 @@
+"""Reference-surface queries (SURVEY.md §2) expressed on the driver's
+testdata tables per the FIXTURES.md §3 analogy map.
+
+Every query is DataFrame-API-first so Catalyst plans it (pushdown,
+pruning, broadcast selection); the oracle string is the equivalent ANSI
+SQL DuckDB runs on the same parquet. Reference citations in docstrings
+point at the behavior being reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# Flagship: the snapshot-refresh query (bigquery_scheduled_query.sql:1-17).
+# J1 USING inner join + J2 uncorrelated scalar subquery + F0 latest filter
+# + A1 global MAX + D1-D4 string date/time parse & compose.
+# lineitem/orders stand in for traffic/weather; o_orderdate is formatted to
+# the reference's string (date, time) pair and re-parsed at query time,
+# exactly like PARSE_DATE/PARSE_TIME/DATETIME.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+         strftime(o_orderdate, '%H:%M') AS time_str,
+         o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+), l AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_partkey, l_quantity,
+         l_extendedprice, l_returnflag, l_linestatus
+  FROM lineitem
+)
+SELECT orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice,
+       l_returnflag, l_linestatus, date_str, time_str, o_custkey,
+       o_orderstatus, o_totalprice, o_orderpriority
+FROM l INNER JOIN o USING (orderkey)
+WHERE strptime(date_str || ' ' || time_str, '%Y-%m-%d %H:%M') = (
+  SELECT max(strptime(date_str || ' ' || time_str, '%Y-%m-%d %H:%M')) FROM o
+)
+"""
+
+
+@register(
+    "flagship_latest_snapshot",
+    oracle=_FLAGSHIP_ORACLE,
+    doc="bigquery_scheduled_query.sql:1-17 — USING join + scalar-max latest filter",
+    tags=["J1", "J2", "F0", "A1", "D1", "D2", "D3", "D4"],
+)
+def flagship_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("o_orderdate", "HH:mm").alias("time_str"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    # Composed event timestamp (D3): DATETIME(PARSE_DATE(d), PARSE_TIME(t)).
+    ts = F.to_timestamp(
+        F.concat_ws(" ", F.col("date_str"), F.col("time_str")), "yyyy-MM-dd HH:mm"
+    )
+    # J2/A1: uncorrelated scalar MAX, broadcast as a 1-row frame. The
+    # key-only filter is applied below the join (same result, and the join
+    # input shrinks from full history to one snapshot before any shuffle).
+    max_ts = orders.agg(F.max(ts).alias("max_event_ts"))
+    latest_orders = (
+        orders.crossJoin(F.broadcast(max_ts))
+        .filter(ts == F.col("max_event_ts"))
+        .drop("max_event_ts")
+    )
+    # J1: USING-style list-form join coalesces the key column.
+    return lineitem.join(F.broadcast(latest_orders), on="orderkey", how="inner")
+
+
+# ---------------------------------------------------------------------------
+# J1: multi-table USING equi-join with broadcast dimensions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "using_join_enriched",
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_custkey AS custkey, o_totalprice FROM orders),
+     c AS (SELECT c_custkey AS custkey, c_name, c_nationkey AS nationkey FROM customer),
+     n AS (SELECT n_nationkey AS nationkey, n_name, n_regionkey AS regionkey FROM nation),
+     r AS (SELECT r_regionkey AS regionkey, r_name FROM region)
+SELECT o_orderkey, custkey, c_name, n_name, r_name, o_totalprice
+FROM o
+INNER JOIN c USING (custkey)
+INNER JOIN n USING (nationkey)
+INNER JOIN r USING (regionkey)
+""",
+    doc="J1 USING-join chain, dims broadcast (bigquery_scheduled_query.sql:2-6 analogue)",
+    tags=["J1"],
+)
+def using_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        "n_name",
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    r = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("regionkey"), "r_name"
+    )
+    return (
+        o.join(F.broadcast(c), "custkey")
+        .join(F.broadcast(n), "nationkey")
+        .join(F.broadcast(r), "regionkey")
+        .select("o_orderkey", "custkey", "c_name", "n_name", "r_name", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/F0/A1 on the events stream table: latest-snapshot filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery_latest",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts = (SELECT max(ts) FROM events)
+""",
+    doc="F0/J2/A1: rows at the global max event time (bigquery_scheduled_query.sql:7-17)",
+    tags=["J2", "F0", "A1"],
+)
+def scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") == F.col("max_ts"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "latest_per_key",
+    oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+    doc="F0 idiomatic alternative: latest row per key via window rank (SURVEY §2.4)",
+    tags=["F0", "window"],
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "global_max_agg",
+    oracle="""
+SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n_rows FROM events
+""",
+    doc="A1: global ungrouped aggregate (bigquery_scheduled_query.sql:12-15)",
+    tags=["A1"],
+)
+def global_max_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1-D4: string date/time parse + compose round-trip.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_roundtrip",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS date_str,
+       strftime(ts, '%H:%M') AS time_str,
+       strptime(strftime(ts, '%Y-%m-%d') || ' ' || strftime(ts, '%H:%M'),
+                '%Y-%m-%d %H:%M') AS event_ts
+FROM events
+""",
+    doc="D1-D4: strftime stamping + PARSE_DATE/PARSE_TIME/DATETIME re-compose "
+    "(deployment_function.py:62-63, bigquery_scheduled_query.sql:8-15)",
+    tags=["D1", "D2", "D3", "D4"],
+)
+def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    t = F.date_format("ts", "HH:mm")
+    return e.select(
+        "event_id",
+        d.alias("date_str"),
+        t.alias("time_str"),
+        F.to_timestamp(F.concat_ws(" ", d, t), "yyyy-MM-dd HH:mm").alias("event_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/P5: Kelvin -> Celsius, same literal arithmetic as the reference.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kelvin_to_celsius",
+    oracle="""
+SELECT event_id, value AS kelvin, value - 273.15 AS celsius FROM events
+""",
+    doc="M1: x - 273.15 (deployment_function.py:140-143)",
+    tags=["M1", "P5"],
+)
+def kelvin_to_celsius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("value").alias("kelvin"),
+        (F.col("value") - F.lit(273.15)).alias("celsius"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/T2/P6/P7: separator concat with casts ("lat,lon" strings).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "coord_concat",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS VARCHAR) || ',' || CAST(c_custkey AS VARCHAR) AS coord_key,
+       c_mktsegment || ',' || c_name AS label_pair
+FROM customer
+""",
+    doc="T1/T2: str(x) + ',' + str(y) (deployment_function.py:119-121, :158)",
+    tags=["T1", "T2", "P6", "P7"],
+)
+def coord_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            ",", F.col("c_nationkey").cast("string"), F.col("c_custkey").cast("string")
+        ).alias("coord_key"),
+        F.concat_ws(",", "c_mktsegment", "c_name").alias("label_pair"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/P1/P2: JSON extraction from a string payload column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""",
+    doc="S3/P1/P2: semi-structured payload field extraction "
+    "(deployment_function.py:83, :95-103)",
+    tags=["S3", "P1", "P2"],
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: array first/last element (element_at 1 / -1 == reference [0] / [-1]).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_first_last",
+    oracle="""
+SELECT vec_id,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(embedding[-1] AS DOUBLE) AS last_val,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings
+""",
+    doc="P3: coordinates.coordinate[0] / [-1] analogue (deployment_function.py:102-103)",
+    tags=["P3"],
+)
+def array_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregation surface (north-star extension of A1; TPC-H Q1 shape).
+# Double aggregates are rounded identically on both sides to absorb
+# summation-order ULP drift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="grouped agg with partial/map-side combine (TPC-H Q1 shape)",
+    tags=["agg", "groupBy"],
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="sort + limit (top-k); total order with deterministic tie-break",
+    tags=["sort", "limit"],
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left-semi join (EXISTS)",
+    tags=["join", "semi"],
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left-anti join (NOT EXISTS)",
+    tags=["join", "anti"],
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    doc="left-outer join + grouped count (zero-preserved)",
+    tags=["join", "outer", "agg"],
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "set_except_status",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="set operation: EXCEPT (distinct)",
+    tags=["setop"],
+)
+def set_except_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_k.subtract(done_k)
+
+
+@register(
+    "set_intersect_status",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="set operation: INTERSECT (distinct)",
+    tags=["setop"],
+)
+def set_intersect_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_k.intersect(done_k)
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="grouping sets: ROLLUP over two keys",
+    tags=["agg", "rollup"],
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+""",
+    doc="pivot as conditional aggregation (stable column names)",
+    tags=["agg", "pivot"],
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "hourly_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+FROM events GROUP BY date_trunc('hour', ts)
+""",
+    doc="1-hour tumbling window agg — batch form of the hourly cadence "
+    "(README.md:79-84, SURVEY §2.8)",
+    tags=["window", "agg", "streaming"],
+)
+def hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT (exact dedup primitive)",
+    tags=["distinct"],
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "above_customer_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) t
+WHERE o_totalprice > cust_avg
+""",
+    doc="windowed analytic: orders above their customer's average",
+    tags=["window", "agg"],
+)
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
