@@ -37,7 +37,22 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: list[str
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md)."""
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.parquet`` stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
+    which Spark 4.x rejects at scan time (PARQUET_TYPE_ILLEGAL). Read it
+    as a raw long and truncate to microseconds with integer division —
+    ``ts div 1000`` (never float ``/1000``: ~1.7e18 nanos exceeds double
+    mantissa precision). Oracles must truncate identically via
+    ``CAST(ts AS TIMESTAMP)`` (DuckDB TIMESTAMP_NS -> micros).
+    """
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{table}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

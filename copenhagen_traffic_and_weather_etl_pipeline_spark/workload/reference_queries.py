@@ -142,9 +142,9 @@ def using_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_subquery_latest",
     oracle="""
-SELECT event_id, ts, user_id, event_type, value
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
 FROM events
-WHERE ts = (SELECT max(ts) FROM events)
+WHERE CAST(ts AS TIMESTAMP) = (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
 """,
     doc="F0/J2/A1: rows at the global max event time (bigquery_scheduled_query.sql:7-17)",
     tags=["J2", "F0", "A1"],
@@ -164,8 +164,10 @@ def scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id, ts, event_type
 FROM (
-  SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
   FROM events
 ) t WHERE rn = 1
 """,
@@ -185,7 +187,10 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "global_max_agg",
     oracle="""
-SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n_rows FROM events
+SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts,
+       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+       count(*) AS n_rows
+FROM events
 """,
     doc="A1: global ungrouped aggregate (bigquery_scheduled_query.sql:12-15)",
     tags=["A1"],
@@ -523,9 +528,9 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hourly_tumbling",
     oracle="""
-SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, count(*) AS n_events,
        round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
-FROM events GROUP BY date_trunc('hour', ts)
+FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
 """,
     doc="1-hour tumbling window agg — batch form of the hourly cadence "
     "(README.md:79-84, SURVEY §2.8)",
