@@ -1,0 +1,89 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+exactly ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Timing is per-query wall clock around a full materialization
+(``df.write.format("noop")`` — exercises the whole plan without
+collect-to-driver or disk cost). Session startup is excluded.
+
+Usage: python bench.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Headline set: the flagship reference query plus the most expensive
+# representative of each workload family (joins, aggregation, window,
+# dedup, similarity, text).
+HEADLINE = [
+    "flagship_latest_snapshot",
+    "using_join_enriched",
+    "pricing_summary",
+    "outer_join_order_counts",
+    "latest_per_key",
+    "hourly_tumbling",
+    "above_customer_avg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_buckets",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    names = sys.argv[1:] or [n for n in HEADLINE if n in REGISTRY]
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/scan path once so the first timed query doesn't pay
+    # one-time session costs (codegen compile, filesystem metadata).
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
