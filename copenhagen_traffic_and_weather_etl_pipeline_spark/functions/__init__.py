@@ -61,10 +61,13 @@ def kelvin_to_celsius(col: Column | str) -> Column:
 
 def coord_string(lat: Column | str, lon: Column | str) -> Column:
     """T1/T2/P6/P7: str(lat) + ',' + str(lon) (deployment_function.py:119-121).
-    Numeric inputs are cast to string inside the concat."""
+    Numeric inputs are cast to string inside the concat. Uses null-propagating
+    ``concat`` (not ``concat_ws``, which skips nulls): a missing coordinate
+    must surface as NULL so the flatten null-gate drops the row, matching the
+    reference's KeyError-drop (deployment_function.py:123-125)."""
     la = F.col(lat) if isinstance(lat, str) else lat
     lo = F.col(lon) if isinstance(lon, str) else lon
-    return F.concat_ws(",", la.cast("string"), lo.cast("string"))
+    return F.concat(la.cast("string"), F.lit(","), lo.cast("string"))
 
 
 def decode_pubsub_payload(col: Column | str) -> Column:

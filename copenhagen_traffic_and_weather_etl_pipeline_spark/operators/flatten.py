@@ -30,6 +30,45 @@ from ..schemas import (
     WEATHER_SCHEMA,
 )
 
+# Payload-derived columns per source. The reference raises KeyError (and
+# drops the whole row) when ANY of these is missing from the API JSON
+# (deployment_function.py:123-125, :174-176) — so the null-gate is a
+# conjunction over all of them, not a single sentinel field.
+_TRAFFIC_REQUIRED = [
+    "road_class",
+    "current_speed",
+    "free_flow_speed",
+    "current_travel_time",
+    "free_flow_travel_time",
+    "confidence",
+    "road_closure",
+    "first_coordinates",
+    "last_coordinates",
+]
+_WEATHER_REQUIRED = [
+    "country",
+    "city_area_name",
+    "weather_main",
+    "weather_description",
+    "temperature",
+    "feels_like",
+    "temp_min",
+    "temp_max",
+    "pressure",
+    "humidity_percent",
+    "visibility",
+    "wind_speed",
+    "wind_direction_degrees",
+    "cloudiness_percent",
+]
+
+
+def _all_present(cols: list[str]) -> Column:
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    return pred
+
 
 def _audit_cols(stamp_date: Column | None, stamp_time: Column | None) -> list[Column]:
     """P8: run-time date/time string stamps (deployment_function.py:61-63)."""
@@ -57,8 +96,11 @@ def flatten_traffic(
     """
     doc = F.from_json(F.col("payload"), TOMTOM_RESPONSE_SCHEMA)
     seg = doc["flowSegmentData"]
-    first = F.element_at(seg["coordinates"]["coordinate"], 1)
-    last = F.element_at(seg["coordinates"]["coordinate"], -1)
+    # try_element_at: ANSI-safe [0]/[-1] — an empty/missing coordinate array
+    # yields NULL (row then dropped by the null-gate) instead of an
+    # INVALID_ARRAY_INDEX task failure.
+    first = F.try_element_at(seg["coordinates"]["coordinate"], F.lit(1))
+    last = F.try_element_at(seg["coordinates"]["coordinate"], F.lit(-1))
     out = fetch_df.select(
         *_audit_cols(stamp_date, stamp_time),
         F.col("geo_name"),
@@ -79,8 +121,9 @@ def flatten_traffic(
             "last_coordinates"
         ),
     )
-    # Drop rows where extraction failed (missing flowSegmentData -> NULLs).
-    return out.filter(F.col("road_class").isNotNull()).select(
+    # All-or-nothing drop: any missing payload field nulls its column and
+    # the row is dropped, like the reference's KeyError path.
+    return out.filter(_all_present(_TRAFFIC_REQUIRED)).select(
         *[F.col(f.name).cast(f.dataType) for f in TRAFFIC_SCHEMA.fields]
     )
 
@@ -98,7 +141,9 @@ def flatten_weather(
     (bigquery_table_creation_queries.sql:1-20).
     """
     doc = F.from_json(F.col("payload"), OPENWEATHER_RESPONSE_SCHEMA)
-    w0 = F.element_at(doc["weather"], 1)
+    # ANSI-safe weather[0]: empty array -> NULL -> row dropped, like the
+    # reference's IndexError/KeyError drop (deployment_function.py:174-176).
+    w0 = F.try_element_at(doc["weather"], F.lit(1))
     main = doc["main"]
     out = fetch_df.select(
         *_audit_cols(stamp_date, stamp_time),
@@ -119,7 +164,7 @@ def flatten_weather(
         doc["wind"]["deg"].alias("wind_direction_degrees"),
         doc["clouds"]["all"].alias("cloudiness_percent"),
     )
-    return out.filter(F.col("weather_main").isNotNull()).select(
+    return out.filter(_all_present(_WEATHER_REQUIRED)).select(
         *[F.col(f.name).cast(f.dataType) for f in WEATHER_SCHEMA.fields]
     )
 

@@ -67,6 +67,10 @@ def fetch_with_retry(
     last_err: str | None = None
     status: int | None = None
     for attempt in range(tries):
+        # Reset per attempt so the returned status always reflects the
+        # FINAL attempt (an exception after an earlier non-200 must not
+        # report the stale earlier status).
+        status = None
         try:
             status, body = fetcher(url)
             if status == 200:

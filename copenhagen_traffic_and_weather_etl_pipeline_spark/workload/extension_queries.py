@@ -92,30 +92,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Stop-shingle cap: a shingle appearing in more than this many documents is
+# dropped before the self-join. Without it one hot shingle ("the quick
+# brown"-class) makes the shared-shingle join quadratic in its posting-list
+# length — the classic scale-killer. With it, join work per shingle is
+# bounded by DF_CAP^2. Applied identically on the Spark and oracle sides so
+# the jaccard metric definition matches.
+_SHINGLE_DF_CAP = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_SHINGLE_DF_CAP}),
+shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d1, d2, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
 FROM pairs
 JOIN sizes sa ON d1 = sa.doc_id
 JOIN sizes sb ON d2 = sb.doc_id
-WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
 """,
-    doc="near-dup pairs with word-3gram Jaccard >= 0.8; shingle-join "
-    "(candidate generation is the shared-shingle join, quadratic only "
-    "within collision groups)",
+    doc="near-dup pairs with word-3gram Jaccard >= 0.8 over shingles with "
+    f"document frequency <= {_SHINGLE_DF_CAP} (stop-shingle cap bounds the "
+    "shared-shingle self-join); threshold applied to the rounded value so "
+    "both engines agree at the 0.8 boundary",
     tags=["dedup", "jaccard"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(load(spark, sf_dir, "documents"))
+    # Stop-shingle cap: DF > cap shingles are few — broadcast the anti side.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -123,12 +143,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    # Round BEFORE the threshold (module rule): DuckDB promotes the ratio to
+    # DECIMAL while Spark stays DOUBLE; boundary pairs must not flip.
+    jac = F.round(
+        F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
     return (
         pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
         .filter(jac >= 0.8)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .select("d1", "d2", jac.alias("jaccard"))
     )
 
 

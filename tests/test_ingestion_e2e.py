@@ -129,3 +129,69 @@ def test_flatten_drops_partial_docs(spark):
     assert got[0]["original_coordinates"] == "55.6,12.5"
     assert got[0]["first_coordinates"] == "55.690388,12.537862"
     assert got[0]["last_coordinates"] == "55.691,12.5391"
+
+
+def test_flatten_weather_drops_partial_docs(spark):
+    """Weather-side all-or-nothing drop (deployment_function.py:174-176):
+    empty weather[] array, missing main.*, and a doc missing a single
+    field (wind.deg) all drop; a good doc in the same batch survives."""
+    missing_wind_deg = fixtures.openweather_doc()
+    del missing_wind_deg["wind"]["deg"]
+    rows = [
+        ("good", "55.6", "12.5", "weather", 200, json.dumps(fixtures.openweather_doc()), None),
+        ("empty_arr", "55.7", "12.6", "weather", 200, fixtures.EMPTY_WEATHER_ARRAY, None),
+        ("partial", "55.8", "12.7", "weather", 200, json.dumps(missing_wind_deg), None),
+    ]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "geo_key long, geo_name string, lat string, lon string, data_type string,"
+        " status_code long, payload string, error string",
+    )
+    got = flatten_weather(df, F.lit("2026-08-12"), F.lit("09:00")).collect()
+    assert len(got) == 1
+    assert got[0]["geo_name"] == "good"
+    assert got[0]["country"] == "DK"
+
+
+def test_flatten_traffic_drops_single_missing_field(spark):
+    """flowSegmentData present but ONE field missing must still drop
+    (reference KeyError on any field: deployment_function.py:95-103)."""
+    doc = fixtures.tomtom_doc()
+    del doc["flowSegmentData"]["currentSpeed"]
+    no_coords = fixtures.tomtom_doc()
+    doc_empty_coords = fixtures.tomtom_doc(coords=[(1.0, 2.0)])
+    doc_empty_coords["flowSegmentData"]["coordinates"]["coordinate"] = []
+    rows = [
+        ("partial", "55.6", "12.5", "traffic", 200, json.dumps(doc), None),
+        ("good", "55.7", "12.6", "traffic", 200, json.dumps(no_coords), None),
+        ("nocoords", "55.8", "12.7", "traffic", 200, json.dumps(doc_empty_coords), None),
+    ]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "geo_key long, geo_name string, lat string, lon string, data_type string,"
+        " status_code long, payload string, error string",
+    )
+    got = flatten_traffic(df, F.lit("2026-08-12"), F.lit("09:00")).collect()
+    assert [r["geo_name"] for r in got] == ["good"]
+
+
+def test_fetch_retry_status_reflects_final_attempt():
+    """S2: the returned status must belong to the FINAL attempt — a first
+    attempt's HTTP 503 must not be reported when the last attempt raised."""
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sources.rest import (
+        fetch_with_retry,
+    )
+
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 503, "unavailable"
+        raise ConnectionError("boom")
+
+    status, payload, err = fetch_with_retry(flaky, "http://x", tries=3, delay=0)
+    assert calls["n"] == 3
+    assert status is None  # final attempt raised before producing a status
+    assert payload is None
+    assert "ConnectionError" in err
