@@ -85,20 +85,20 @@ def latest_snapshot_join_faithful(
     )
 
 
-def latest_snapshot_window(df: DataFrame, order_col: str = "event_ts") -> DataFrame:
-    """F0 idiomatic alternative: dense_rank over event time desc == 1.
+def latest_snapshot_rows(df: DataFrame, order_col: str = "event_ts") -> DataFrame:
+    """F0 alternative: all rows carrying the global max of ``order_col``
+    (the dense_rank()==1-over-desc semantics), computed scale-safe.
 
-    Equivalent to the scalar-subquery formulation but one pass over the
-    data. Note the empty partitionBy funnels everything through one
-    window task — fine for ≤ hourly snapshot sizes, but at scale prefer
-    the agg+broadcast form (latest_snapshot_join) or partition the
-    window by a bucketing key.
+    A global ``Window.orderBy(desc)`` funnels the whole table through one
+    task, so instead the max is a partial+final agg (one row) broadcast
+    back as a filter literal — identical result, fully parallel at any
+    scale.
     """
-    w = W.orderBy(F.col(order_col).desc())
+    mx = df.agg(F.max(order_col).alias("_max_v"))
     return (
-        df.withColumn("_rk", F.dense_rank().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        df.crossJoin(F.broadcast(mx))
+        .filter(F.col(order_col) == F.col("_max_v"))
+        .drop("_max_v")
     )
 
 

@@ -1,0 +1,145 @@
+"""Structured Streaming variant of the hourly pipeline (SURVEY.md §2.8,
+O4).
+
+The reference IS micro-batch streaming by architecture: Cloud Scheduler
+fires an ingestion run every hour and a BigQuery scheduled query refreshes
+``latest_joined_data`` five minutes later (README.md:79-84). The fixed
++5-min offset is uncoordinated — if ingestion runs long, the refresh joins
+a partial snapshot. Here the same dataflow is a Structured Streaming job:
+
+- **source**: a file stream of fetch-result batches (each ingestion tick
+  lands one JSON file of fetch results — the Pub/Sub-triggered run's
+  output). Works identically with a Kafka source at scale.
+- **event time**: each record carries ``fetched_at``; flattening stamps
+  the ``date``/``time`` strings from it (not wall clock), so late batches
+  land under their true tick.
+- **windowing**: tumbling 1-hour windows with a watermark bound late data
+  instead of silently mis-stamping them (the reference stamps a delayed
+  fetch with the *current* hour: deployment_function.py:61-63).
+- **sink**: ``foreachBatch`` appends both fact tables AND refreshes the
+  snapshot in the same transaction boundary — ingest and refresh cannot
+  race because they are ordered within the micro-batch.
+
+At scale the identical topology holds: the file source becomes Kafka, the
+parquet appends become a date-partitioned table, and state-store-backed
+windows bound memory via the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import DATE_FMT, TIME_FMT
+from ..operators.flatten import flatten_traffic, flatten_weather, split_errors
+from ..operators.snapshot import latest_snapshot_join
+from ..schemas import FETCH_RESULT_SCHEMA
+from ..sinks import append_table, overwrite_table
+
+# Fetch-result rows as they stream in: the batch FETCH_RESULT_SCHEMA plus
+# the event-time stamp of the producing tick.
+FETCH_STREAM_SCHEMA = T.StructType(
+    [*FETCH_RESULT_SCHEMA.fields, T.StructField("fetched_at", T.TimestampType(), True)]
+)
+
+
+def read_fetch_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1/S8 streaming source: each ingestion tick drops one JSON file of
+    fetch results into ``path``; the stream discovers and processes them
+    in arrival order (Trigger.AvailableNow drains the backlog)."""
+    reader = spark.readStream.schema(FETCH_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def hourly_window_counts(
+    stream_df: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling 1-hour window per data_type with a watermark.
+
+    The watermark bounds state: rows later than ``watermark`` behind the
+    max observed event time are dropped (with a metric), instead of the
+    reference's behavior of stamping them into the wrong hour.
+    """
+    return (
+        stream_df.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", "1 hour").alias("win"), "data_type")
+        .agg(
+            F.count("*").alias("n_results"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "data_type",
+            "n_results",
+            "n_errors",
+        )
+    )
+
+
+def ingest_and_refresh(
+    stream_df: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """The full pipeline as one coordinated streaming job.
+
+    Per micro-batch (one or more ticks of fetch results):
+      1. split error rows out (O2),
+      2. flatten to typed fact rows stamped from event time (P1-P9),
+      3. append ``traffic_table`` / ``weather_table`` (S5),
+      4. rebuild ``latest_joined_data`` (S6) — *after* the appends, in
+         the same foreachBatch, eliminating the reference's +5-min race.
+
+    The checkpoint makes the whole thing exactly-once at the source level
+    (reprocessed files are deduplicated by the file-source log); the
+    snapshot overwrite is idempotent by construction.
+    """
+    spark = stream_df.sparkSession
+    traffic_path = f"{base_dir}/traffic_table"
+    weather_path = f"{base_dir}/weather_table"
+    snapshot_path = f"{base_dir}/latest_joined_data"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok, bad = split_errors(batch_df)
+        stamp_d = F.date_format("fetched_at", DATE_FMT)
+        stamp_t = F.date_format("fetched_at", TIME_FMT)
+        traffic = flatten_traffic(
+            ok.filter(F.col("data_type") == "traffic"), stamp_d, stamp_t
+        )
+        weather = flatten_weather(
+            ok.filter(F.col("data_type") == "weather"), stamp_d, stamp_t
+        )
+        append_table(traffic, traffic_path, partition_by=["date"])
+        append_table(weather, weather_path, partition_by=["date"])
+        # Refresh strictly after the appends: no partial-snapshot race.
+        snap = latest_snapshot_join(
+            spark.read.parquet(traffic_path), spark.read.parquet(weather_path)
+        )
+        overwrite_table(snap, snapshot_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ingest_and_refresh")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        # The reference's hourly cadence: trigger(processingTime='1 hour').
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+__all__ = [
+    "FETCH_STREAM_SCHEMA",
+    "read_fetch_stream",
+    "hourly_window_counts",
+    "ingest_and_refresh",
+]

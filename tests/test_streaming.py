@@ -1,0 +1,107 @@
+"""Structured Streaming variant (SURVEY §2.8 / O4): fetch-result files
+stream in, foreachBatch appends the fact tables and refreshes the
+snapshot — two ticks land, the snapshot holds only the newest one, and
+the windowed aggregation buckets rows by event time.
+"""
+
+from __future__ import annotations
+
+import json
+
+from copenhagen_traffic_and_weather_etl_pipeline_spark.sources import fixtures
+from copenhagen_traffic_and_weather_etl_pipeline_spark.schemas import GEO_POINTS
+from copenhagen_traffic_and_weather_etl_pipeline_spark.streaming import (
+    hourly_window_counts,
+    ingest_and_refresh,
+    read_fetch_stream,
+)
+
+
+def _tick_records(fetched_at: str) -> list[dict]:
+    """One ingestion tick: 20 geo-points x 2 APIs of fetch results."""
+    recs = []
+    for geo_key, geo_name, lat, lon in GEO_POINTS:
+        for data_type, doc in [
+            ("traffic", fixtures.tomtom_doc()),
+            ("weather", fixtures.openweather_doc()),
+        ]:
+            recs.append(
+                {
+                    "geo_key": geo_key,
+                    "geo_name": geo_name,
+                    "lat": lat,
+                    "lon": lon,
+                    "data_type": data_type,
+                    "status_code": 200,
+                    "payload": json.dumps(doc),
+                    "error": None,
+                    "fetched_at": fetched_at,
+                }
+            )
+    return recs
+
+
+def _write_tick(input_dir, name: str, fetched_at: str) -> None:
+    (input_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in _tick_records(fetched_at))
+    )
+
+
+def test_streaming_ingest_and_refresh_two_ticks(spark, tmp_path):
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    base = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+
+    # Tick 1 arrives; drain with AvailableNow.
+    _write_tick(input_dir, "tick1.json", "2026-08-12T09:00:00.000Z")
+    stream = read_fetch_stream(spark, str(input_dir))
+    q = ingest_and_refresh(stream, str(base), str(ckpt))
+    q.awaitTermination(120)
+
+    snap1 = spark.read.parquet(str(base / "latest_joined_data"))
+    assert snap1.count() == 20
+    assert {r["time"] for r in snap1.select("time").distinct().collect()} == {"09:00"}
+
+    # Tick 2 arrives an hour later; restart from the checkpoint — the
+    # file-source log skips tick1, processes only tick2.
+    _write_tick(input_dir, "tick2.json", "2026-08-12T10:00:00.000Z")
+    q2 = ingest_and_refresh(read_fetch_stream(spark, str(input_dir)), str(base), str(ckpt))
+    q2.awaitTermination(120)
+
+    traffic = spark.read.parquet(str(base / "traffic_table"))
+    assert traffic.count() == 40  # both ticks appended (20 each)
+
+    snap2 = spark.read.parquet(str(base / "latest_joined_data"))
+    assert snap2.count() == 20  # overwritten, not appended
+    assert {r["time"] for r in snap2.select("time").distinct().collect()} == {"10:00"}
+
+
+def test_streaming_hourly_window_watermark(spark, tmp_path):
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    _write_tick(input_dir, "tick1.json", "2026-08-12T09:10:00.000Z")
+    _write_tick(input_dir, "tick2.json", "2026-08-12T10:20:00.000Z")
+
+    stream = read_fetch_stream(spark, str(input_dir))
+    agg = hourly_window_counts(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT window_start, data_type, n_results, n_errors FROM win_counts"
+    ).collect()
+    # 2 hours x 2 data_types.
+    assert len(rows) == 4
+    by_key = {(str(r["window_start"]), r["data_type"]): r for r in rows}
+    for hour in ["2026-08-12 09:00:00", "2026-08-12 10:00:00"]:
+        for dt in ["traffic", "weather"]:
+            r = by_key[(hour, dt)]
+            assert r["n_results"] == 20
+            assert r["n_errors"] == 0
