@@ -637,11 +637,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing: opaque binary column + typed metadata. The decode
-# step itself is stubbed (no image/audio libs in this container — see
-# operators/multimodal.py); the Spark-side schema/partitioning/hash path
-# is real and oracle-checked here.
+# Multimodal: genuine BinaryType payloads (operators/multimodal.py) with
+# typed metadata, magic-number sniffing, binary dedup, and an Arrow-batched
+# mapInPandas feature extractor. The payload is synthesized
+# deterministically (real format magic ++ utf8 bytes) because the testdata
+# has no binary column; the oracle mirrors it over uppercase hex strings
+# (DuckDB lacks blob md5/substring).
 # ---------------------------------------------------------------------------
+
+_DUCK_BIN_CTE = """
+b AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN '89504E47'
+           WHEN 1 THEN 'FFD8FFE0'
+           ELSE '52494646'
+         END || hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes
+  FROM documents
+)
+"""
 
 
 @register(
@@ -664,3 +679,66 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(bin_col).cast("bigint").alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
     )
+
+
+@register(
+    "mm_magic_sniff",
+    oracle=f"""
+WITH {_DUCK_BIN_CTE}
+SELECT doc_id, n_bytes,
+       substr(hx, 1, 8) AS magic_hex,
+       CASE substr(hx, 1, 8)
+         WHEN '89504E47' THEN 'png'
+         WHEN 'FFD8FFE0' THEN 'jpeg'
+         WHEN '52494646' THEN 'riff'
+         ELSE 'unknown'
+       END AS format,
+       md5(hx) AS content_digest
+FROM b
+""",
+    doc="binary format sniffing: magic-number dispatch on the first 4 bytes "
+    "of a genuine BinaryType payload (operators/multimodal.py) — metadata "
+    "is a narrow JVM-side projection, the bytes stay opaque",
+    tags=["multimodal"],
+)
+def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binary_metadata, synthesize_binary_docs
+
+    d = synthesize_binary_docs(load(spark, sf_dir, "documents"))
+    return binary_metadata(d)
+
+
+@register(
+    "mm_binary_dedup",
+    oracle=f"""
+WITH {_DUCK_BIN_CTE}
+SELECT md5(hx) AS content_digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM b GROUP BY md5(hx)
+""",
+    doc="exact dedup on binary payloads: hash-groupBy on content digest "
+    "(partial agg, no self-join — scale-safe like dedup_exact)",
+    tags=["multimodal", "dedup"],
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binary_dedup, synthesize_binary_docs
+
+    return binary_dedup(synthesize_binary_docs(load(spark, sf_dir, "documents")))
+
+
+# No oracle: byte-level feature extraction over binary payloads is the
+# pandas-UDF decode path (SQL can't iterate bytes); the driver records the
+# rows-only check and pytest asserts exact values on fixed payloads.
+@register(
+    "mm_byte_features",
+    oracle=None,
+    doc="Arrow-batched mapInPandas feature extraction over BinaryType "
+    "payloads (byte stats stand in for a codec/model call; identical "
+    "schema/batch plumbing — operators/multimodal.py byte_features)",
+    tags=["multimodal", "pandas-udf"],
+)
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import byte_features, synthesize_binary_docs
+
+    return byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
