@@ -168,7 +168,9 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
-def _duck_minhash_sql() -> str:
+def _duck_minhash_ctes() -> str:
+    """CTE list ending in ``cand`` (the LSH candidate pairs) — shared by
+    the pair query and the cluster-resolution recursive query."""
     sig_cols = ", ".join(
         f"min(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
     )
@@ -179,15 +181,19 @@ def _duck_minhash_sql() -> str:
         )
         for b in range(_N_BANDS)
     )
-    return f"""
-WITH {_DUCK_WORDS_CTE},
+    return f"""{_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-"""
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)"""
+
+
+def _duck_minhash_sql() -> str:
+    return f"WITH {_duck_minhash_ctes()} SELECT d1, d2 FROM cand"
 
 
 @register(
@@ -231,6 +237,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3b: cluster resolution — candidate pairs -> connected components ->
+# keep/drop decision per document (operators/dedup.py). The oracle walks the
+# same edges with a recursive CTE: every root reachable from a node is
+# collected, min(root) = the component's minimum doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_resolve_clusters",
+    oracle=f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION
+  SELECT d2 AS src, d1 AS dst FROM cand
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id,
+       (node = min(root)) AS keep
+FROM reach GROUP BY node
+""",
+    doc="dedup decision: MinHash-LSH pairs -> connected components via "
+    "min-label propagation (iterative join+agg, one shuffle per round, "
+    "diameter-bounded) -> keep the cluster-minimum doc_id",
+    tags=["dedup", "minhash", "clusters"],
+)
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import keep_list, resolve_clusters
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return keep_list(resolve_clusters(pairs, docs))
 
 
 # ---------------------------------------------------------------------------
