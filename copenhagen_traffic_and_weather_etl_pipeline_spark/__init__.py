@@ -16,6 +16,7 @@ This package re-expresses every operator Spark-first:
 - ``plans``      — pipeline composition + per-row fault isolation
 - ``streaming``  — Structured Streaming variant of the hourly pipeline
 - ``sinks``      — append / overwrite table sinks
+- ``config``     — secrets source (env/spark.conf) + run-trigger metadata
 
 Everything is DataFrame/SQL-first so Catalyst handles pushdown, pruning,
 join selection and AQE; Python UDFs are avoided in hot paths.

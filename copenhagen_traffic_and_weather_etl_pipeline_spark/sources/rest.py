@@ -96,7 +96,12 @@ def fetch_endpoints(
     Python worker per task; each row yields exactly one result row
     (payload or error) so downstream flattening is a narrow dependency.
     """
-    keys = api_keys or {"traffic": "test", "weather": "test"}
+    if api_keys is None:
+        from ..config import api_keys as resolve_keys
+
+        # S4: env-var/spark.conf secret source with test-safe defaults.
+        api_keys = resolve_keys(endpoints_df.sparkSession)
+    keys = api_keys
     templates = {"traffic": TRAFFIC_URL, "weather": WEATHER_URL}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
