@@ -787,3 +787,77 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import byte_features, synthesize_binary_docs
 
     return byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Temporal / non-equi joins (operators/temporal.py): as-of join via
+# union+window carry-forward (one shuffle, no quadratic theta join) and
+# point-in-interval range join via bucket-aligned equi-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT c.user_id, c.ts, c.event_id, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    doc="backward as-of join: each click gains the latest preceding "
+    "purchase value per user — union+window carry-forward, one shuffle "
+    "on the key (operators/temporal.py asof_join)",
+    tags=["join", "asof", "temporal"],
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on=["user_id"])
+
+
+@register(
+    "range_join_value_bands",
+    oracle="""
+WITH bands AS (
+  SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(0, 10) t(i)
+)
+SELECT band_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id
+""",
+    doc="point-in-interval range join: events bucketed into value bands "
+    "via the bucket-aligned equi-join scale path "
+    "(operators/temporal.py interval_join, bucket_width=25)",
+    tags=["join", "range"],
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return (
+        interval_join(e, bands, "value", bucket_width=25.0)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
