@@ -39,9 +39,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "sim_ann_lsh_buckets",
+    "ivf_ann_search",
     "text_token_stats",
     "text_quality",
     "text_lang_id",
+    "tfidf_top_terms",
+    "window_running_total",
+    "sessionize_events",
+    "cube_revenue",
 ]
 
 

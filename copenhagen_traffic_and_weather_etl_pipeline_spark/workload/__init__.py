@@ -59,5 +59,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Importing the modules populates REGISTRY.
 from . import reference_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "load"]

@@ -1,0 +1,480 @@
+"""Scale-posture queries: window analytics, sessionization, multi-level
+aggregation, TF-IDF, deterministic sampling, skew-safe aggregation,
+percentiles, and IVF-style ANN — the operations a large training-data
+pipeline layers on top of the reference surface (SURVEY.md §7 Phase 5/6).
+
+Cross-engine determinism rules (same as extension_queries):
+- every float that feeds a comparison/ordering is rounded FIRST (ULP
+  drift between Java Math and libm must never flip a rank or threshold);
+- every window ordering carries a unique integer tiebreak column;
+- hashing is md5 hex (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import load, register
+from .extension_queries import _DUCK_DOT, _DUCK_NORM, _DUCK_WORDS_CTE, _dot, _norm, _words_col
+
+# ---------------------------------------------------------------------------
+# Window-function suite over events. The reference has no window functions
+# (SURVEY §2.10); these are the standard analytic trio a warehouse user
+# expects. All windows are partitioned by user_id — never global — so the
+# work distributes across executors at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_total",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+""",
+    doc="per-user running sum ordered by event time (rows frame, unique "
+    "event_id tiebreak; partitioned window — no global ordering)",
+    tags=["window"],
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS delta_prev,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+    doc="per-user lag delta and lead lookahead (first/last rows NULL, "
+    "matching SQL semantics)",
+    tags=["window"],
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+""",
+    doc="per-user moving average over the 4 most recent events (3 "
+    "preceding + current rows frame)",
+    tags=["window"],
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands): a new session starts after a >30 min
+# silence. Built from lag + running sum of boundary flags — two passes over
+# one per-user partitioned window, then a hash agg. At 100 TB this is the
+# batch sibling of the streaming session window (streaming module).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), f AS (
+  SELECT user_id, event_id, tsm,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), s AS (
+  SELECT user_id, tsm,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(tsm) AS session_start, max(tsm) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+""",
+    doc="gaps-and-islands sessionization: 30-min inactivity gap starts a "
+    "new session; per-user windows only, no global sort",
+    tags=["window", "session"],
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "session_idx"
+        ),
+    )
+    return sess.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: CUBE (complements the existing ROLLUP entry).
+# grouping_id is computed as an explicit bitmask on both sides so the
+# engines' native GROUPING() conventions can't disagree.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus) with explicit grouping bitmask "
+    "(map-side partial agg handles all grouping sets in one shuffle)",
+    tags=["agg", "cube"],
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. tf and df are exact integer aggregates;
+# the score is rounded to 6 decimals BEFORE the rank ordering so the
+# row_number cutoff is identical in both engines (term asc breaks ties).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tf AS (
+  SELECT doc_id, w2 AS term, count(*) AS tf
+  FROM words, UNNEST(w) AS t(w2) WHERE w2 <> ''
+  GROUP BY doc_id, w2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="top-3 TF-IDF terms per document; df from a term-level hash agg, "
+    "score rounded before ranking, term-asc tiebreak",
+    tags=["text", "tfidf"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: an md5-prefix filter keeps ~18.75%
+# (3/16 hex chars) of each language stratum. Hash-based so the sample is
+# stable across engines, partitionings, and reruns — the property a
+# training-data pipeline needs for reproducible subsets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_sampled,
+       round(sum(keep) * 1.0 / count(*), 6) AS rate
+FROM s GROUP BY lang
+""",
+    doc="deterministic per-stratum sampling via md5(doc_id) prefix — "
+    "reproducible across engines and partitionings, no RNG state",
+    tags=["sampling"],
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keep = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1).isin(
+            "0", "1", "2"
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+            F.round(F.sum("keep") * 1.0 / F.count("*"), 6).alias("rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation: two-phase salted count. Phase 1 pre-aggregates on
+# (key, salt) so a hot key's rows split across 8 reducers; phase 2 merges
+# the partials. Result is identical to a plain GROUP BY — the oracle IS the
+# plain GROUP BY — but the shuffle is bounded per reducer at any skew.
+# ---------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "salted_group_count",
+    oracle="SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey",
+    doc=f"two-phase salted aggregation ({_N_SALTS} salts): skewed keys "
+    "split across reducers in phase 1, partials merged in phase 2; "
+    "result identical to the plain GROUP BY",
+    tags=["agg", "skew"],
+)
+def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn("_salt", (F.col("o_orderkey") % _N_SALTS).cast("int"))
+        .groupBy("o_custkey", "_salt")
+        .agg(F.count("*").alias("_n"))
+    )
+    return partial.groupBy("o_custkey").agg(F.sum("_n").cast("bigint").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (linear interpolation — identical definition in Spark's
+# percentile() and DuckDB's quantile_cont()).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_prices",
+    oracle="""
+SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders
+""",
+    doc="exact interpolated percentiles of order price (single partial+final "
+    "agg; the approximate path at scale is approx_distinct_users' sibling "
+    "percentile_approx)",
+    tags=["agg", "percentile"],
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: a coarse quantizer (8 seeded centroids — vec_ids 1..8,
+# no Lloyd iterations so both engines share the exact centroid set)
+# assigns every vector to its nearest centroid; the query probes its 2
+# nearest cells and searches exactly within them. All cosine scores are
+# rounded before ranking; centroid/vec ids break ties.
+#
+# Scale shape: the centroid table is tiny and broadcast, assignment is a
+# narrow per-row pass, and the probe filter prunes the exact search to
+# ~nprobe/nlist of the corpus.
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROID_IDS = list(range(1, 9))
+_IVF_QUERY_VEC_ID = 0
+_IVF_NPROBE = 2
+_IVF_K = 10
+
+
+def _duck_ivf_sql() -> str:
+    cos_assign = (
+        _DUCK_DOT.format(a="e.embedding", b="c.cvec")
+        + f" / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='c.cvec')})"
+    )
+    cos_query = (
+        _DUCK_DOT.format(a="e.embedding", b="qe")
+        + f" / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='qe')})"
+    )
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id IN ({ids})
+),
+assign AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_assign}, 6) DESC, c.cent_id) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+probes AS (SELECT cent_id FROM assign WHERE vec_id = {_IVF_QUERY_VEC_ID} AND rnk <= {_IVF_NPROBE}),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN probes p USING (cent_id)
+  WHERE a.rnk = 1 AND a.vec_id <> {_IVF_QUERY_VEC_ID}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_QUERY_VEC_ID})
+SELECT e.vec_id, round({cos_query}, 4) AS cosine
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id LIMIT {_IVF_K}
+"""
+
+
+@register(
+    "ivf_ann_search",
+    oracle=_duck_ivf_sql(),
+    doc=f"IVF ANN: {len(_IVF_CENTROID_IDS)}-cell coarse quantizer (seeded "
+    f"centroids, broadcast), nprobe={_IVF_NPROBE} probe cells, exact "
+    f"top-{_IVF_K} within the probed cells only",
+    tags=["similarity", "ivf", "ann"],
+)
+def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    cos_assign = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+        6,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cent_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cos_assign.alias("_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    probes = (
+        assign.filter(
+            (F.col("vec_id") == _IVF_QUERY_VEC_ID) & (F.col("rnk") <= _IVF_NPROBE)
+        )
+        .select("cent_id")
+    )
+    cand = (
+        assign.filter((F.col("rnk") == 1) & (F.col("vec_id") != _IVF_QUERY_VEC_ID))
+        .join(F.broadcast(probes), "cent_id")
+        .select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == _IVF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cos_q = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        4,
+    )
+    return (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos_q.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(_IVF_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++). The sketch's exact value is
+# engine-specific, so there is no value oracle — the driver records a
+# rows-only check; exact_users rides along so the error is inspectable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    doc="HLL++ approx_count_distinct per event_type (sketch mergeable "
+    "map-side — constant memory per group at any scale); no value oracle: "
+    "sketch estimates are engine-specific",
+    tags=["agg", "approx"],
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,108 @@
+"""Stateful streaming: native session_window sessionization and the
+applyInPandasWithState custom operator accumulate correctly across
+micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+from copenhagen_traffic_and_weather_etl_pipeline_spark.streaming.sessions import (
+    read_event_stream,
+    session_window_stats,
+    stateful_user_totals,
+)
+
+
+def _write_events(path, name: str, rows: list[tuple]) -> None:
+    (path / name).write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "event_id": eid,
+                    "ts": ts,
+                    "user_id": uid,
+                    "event_type": et,
+                    "value": v,
+                }
+            )
+            for eid, ts, uid, et, v in rows
+        )
+    )
+
+
+def test_session_window_merges_and_splits(spark, tmp_path):
+    input_dir = tmp_path / "events"
+    input_dir.mkdir()
+    # User 1: 09:00 and 09:10 fall in one 30-min-gap session; 10:30 opens
+    # a second. User 2: one lone event.
+    _write_events(
+        input_dir,
+        "batch1.json",
+        [
+            (1, "2026-08-12T09:00:00.000Z", 1, "click", 1.0),
+            (2, "2026-08-12T09:10:00.000Z", 1, "view", 2.0),
+            (3, "2026-08-12T10:30:00.000Z", 1, "click", 4.0),
+            (4, "2026-08-12T09:05:00.000Z", 2, "view", 8.0),
+        ],
+    )
+    q = (
+        session_window_stats(read_event_stream(spark, str(input_dir)))
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess_stats ORDER BY user_id, n_events"
+    ).collect()
+    assert [(r.user_id, r.n_events, r.total_value) for r in rows] == [
+        (1, 1, 4.0),  # the 10:30 singleton session
+        (1, 2, 3.0),  # the merged 09:00+09:10 session
+        (2, 1, 8.0),
+    ]
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    input_dir = tmp_path / "events"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    _write_events(
+        input_dir,
+        "batch1.json",
+        [
+            (1, "2026-08-12T09:00:00.000Z", 1, "click", 1.0),
+            (2, "2026-08-12T09:01:00.000Z", 1, "view", 2.0),
+            (3, "2026-08-12T09:02:00.000Z", 2, "view", 5.0),
+        ],
+    )
+    _write_events(
+        input_dir,
+        "batch2.json",
+        [
+            (4, "2026-08-12T10:00:00.000Z", 1, "click", 4.0),
+        ],
+    )
+    # maxFilesPerTrigger=1 forces two micro-batches in one AvailableNow
+    # run — user 1's state must carry from batch 1 into batch 2.
+    stream = read_event_stream(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # The memory sink appends each batch's updates; the max per user is
+    # the final accumulated state.
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(total_value) AS tot "
+        "FROM user_totals GROUP BY user_id ORDER BY user_id"
+    ).collect()
+    assert [(r.user_id, r.n, r.tot) for r in rows] == [(1, 3, 7.0), (2, 1, 5.0)]
