@@ -173,31 +173,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup 3: MinHash + LSH banding (the scale path: candidate pairs come from
 # band-bucket joins, never an all-pairs comparison).
-# MinHash here = lexicographic min of md5(seed:shingle) — identical in both
-# engines, no engine-specific hash.
+# MinHash = min over shingles of 16 universal-hash permutations
+# (a_i*h + b_i mod p, p = 2^31-1) of ONE md5 per shingle — hashing cost
+# is 1 md5 + 16 integer ops per shingle instead of 16 md5s (measured ~2x
+# on the whole query at sf0.1). h is the first 15 md5 hex chars as a
+# 60-bit int, reduced mod p; products stay < 2^62 so int64 never
+# overflows in either engine.
 # ---------------------------------------------------------------------------
 
 _N_HASHES = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def _perm_coeffs() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(7)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(_N_HASHES)
+    ]
+
+
+_PERMS = _perm_coeffs()
 
 
 def _duck_minhash_ctes() -> str:
     """CTE list ending in ``cand`` (the LSH candidate pairs) — shared by
     the pair query and the cluster-resolution recursive query."""
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
+        f"min(({a} * hh + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_PERMS)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {idx} AS band_idx, md5({parts}) AS band_val FROM sigs".format(
             idx=b,
-            parts=" || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+            parts=" || ':' || ".join(
+                f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
+            ),
         )
         for b in range(_N_BANDS)
     )
     return f"""{_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
-sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {_MINHASH_P} AS hh
+  FROM sh
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM shh GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -219,17 +246,27 @@ def _duck_minhash_sql() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(load(spark, sf_dir, "documents"))
+    hh = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % _MINHASH_P
+    )
+    shh = sh.select("doc_id", hh.alias("hh"))
     sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))).alias(f"h{i}")
-        for i in range(_N_HASHES)
+        F.min((F.lit(a) * F.col("hh") + F.lit(b)) % _MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(_PERMS)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    sigs = shh.groupBy("doc_id").agg(*sig_aggs)
     bands = sigs.select(
         "doc_id",
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * _ROWS_PER_BAND + r}").cast("string")
+                        for r in range(_ROWS_PER_BAND)
+                    ],
                 ).cast("binary")
             ).alias(f"band{b}")
             for b in range(_N_BANDS)
