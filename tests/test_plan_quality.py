@@ -1,0 +1,110 @@
+"""Physical-plan quality gates: the registry's headline queries must
+compile to the plans we designed for 100 TB — broadcasts where a side is
+dimension-sized, per-partition top-k instead of global sorts, two-phase
+aggregation, reused exchanges for self-joins, and column pruning down to
+the scan. A regression here is a scale bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_broadcasts_the_dimension_join(spark):
+    plan = plan_of(spark, "flagship_latest_snapshot")
+    assert "BroadcastHashJoin" in plan
+    # The latest-tick filter must sit below the join (join input is one
+    # snapshot, not full history): no SortMergeJoin over the raw scans.
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "TakeOrderedAndProject" in plan
+    # A global Sort + CollectLimit would materialize a full sort shuffle.
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    plan = plan_of(spark, "salted_group_count")
+    # Two logical aggs x (partial + final) each = at least 4 HashAggregates.
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_minhash_band_join_is_equi_hash_join(spark):
+    # The band-bucket join must be a hash equi-join on (band_idx,
+    # band_val) — never a nested-loop over all pairs. (At tiny SF AQE
+    # broadcasts one side; at scale it's a shuffled hash/sort-merge join
+    # on the bucket key — both fine, cartesian is not.)
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_grouped_aggs_have_partial_phase(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # partial + final HashAggregate around one exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_windows_are_partitioned_not_global(spark):
+    for name in [
+        "window_running_total",
+        "window_lead_lag",
+        "window_moving_avg",
+        "sessionize_events",
+        "latest_per_key",
+        "above_customer_avg",
+        "tfidf_top_terms",
+    ]:
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: window funnels all rows through one partition"
+        )
+
+
+def test_column_pruning_reaches_the_scan(spark):
+    # text_token_stats touches text + n_chars only; the scan must not
+    # read lang/source.
+    plan = plan_of(spark, "text_token_stats")
+    scan_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert scan_schema, "no ReadSchema in plan"
+    assert "lang" not in scan_schema[0] and "source" not in scan_schema[0]
+
+
+def test_filter_pushdown_reaches_the_scan(spark):
+    # semi_join_customers filters orders on o_totalprice at the scan.
+    plan = plan_of(spark, "semi_join_customers")
+    assert "PushedFilters: [" in plan
+    assert plan.count("PushedFilters: []") < plan.count("PushedFilters: [")
+
+
+def test_ivf_broadcasts_centroids_and_query(spark):
+    plan = plan_of(spark, "ivf_ann_search")
+    # Centroids, probe set, and the query vector are all broadcast; the
+    # corpus is never shuffled for a nested-loop pass.
+    assert plan.count("Broadcast") >= 3
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact", "tfidf_top_terms"],
+)
+def test_no_cartesian_products_in_dedup(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
