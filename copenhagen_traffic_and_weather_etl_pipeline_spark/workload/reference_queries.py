@@ -306,6 +306,34 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_typed_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""",
+    doc="S3 typed variant: from_json with an explicit StructType (schema "
+    "enforced at parse, not per-path extraction), then aggregation over "
+    "the parsed field",
+    tags=["S3", "agg"],
+)
+def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P3: array first/last element (element_at 1 / -1 == reference [0] / [-1]).
 # ---------------------------------------------------------------------------

@@ -108,3 +108,26 @@ def test_ivf_broadcasts_centroids_and_query(spark):
 def test_no_cartesian_products_in_dedup(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_date_partitioned_table_prunes_partitions(spark, tmp_path):
+    # The fact tables are date-partitioned (SURVEY §6 scale posture); a
+    # date predicate must prune at planning time, not filter post-scan.
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import append_table
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-08-12").otherwise("2026-08-13").alias("date"),
+    )
+    path = str(tmp_path / "facts")
+    append_table(df, path, partition_by=["date"])
+
+    filtered = spark.read.parquet(path).filter(F.col("date") == "2026-08-13")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "2026-08-13" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert filtered.count() == 50
