@@ -106,12 +106,18 @@ _SHINGLE_DF_CAP = 100
     oracle=f"""
 WITH {_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
-keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_SHINGLE_DF_CAP}),
-shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+shh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh
+),
+posts AS (
+  SELECT shh, list_sort(list(doc_id)) AS docs
+  FROM shh GROUP BY shh HAVING count(*) <= {_SHINGLE_DF_CAP}
+),
+shc AS (SELECT UNNEST(docs) AS doc_id, shh FROM posts),
 sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shh = b.shh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d1, d2, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
@@ -135,8 +141,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+regex+explode four times and shuffled it three times; here the
     # explode is scanned once and pair generation happens JVM-side inside
     # each capped posting list (<= cap^2/2 structs per shingle, bounded).
+    # Shingles are keyed by their 60-bit md5 prefix (the same hash MinHash
+    # uses), not the raw string: the posting-list shuffle moves 8-byte
+    # ints instead of ~20-byte text. A hash collision would merge two
+    # shingles identically in both engines — the metric definition is
+    # "jaccard over hashed shingles" on both sides.
+    hh = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shh")
+    )
     posts = (
-        sh.groupBy("sh")
+        sh.select("doc_id", hh)
+        .groupBy("shh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= _SHINGLE_DF_CAP)
     )
