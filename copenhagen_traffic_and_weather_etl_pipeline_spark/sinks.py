@@ -31,6 +31,31 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int,
+    key_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed external table: rows are hash-clustered on ``key_cols``
+    into ``n_buckets`` files (optionally sorted within each bucket).
+
+    This is the co-located-join lever at 100 TB: two tables bucketed the
+    same way join with ZERO exchange — Catalyst sees the matching output
+    partitioning and drops the shuffle on both sides (proved in
+    tests/test_plan_quality.py). Bucket count should be sized so one
+    bucket ≈ one task's worth of data at the target scale.
+    """
+    writer = df.write.bucketBy(n_buckets, *key_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("path", path).mode("overwrite").format("parquet").saveAsTable(
+        table_name
+    )
+
+
 def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
     """S7: declarative table creation mirroring
     bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's

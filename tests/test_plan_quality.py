@@ -110,6 +110,34 @@ def test_no_cartesian_products_in_dedup(spark, name):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    # Two tables bucketed identically on the join key must join without
+    # any exchange — the defining property of co-located joins at scale.
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import write_bucketed
+
+    a = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bt_a", str(tmp_path / "bt_a"), 4, ["id"], ["id"])
+    write_bucketed(b, "bt_b", str(tmp_path / "bt_b"), 4, ["id"], ["id"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast join so the shuffle (or its absence) shows.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_a").join(spark.table("bt_b"), "id")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # no shuffle, no broadcast: co-located
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_date_partitioned_table_prunes_partitions(spark, tmp_path):
     # The fact tables are date-partitioned (SURVEY §6 scale posture); a
     # date predicate must prune at planning time, not filter post-scan.
