@@ -71,6 +71,28 @@ def latest_snapshot_join(
     return using_join(t, w, keys)
 
 
+def refresh_snapshot_pruned(
+    spark, traffic_path: str, weather_path: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Incremental snapshot refresh over date-partitioned fact tables
+    (SURVEY §6): resolve the newest date from the partition column (a
+    metadata-scale job — the scan reads no data columns), then run the
+    flagship join on ONLY that partition of each side.
+
+    The one-value ``first()`` is a planning-time literal fetch, not a
+    data collect: it's what makes the subsequent filters *static*
+    partition pruning (PartitionFilters at the scan) instead of a
+    full-history read. At 100 TB this is the difference between touching
+    one day's directory and every directory ever written.
+    """
+    latest = (
+        spark.read.parquet(traffic_path).agg(F.max("date").alias("d")).first()["d"]
+    )
+    t = spark.read.parquet(traffic_path).filter(F.col("date") == latest)
+    w = spark.read.parquet(weather_path).filter(F.col("date") == latest)
+    return latest_snapshot_join(t, w, keys)
+
+
 def latest_snapshot_join_faithful(
     traffic: DataFrame, weather: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
