@@ -323,6 +323,35 @@ def salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_custkey").agg(F.sum("_n").cast("bigint").alias("n_orders"))
 
 
+@register(
+    "salted_join_segments",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="skew-safe salted equi-join (operators/skew.py): big side salted "
+    "by whole-row hash, small side replicated per salt; aggregate result "
+    "provably identical to the plain join the oracle runs",
+    tags=["join", "skew"],
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, on=["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles (linear interpolation — identical definition in Spark's
 # percentile() and DuckDB's quantile_cont()).
