@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): retry semantics against arbitrary
+outcome sequences, and connected-components resolution against a
+union-find reference on random graphs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.dedup import (
+    keep_list,
+    resolve_clusters,
+)
+from copenhagen_traffic_and_weather_etl_pipeline_spark.sources.rest import (
+    fetch_with_retry,
+)
+
+# ---------------------------------------------------------------------------
+# fetch_with_retry: pure-Python, exhaustively fuzzable.
+# Outcomes: int -> HTTP status returned; None -> fetcher raises.
+# ---------------------------------------------------------------------------
+
+outcome = st.one_of(st.none(), st.sampled_from([200, 404, 500, 503]))
+
+
+@given(st.lists(outcome, min_size=1, max_size=6))
+def test_retry_semantics(outcomes):
+    calls = {"n": 0}
+
+    def fetcher(url):
+        i = min(calls["n"], len(outcomes) - 1)
+        calls["n"] += 1
+        o = outcomes[i]
+        if o is None:
+            raise RuntimeError("boom")
+        return o, f"body{i}"
+
+    tries = 3
+    status, payload, err = fetch_with_retry(fetcher, "u", tries=tries, delay=0)
+
+    first_success = next(
+        (i for i, o in enumerate(outcomes[:tries]) if o == 200), None
+    )
+    if first_success is not None:
+        # Stops at the FIRST 200; no further attempts.
+        assert (status, payload, err) == (200, f"body{first_success}", None)
+        assert calls["n"] == first_success + 1
+    else:
+        # All attempts exhausted; status reflects the FINAL attempt only.
+        assert payload is None and err is not None
+        assert calls["n"] == tries
+        final = outcomes[min(tries - 1, len(outcomes) - 1)]
+        assert status == (final if final is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# resolve_clusters == union-find, on random small graphs.
+# ---------------------------------------------------------------------------
+
+
+def _union_find(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Cluster id = min member id.
+    out = {}
+    for v in range(n_nodes):
+        root = find(v)
+        out[v] = min(u for u in range(n_nodes) if find(u) == root)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=15,
+            ),
+        )
+    )
+)
+def test_resolve_clusters_matches_union_find(spark, graph):
+    n, edges = graph
+    # resolve_clusters expects d1 < d2 candidate pairs.
+    pairs_data = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    if pairs_data:
+        pairs = spark.createDataFrame(pairs_data, "d1 long, d2 long")
+    else:
+        pairs = spark.createDataFrame([], "d1 long, d2 long")
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_clusters(pairs, vertices).collect()
+    }
+    assert got == _union_find(n, pairs_data)
+
+    kept = {
+        r["doc_id"] for r in keep_list(resolve_clusters(pairs, vertices))
+        .filter("keep").collect()
+    }
+    assert kept == set(_union_find(n, pairs_data).values())
