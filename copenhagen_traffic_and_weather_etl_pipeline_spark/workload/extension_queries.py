@@ -352,11 +352,11 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Dedup 4: SimHash (16-bit) from md5 nibbles — portable bit extraction via
+# Dedup 4: SimHash (32-bit) from md5 nibbles — portable bit extraction via
 # hex-char position, so Spark and DuckDB compute identical fingerprints.
 # ---------------------------------------------------------------------------
 
-_N_SIMHASH_BITS = 16
+_N_SIMHASH_BITS = 32
 
 
 def _bit_sum_sql(k: int) -> str:
@@ -368,7 +368,9 @@ def _bit_sum_sql(k: int) -> str:
     )
 
 
-def _duck_simhash_sql() -> str:
+def _duck_simhash_ctes() -> str:
+    """CTE list ending in ``fp`` (doc_id, simhash) — shared by the
+    fingerprint query and the hamming near-dup query."""
     bit_sums = ", ".join(
         f"CAST({_bit_sum_sql(k)} AS BIGINT) AS s{k}" for k in range(_N_SIMHASH_BITS)
     )
@@ -376,22 +378,24 @@ def _duck_simhash_sql() -> str:
         f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
         for k in range(_N_SIMHASH_BITS)
     )
-    return f"""
-WITH {_DUCK_WORDS_CTE},
+    return f"""{_DUCK_WORDS_CTE},
 toks AS (
   SELECT DISTINCT doc_id, w2 AS w
   FROM (SELECT doc_id, unnest(w) AS w2 FROM words)
   WHERE w2 <> ''
 ),
-s AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({val} AS BIGINT) AS simhash16 FROM s
-"""
+s AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s)"""
+
+
+def _duck_simhash_sql() -> str:
+    return f"WITH {_duck_simhash_ctes()} SELECT doc_id, simhash FROM fp"
 
 
 @register(
     "dedup_simhash",
     oracle=_duck_simhash_sql(),
-    doc="16-bit SimHash document fingerprint over distinct words; equal "
+    doc="32-bit SimHash document fingerprint over distinct words; equal "
     "fingerprints bucket near-dups (hamming-adjacent buckets at scale)",
     tags=["dedup", "simhash"],
 )
@@ -413,7 +417,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_N_SIMHASH_BITS)
         ],
     )
-    return sums.select("doc_id", val.cast("bigint").alias("simhash16"))
+    return sums.select("doc_id", val.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4b: SimHash hamming near-dup pairs. 4-bit band buckets guarantee
+# full recall at hamming <= 3 (pigeonhole: 3 flipped bits touch at most 3
+# of the 4 bands); candidates verify with bit_count(xor) — all integer
+# ops, no float thresholds.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _N_SIMHASH_BITS // _SIMHASH_BANDS
+_HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH {_duck_simhash_ctes()},
+bands AS (
+  SELECT doc_id, simhash, i AS band_idx,
+         (simhash >> ({_SIMHASH_BAND_BITS} * i)) & {(1 << _SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM fp, UNNEST(range(0, {_SIMHASH_BANDS})) AS t(i)
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+""",
+    doc=f"SimHash near-dup pairs at hamming <= {_HAMMING_MAX}: "
+    f"{_SIMHASH_BANDS}x{_SIMHASH_BAND_BITS}-bit band buckets give full "
+    "recall by pigeonhole; verification is an integer popcount — the "
+    "bucketed shape never compares all pairs",
+    tags=["dedup", "simhash"],
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dedup_simhash(spark, sf_dir)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    stack_args = ", ".join(
+        f"{i}, shiftright(simhash, {_SIMHASH_BAND_BITS * i}) & {mask}"
+        for i in range(_SIMHASH_BANDS)
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({_SIMHASH_BANDS}, {stack_args}) AS (band_idx, band_val)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
