@@ -73,6 +73,83 @@ def resolve_clusters(
     )
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(adj: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to min(N(u) ∪ {u})."""
+    mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(adj: DataFrame) -> DataFrame:
+    """For each node u over its SMALLER neighbors N<: connect
+    (N< ∪ {u}) \\ {m} to m = min(N<)."""
+    dir_e = adj.filter(F.col("v") < F.col("u"))
+    mins = dir_e.groupBy("u").agg(F.min("v").alias("m"))
+    p1 = (
+        dir_e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    p2 = mins.select("u", F.col("m").alias("v"))
+    return p1.union(p2)
+
+
+def resolve_clusters_star(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of component diameter, unlike plain
+    min-label propagation which needs diameter rounds. Each round is two
+    join+agg passes; use this over :func:`resolve_clusters` when
+    components can be chain-shaped (e.g. transitive near-dup chains at
+    web scale).
+
+    Same contract as :func:`resolve_clusters`: returns
+    (``id_col``, ``cluster_id``) with cluster id = min member, singletons
+    included.
+    """
+    edges = _symmetrize(
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        e1 = _symmetrize(_large_star(edges)).localCheckpoint()
+        e2 = _symmetrize(_small_star(e1)).localCheckpoint()
+        if e2.exceptAll(edges).isEmpty() and edges.exceptAll(e2).isEmpty():
+            edges = e2
+            break
+        edges = e2
+
+    # Converged edges form stars rooted at component minima.
+    labels = edges.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    return (
+        vertices.select(F.col(id_col).alias("node"))
+        .join(labels, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce(F.col("nbr_min"), F.col("node"))
+            ).cast("long").alias("cluster_id"),
+        )
+    )
+
+
 def keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The dedup decision: keep the cluster minimum, drop the rest."""
     return clusters.select(
@@ -82,4 +159,4 @@ def keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-__all__ = ["resolve_clusters", "keep_list"]
+__all__ = ["resolve_clusters", "resolve_clusters_star", "keep_list"]
