@@ -685,16 +685,29 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
 _PLANES = _hyperplanes()
 
 
-def _duck_ann_sql() -> str:
-    bits = " + ".join(
+def _duck_bucket_bits(col: str = "embedding") -> str:
+    return " + ".join(
         "(CASE WHEN {dot} >= 0 THEN {weight} ELSE 0 END)".format(
             dot=_DUCK_DOT.format(
-                a="embedding", b="[" + ", ".join(repr(v) for v in plane) + "]"
+                a=col, b="[" + ", ".join(repr(v) for v in plane) + "]"
             ),
             weight=1 << i,
         )
         for i, plane in enumerate(_PLANES)
     )
+
+
+def _bucket_col(col):
+    bucket = None
+    for i, plane in enumerate(_PLANES):
+        plane_col = F.expr("array(" + ", ".join(repr(v) for v in plane) + ")")
+        bit = F.when(_dot(col, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+def _duck_ann_sql() -> str:
+    bits = _duck_bucket_bits()
     return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket_id FROM embeddings"
 
 
@@ -707,14 +720,70 @@ def _duck_ann_sql() -> str:
 )
 def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    bucket = None
-    for i, plane in enumerate(_PLANES):
-        plane_col = F.expr("array(" + ", ".join(repr(v) for v in plane) + ")")
-        bit = F.when(_dot(F.col("embedding"), plane_col) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
+    return e.select("vec_id", _bucket_col(F.col("embedding")).alias("bucket_id"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, LSH-blocked (the 100 TB path). dedup_embedding_cosine
+# blocks on `label`, which only exists because the synthetic table carries
+# one; real corpora don't. Here the blocking key is the hyperplane bucket
+# itself: pairs are generated only within a bucket, so the pair space is
+# sum(|bucket|^2) instead of |corpus|^2, and the shuffle key (bucket_id)
+# is data-independent and uniformly sized by construction (random planes).
+# Recall < 1.0 by design: near-dups split across a bucket boundary are
+# missed — at scale you re-run with B rotated plane sets and union, which
+# is B linear passes, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST({_duck_bucket_bits()} AS BIGINT) AS bucket_id,
+         {_DUCK_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+)
+SELECT v1, v2, bucket_id, cosine FROM (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.bucket_id,
+         round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cosine
+  FROM e a JOIN e b ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+) t
+WHERE cosine >= 0.4
+""",
+    doc="embedding-cosine near-dup pairs blocked by the hyperplane LSH "
+    "bucket (no label needed): equi-join on bucket_id bounds the pair "
+    "space to sum(|bucket|^2); rounded before thresholding",
+    tags=["dedup", "embedding", "lsh"],
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket_id"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        bucket = bit if bucket is None else bucket + bit
-    return e.select("vec_id", bucket.cast("bigint").alias("bucket_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.bucket_id").alias("bucket_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
 
 
 # ---------------------------------------------------------------------------
