@@ -507,3 +507,188 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: ranking windows, GROUPING SETS, unpivot, filtered
+# aggregates, regexp extraction, and moment statistics. Each is a single
+# shuffle (or shuffle-free projection) — nothing here degrades at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS prank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="rank / dense_rank / ntile(4) / percent_rank per customer ordered "
+    "by price (unique o_orderkey tiebreak; partitioned window only)",
+    tags=["window", "rank"],
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="explicit GROUPING SETS (flag), (status), () — the general form "
+    "behind rollup/cube; one shuffle computes all three groupings",
+    tags=["agg", "grouping-sets"],
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, round(l_quantity, 6) AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 6)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 6)
+FROM lineitem
+""",
+    doc="unpivot (melt) three measure columns into (metric, value) long "
+    "form — narrow Expand node, no shuffle; the long form is what feature "
+    "stores and metric sinks ingest",
+    tags=["reshape", "unpivot"],
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("quantity"),
+        F.round("l_extendedprice", 6).alias("extendedprice"),
+        F.round("l_discount", 6).alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "conditional_agg_priorities",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2)
+         AS finished_revenue,
+       round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 4)
+         AS open_avg
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="filtered aggregates (count_if / sum-where / avg-where) per "
+    "priority — all computed in one map-side partial agg pass",
+    tags=["agg", "conditional"],
+)
+def conditional_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("finished_revenue"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("open_avg"),
+    )
+
+
+@register(
+    "regexp_extract_types",
+    oracle="""
+SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY 1
+""",
+    doc="regexp_extract of the leading token of p_type, grouped — regex "
+    "runs inside codegen, one hash agg",
+    tags=["text", "regex"],
+)
+def regexp_extract_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+            "p_retailprice",
+        )
+        .groupBy("type_head")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "stats_moments_orders",
+    oracle="""
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 4) AS sd_price,
+       round(var_samp(o_totalprice), 2) AS var_price,
+       round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS price_cust_corr
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="sample stddev/variance and Pearson correlation per status — "
+    "single-pass mergeable moment sketches (rounded: the engines' "
+    "accumulation orders differ in final ulps)",
+    tags=["agg", "stats"],
+)
+def stats_moments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(
+            F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4
+        ).alias("price_cust_corr"),
+    )
