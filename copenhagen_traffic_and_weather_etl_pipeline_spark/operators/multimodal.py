@@ -131,6 +131,48 @@ def byte_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(extract, BYTE_FEATURES_SCHEMA)
 
 
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    header_bytes: int = 4,
+    frame_bytes: int = 16,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: treat the bytes after the
+    container header as fixed-size frames and keep every ``stride``-th
+    one. The fan-out is ``explode(sequence(...))`` + a dynamic
+    ``substr`` — entirely JVM-side, no Python worker, so at 100 TB the
+    sampling stage is a narrow codegen'd projection whose output is
+    ``1/stride`` of the input bytes *before* any decoder runs.
+
+    Emits (doc_id, frame_idx, frame_digest, n_frames); the digest is md5
+    over the frame's uppercase hex (same oracle-friendly convention as
+    :func:`binary_metadata`). Trailing partial frames are dropped.
+    """
+    bin_c = F.col(payload_col)
+    n_frames = F.floor((F.length(bin_c) - header_bytes) / F.lit(frame_bytes)).cast(
+        "bigint"
+    )
+    with_n = df.select("doc_id", payload_col).withColumn("n_frames", n_frames)
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(stride).cast("bigint"))
+    )
+    frame = bin_c.substr(
+        (F.col("frame_idx") * frame_bytes + header_bytes + 1).cast("int"),
+        F.lit(frame_bytes),
+    )
+    return (
+        with_n.filter(F.col("n_frames") > 0)
+        .withColumn("frame_idx", idx)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(F.hex(frame).cast("binary")).alias("frame_digest"),
+            "n_frames",
+        )
+    )
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode stub — the real implementation needs an image codec (PIL /
     opencv), which this container does not ship. The signature and batch
@@ -149,6 +191,7 @@ __all__ = [
     "binary_metadata",
     "binary_dedup",
     "byte_features",
+    "frame_sample",
     "decode_image_batch",
     "BYTE_FEATURES_SCHEMA",
 ]

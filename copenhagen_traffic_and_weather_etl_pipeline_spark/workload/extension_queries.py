@@ -1048,6 +1048,37 @@ def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_dedup(synthesize_binary_docs(load(spark, sf_dir, "documents")))
 
 
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH {_DUCK_BIN_CTE},
+f AS (
+  SELECT doc_id, hx,
+         CAST(floor((n_bytes - 4) / 16.0) AS BIGINT) AS n_frames
+  FROM b
+),
+g AS (
+  SELECT doc_id, hx, n_frames,
+         unnest(range(0, n_frames, 4)) AS i
+  FROM f WHERE n_frames > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substr(hx, CAST(9 + i * 32 AS INT), 32)) AS frame_digest,
+       n_frames
+FROM g
+""",
+    doc="video-style frame sampling: every 4th 16-byte frame after the "
+    "container header via explode(sequence) + dynamic substr — JVM-side "
+    "fan-out that cuts bytes to 1/stride BEFORE any decoder "
+    "(operators/multimodal.py frame_sample)",
+    tags=["multimodal", "sampling"],
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample, synthesize_binary_docs
+
+    return frame_sample(synthesize_binary_docs(load(spark, sf_dir, "documents")))
+
+
 # No oracle: byte-level feature extraction over binary payloads is the
 # pandas-UDF decode path (SQL can't iterate bytes); the driver records the
 # rows-only check and pytest asserts exact values on fixed payloads.

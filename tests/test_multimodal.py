@@ -14,6 +14,7 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.multimodal impo
     binary_metadata,
     byte_features,
     decode_image_batch,
+    frame_sample,
     synthesize_binary_docs,
 )
 
@@ -57,6 +58,26 @@ def test_byte_features_exact_values(spark):
     assert row["max_byte"] == 0xFF
     assert abs(row["mean_byte"] - sum(payload) / len(payload)) < 1e-12
     assert row["header_hex"] == "FFD8FFE0"
+
+
+def test_frame_sample_exact_frames(spark):
+    # 9 full 16-byte frames after the 4-byte header; stride 4 keeps 0, 4, 8.
+    text = "x" * (16 * 9 + 7)  # +7 trailing partial frame, dropped
+    docs = spark.createDataFrame([(0, text)], DOCS_SCHEMA)  # 0 -> png magic
+    rows = frame_sample(synthesize_binary_docs(docs)).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 4, 8]
+    assert all(r["n_frames"] == 9 for r in rows)
+    payload = bytes.fromhex("89504E47") + text.encode()
+    for r in rows:
+        frame = payload[4 + r["frame_idx"] * 16 : 4 + r["frame_idx"] * 16 + 16]
+        assert r["frame_digest"] == hashlib.md5(
+            frame.hex().upper().encode()
+        ).hexdigest()
+
+
+def test_frame_sample_drops_short_payloads(spark):
+    docs = spark.createDataFrame([(0, "tiny")], DOCS_SCHEMA)  # < 1 frame
+    assert frame_sample(synthesize_binary_docs(docs)).count() == 0
 
 
 def test_decode_stub_contract():
