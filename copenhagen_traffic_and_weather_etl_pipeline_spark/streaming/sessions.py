@@ -68,6 +68,21 @@ def session_window_stats(
     )
 
 
+def streaming_dedup(stream_df: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on ``event_id`` — the streaming sibling of
+    the batch ``dedup_exact`` query, required in front of any
+    at-least-once source (Kafka redelivery, Pub/Sub retries).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the watermark passes the key's event time, so state is
+    bounded by (arrival rate x watermark), never by stream length —
+    a plain ``dropDuplicates`` on a stream would grow state forever.
+    """
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 _TOTALS_STATE_SCHEMA = "n_events bigint, total_value double"
 _TOTALS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
@@ -102,4 +117,5 @@ __all__ = [
     "read_event_stream",
     "session_window_stats",
     "stateful_user_totals",
+    "streaming_dedup",
 ]

@@ -10,6 +10,7 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.streaming.sessions import
     read_event_stream,
     session_window_stats,
     stateful_user_totals,
+    streaming_dedup,
 )
 
 
@@ -63,6 +64,44 @@ def test_session_window_merges_and_splits(spark, tmp_path):
         (1, 2, 3.0),  # the merged 09:00+09:10 session
         (2, 1, 8.0),
     ]
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    input_dir = tmp_path / "events"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt_dedup"
+    # Batch 2 redelivers event_id 1 (at-least-once source); it must be
+    # dropped while the genuinely new event 3 passes.
+    _write_events(
+        input_dir,
+        "batch1.json",
+        [
+            (1, "2026-08-12T09:00:00.000Z", 1, "click", 1.0),
+            (2, "2026-08-12T09:01:00.000Z", 2, "view", 2.0),
+        ],
+    )
+    _write_events(
+        input_dir,
+        "batch2.json",
+        [
+            (1, "2026-08-12T09:00:00.000Z", 1, "click", 1.0),
+            (3, "2026-08-12T09:05:00.000Z", 1, "view", 4.0),
+        ],
+    )
+    stream = read_event_stream(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r.event_id for r in rows] == [1, 2, 3]
 
 
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
