@@ -692,3 +692,106 @@ def stats_moments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4
         ).alias("price_cust_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: the "describe my table" pass every ingest runs before
+# training. Histogram binning is width_bucket (fixed bounds, so bins are
+# stable across engines); the profile is one pass of mergeable aggregates
+# per column — at 100 TB both are a single map-side-partial shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_prices",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""",
+    doc="fixed-width histogram of order prices (50k bins, explicit floor "
+    "arithmetic so both engines share the bin edges) — one hash agg",
+    tags=["profiling", "histogram"],
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "profile_customer",
+    oracle="""
+SELECT 'c_acctbal' AS col, count(*) AS n_rows,
+       count(c_acctbal) AS n_nonnull,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+       round(min(c_acctbal), 4) AS min_v, round(max(c_acctbal), 4) AS max_v,
+       round(avg(c_acctbal), 4) AS mean_v
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(c_nationkey),
+       CAST(count(DISTINCT c_nationkey) AS BIGINT),
+       round(min(c_nationkey), 4), round(max(c_nationkey), 4),
+       round(avg(c_nationkey), 4)
+FROM customer
+""",
+    doc="column profile (null count, distinct, min/max/mean) for numeric "
+    "columns in one scan each — the pre-training data-quality gate",
+    tags=["profiling"],
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def prof(col: str) -> DataFrame:
+        return c.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+            F.round(F.min(col), 4).alias("min_v"),
+            F.round(F.max(col), 4).alias("max_v"),
+            F.round(F.avg(col), 4).alias("mean_v"),
+        )
+
+    return prof("c_acctbal").unionAll(prof("c_nationkey"))
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g') AS norm_text,
+       md5(regexp_replace(
+         regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g')) AS norm_digest
+FROM documents
+""",
+    doc="canonical text normalization (lowercase, strip non-alnum, "
+    "collapse whitespace) + digest — the narrow pre-dedup cleanup pass; "
+    "pure codegen, no shuffle",
+    tags=["text", "normalize"],
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", " "),
+        " +",
+        " ",
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm.cast("binary")).alias("norm_digest")
+    )
