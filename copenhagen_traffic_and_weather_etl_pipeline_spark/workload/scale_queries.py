@@ -795,3 +795,95 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.md5(norm.cast("binary")).alias("norm_digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative algorithm: Lloyd's k-means over the embedding column
+# (operators/clustering.py). The driver holds only the k x dim model;
+# data-side work per iteration is one narrow assignment projection plus
+# one shuffle bounded by k*dim groups. The oracle is the SAME recipe
+# unrolled to 3 iterations of SQL CTEs — an exact value check for an
+# iterative algorithm, possible because every comparison input is
+# rounded identically in both engines.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+_EMB_DIM = 64
+
+
+def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    rng = f"range(1, {_EMB_DIM + 1})"
+    dist = (
+        f"round(list_sum(list_transform({rng}, "
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))), 6)"
+    )
+    parts = [
+        "WITH pts AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "),",
+        "c0 AS (",
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,",
+        "         list_transform(v, x -> round(x, 6)) AS cv",
+        f"  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})",
+        "),",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"a{it} AS (",
+            f"  SELECT p.vec_id, p.v, c.cid, {dist} AS d",
+            f"  FROM pts p CROSS JOIN {prev} c",
+            "),",
+            f"s{it} AS (",
+            "  SELECT vec_id, v, cid AS cluster FROM (",
+            "    SELECT vec_id, v, cid,",
+            "           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
+            f"    FROM a{it}",
+            "  ) WHERE rn = 1",
+            "),",
+            f"m{it} AS (",
+            "  SELECT cluster AS cid, i, round(avg(v[i]), 6) AS m",
+            f"  FROM s{it}, UNNEST({rng}) AS t(i)",
+            "  GROUP BY cluster, i",
+            "),",
+            f"c{it} AS (",
+            f"  SELECT {prev}.cid,",
+            f"         coalesce(n.cv, {prev}.cv) AS cv",
+            f"  FROM {prev} LEFT JOIN (",
+            f"    SELECT cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY cid",
+            "  ) n USING (cid)",
+            "),",
+        ]
+    parts += [
+        "fin AS (",
+        f"  SELECT p.vec_id, c.cid, {dist} AS d",
+        f"  FROM pts p CROSS JOIN c{iters} c",
+        ")",
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(d, 4) AS dist FROM (",
+        "  SELECT vec_id, cid, d,",
+        "         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
+        "  FROM fin",
+        ") WHERE rn = 1",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_duck_kmeans_sql(),
+    doc="Lloyd's k-means (k=4, 3 iterations) over embeddings: per-iteration "
+    "assignment is a codegen'd projection against driver-held centroids "
+    "(model-sized, k*dim — the only collects), update is one k*dim-bounded "
+    "shuffle; oracle = the identical recipe unrolled in SQL",
+    tags=["clustering", "iterative"],
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_clusters, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    return assign_clusters(e, centroids).select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    )
