@@ -887,3 +887,110 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(e, centroids).select(
         "vec_id", "cluster", F.round("dist", 4).alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse staples: SCD2-style validity intervals, top-N per group,
+# deterministic array aggregation, and hash-based sampling. Each is one
+# partitioned window or one hash agg — standard scale-safe shapes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+       CASE WHEN lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+    doc="SCD2 interval construction: each event's validity ends where the "
+    "next begins (lead over a per-key window); the open-ended row is "
+    "flagged current — the standard change-capture materialization",
+    tags=["window", "scd2"],
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "topn_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="top-3 orders per customer: row_number over a per-key window + "
+    "filter — per-partition sort only, never a global one",
+    tags=["window", "topn"],
+)
+def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "array_agg_orderkeys",
+    oracle="""
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+    doc="deterministic array aggregation: collect_list is order-unstable "
+    "under parallel merge, so the result is sort_array'd — the only way "
+    "an array agg can be reproducible across engines and runs",
+    tags=["agg", "array"],
+)
+def array_agg_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "hash_sample_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5
+""",
+    doc="deterministic 5% Bernoulli sample keyed on md5(o_orderkey) — "
+    "reproducible across engines/runs/partitionings, unlike rand(); "
+    "pushes down as a plain filter, no shuffle",
+    tags=["sampling"],
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return o.filter(bucket < 5).select("o_orderkey", "o_custkey", "o_totalprice")
