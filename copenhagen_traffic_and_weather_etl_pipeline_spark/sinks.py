@@ -56,6 +56,45 @@ def write_bucketed(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``target_files`` files, optionally range-sorted on ``sort_col``.
+
+    Hourly appends (the reference lands a batch every tick) accumulate
+    files far smaller than one HDFS/S3 block; at 100 TB the resulting
+    per-file open/seek overhead dominates scan time. Compaction is the
+    standing maintenance job: ``repartitionByRange(sort_col)`` (or a
+    plain round-robin ``repartition``) re-clusters rows so parquet
+    row-group min/max stats become disjoint and time filters skip whole
+    files. Writes to a temp dir first, then swaps — readers never see a
+    half-written table. Returns the number of data files written.
+    """
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(target_files)
+
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    tmp = str(Path(path).with_name(Path(path).name + f"_compact_{uuid.uuid4().hex[:8]}"))
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return sum(
+        1 for p in Path(path).iterdir() if p.name.endswith(".parquet")
+    )
+
+
 def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
     """S7: declarative table creation mirroring
     bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's

@@ -994,3 +994,29 @@ def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return o.filter(bucket < 5).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "percentile_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="exact grouped percentiles (linear interpolation — identical "
+    "definition in Spark percentile() and DuckDB quantile_cont); per-group "
+    "sort is bounded by group size, and the approx_percentile sketch is "
+    "the drop-in at 100 TB",
+    tags=["agg", "percentile"],
+)
+def percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )

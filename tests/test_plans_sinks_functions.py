@@ -14,6 +14,7 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.plans import Pipeline, Ru
 from copenhagen_traffic_and_weather_etl_pipeline_spark.schemas import TRAFFIC_SCHEMA
 from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
     append_table,
+    compact_table,
     create_table_ddl,
 )
 
@@ -66,3 +67,41 @@ def test_decode_pubsub_payload(spark):
     )
     got = df.select(decode_pubsub_payload("payload").alias("decoded")).first()
     assert got["decoded"] == msg
+
+
+def test_compact_table_reduces_files_and_enables_skipping(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    path = str(tmp_path / "events_tbl")
+    src = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    # Two fragmented appends -> many sub-block files.
+    src.repartition(16).write.mode("append").parquet(path)
+    src.repartition(16).write.mode("append").parquet(path)
+    n_before = sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
+    assert n_before >= 32
+
+    n_after = compact_table(spark, path, target_files=4, sort_col="k")
+    assert n_after <= 4
+
+    # Content survives the rewrite exactly.
+    out = spark.read.parquet(path)
+    assert out.count() == 20000
+    assert out.agg(F.sum("k")).collect()[0][0] == 2 * sum(range(10000))
+
+    # Range-sorted files have disjoint k-ranges -> a point/range filter
+    # can skip every other file on parquet min/max stats alone.
+    ranges = []
+    for p in sorted(Path(path).iterdir()):
+        if not p.name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(str(p)).metadata
+        stats = [
+            md.row_group(i).column(0).statistics for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
