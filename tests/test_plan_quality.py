@@ -103,11 +103,44 @@ def test_ivf_broadcasts_centroids_and_query(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact", "tfidf_top_terms"],
+    [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "tfidf_top_terms",
+        "dedup_embedding_lsh",
+    ],
 )
 def test_no_cartesian_products_in_dedup(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_frame_sample_is_narrow_no_shuffle_no_python(spark):
+    # Frame sampling must stay a codegen'd Generate (explode) over the
+    # scan: any Exchange or Python worker here would serialize the full
+    # payload bytes before sampling cut them down.
+    plan = plan_of(spark, "mm_frame_sample")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_grouping_sets_is_one_expand_one_shuffle(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    # All grouping sets ride a single exchange (partial + final agg).
+    # Count nodes in the plan tree, not the detail sections that repeat
+    # each node's name.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_topn_per_group_has_window_group_limit(spark):
+    # Spark 3.5+ pushes rn <= k into WindowGroupLimit: each partition
+    # keeps only k rows per key BEFORE the full window sort output.
+    plan = plan_of(spark, "topn_orders_per_customer")
+    assert "WindowGroupLimit" in plan
 
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
