@@ -56,9 +56,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the full surface
+    is reachable from plain ``spark.sql`` — the interface the reference's
+    consumers already speak (its one real query is a BigQuery scheduled
+    SQL statement, 2_featured_tables_creation.sql). Views are lazy: no
+    scan happens until a query touches one."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 # Importing the modules populates REGISTRY.
 from . import reference_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "QuerySpec", "register", "load"]
+__all__ = ["REGISTRY", "QuerySpec", "register", "load", "register_views", "TABLES"]
