@@ -142,3 +142,85 @@ def test_star_resolution_on_long_chain(spark):
         for r in resolve_clusters_star(pairs, vertices).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# k-means invariant: whatever centroids kmeans_fit returns, every point's
+# assignment is the argmin of (rounded) squared distance, lowest cid on
+# ties — checked against a pure-Python reference.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            st.floats(-10, 10, allow_nan=False, width=32),
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_kmeans_assignment_is_nearest_centroid(spark, points):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = min(2, len(rows))
+    centroids = kmeans_fit(df, k=k, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, centroids).collect()}
+
+    import numpy as np
+
+    for i, vec in rows:
+        # float32 storage round-trip, then the operator's rounded-distance
+        # argmin with lowest-cid tiebreak.
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        dists = [
+            round(float(((v - np.asarray(c)) ** 2).sum()), 6) for c in centroids
+        ]
+        expect = min(range(k), key=lambda cid: (dists[cid], cid))
+        assert got[i] == expect, (i, dists, got[i])
+
+
+# ---------------------------------------------------------------------------
+# frame_sample matches a pure-Python reference for arbitrary payload sizes
+# (partial trailing frames dropped, stride-4 indices, exact digests).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(min_value=0, max_value=200))
+def test_frame_sample_matches_reference(spark, n_chars):
+    import hashlib
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_binary_docs,
+    )
+
+    text = "a" * n_chars
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = frame_sample(synthesize_binary_docs(df)).collect()
+
+    payload = bytes.fromhex("89504E47") + text.encode()
+    n_frames = (len(payload) - 4) // 16
+    expect = {
+        idx: hashlib.md5(
+            payload[4 + idx * 16 : 4 + idx * 16 + 16].hex().upper().encode()
+        ).hexdigest()
+        for idx in range(0, n_frames, 4)
+    }
+    assert {r["frame_idx"]: r["frame_digest"] for r in rows} == expect
