@@ -145,3 +145,68 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
         "FROM user_totals GROUP BY user_id ORDER BY user_id"
     ).collect()
     assert [(r.user_id, r.n, r.tot) for r in rows] == [(1, 3, 7.0), (2, 1, 5.0)]
+
+
+def test_watermark_drops_late_events_across_restart(spark, tmp_path):
+    """Late-data semantics, end to end: the watermark persisted in the
+    checkpoint must drop an event that arrives after its window closed,
+    while still processing fresh events in the same batch."""
+    from pyspark.sql import functions as F
+
+    input_dir = tmp_path / "events"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt_late"
+    out_dir = str(tmp_path / "late_out")
+
+    def run_available():
+        # File sink (memory sink cannot recover from a checkpoint).
+        stream = read_event_stream(spark, str(input_dir))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        return {
+            str(r["win_start"]): r["n"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # Run 1: events at 09:00 and 13:00 -> watermark lands at 12:00, the
+    # 09:00 window closes and is emitted; the 13:00 window stays open.
+    _write_events(
+        input_dir,
+        "batch1.json",
+        [
+            (1, "2026-08-12T09:00:00.000Z", 1, "click", 1.0),
+            (2, "2026-08-12T13:00:00.000Z", 1, "click", 1.0),
+        ],
+    )
+    run_available()
+    assert read_out() == {"2026-08-12 09:00:00": 1}
+
+    # Run 2 (restart from checkpoint, watermark=12:00): a 09:30 straggler
+    # must be DROPPED; the 16:00 event advances the watermark to 15:00,
+    # closing and emitting the 13:00 window with n=1 — not 2 (the late
+    # row didn't leak in), and no resurrected 09:00 window.
+    _write_events(
+        input_dir,
+        "batch2.json",
+        [
+            (3, "2026-08-12T09:30:00.000Z", 1, "late", 1.0),
+            (4, "2026-08-12T16:00:00.000Z", 1, "click", 1.0),
+        ],
+    )
+    run_available()
+    assert read_out() == {"2026-08-12 09:00:00": 1, "2026-08-12 13:00:00": 1}
