@@ -1168,3 +1168,61 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 7: edit-distance (Levenshtein) near-dup pairs. The third fuzzy
+# family next to token-set (Jaccard/MinHash) and bit-signature (SimHash):
+# catches single-character edits that shingle sets smear out. Cost is
+# bounded two ways: pairs only within a first-2-words block (same
+# linear-ish blocking as the embedding variants), and the distance runs
+# on an 80-char prefix so the DP matrix is O(80^2) per pair, not
+# O(|doc|^2).
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 80
+_LEV_MAX = 20
+
+
+@register(
+    "dedup_levenshtein",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         array_to_string(string_split(norm, ' ')[1:2], ' ') AS blk,
+         substr(norm, 1, {_LEV_PREFIX}) AS pfx
+  FROM n
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+""",
+    doc="Levenshtein near-dup pairs blocked by the first two words, "
+    "distance on an 80-char prefix (bounded DP cost; integer distance "
+    "is exact cross-engine — no float rounding needed)",
+    tags=["dedup", "levenshtein"],
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("blk"),
+        F.substring(norm, 1, _LEV_PREFIX).alias("pfx"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+    )

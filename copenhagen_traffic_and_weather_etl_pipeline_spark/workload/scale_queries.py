@@ -1020,3 +1020,43 @@ def percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "daily_counts_gapfilled",
+    oracle="""
+WITH bounds AS (
+  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+         max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi
+  FROM events
+), cal AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), d AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT cal.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+FROM cal LEFT JOIN d ON cal.day = d.day
+""",
+    doc="calendar gap-filling: explode sequence(min_date, max_date) into "
+    "a spine, left-join daily counts, zero-fill — the dense time series "
+    "dashboards and forecasters need; the spine is generated, never "
+    "materialized as input",
+    tags=["temporal", "gapfill"],
+)
+def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cal = (
+        e.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    return (
+        cal.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
+    )
