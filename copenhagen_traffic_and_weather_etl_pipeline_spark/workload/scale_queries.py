@@ -1060,3 +1060,50 @@ def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal.join(daily, "day", "left")
         .select("day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "set_intersect_all_keys",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="bag-semantics INTERSECT ALL (duplicate-preserving, unlike the "
+    "set-semantics intersect entry): compiles to a count-balanced "
+    "aggregate join, one shuffle per side",
+    tags=["setop"],
+)
+def set_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersectAll(finished_keys)
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_value_seen,
+       last_value(value) OVER (PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_value_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+    doc="first_value / last_value per user (last over the FULL frame — "
+    "the default running frame is the classic last_value footgun)",
+    tags=["window"],
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w_full).alias("last_value_seen"),
+    )
