@@ -1226,3 +1226,128 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning 2: PII redaction and dynamic hot-word stripping — the
+# C4/CCNet-style scrub passes a crawl corpus goes through before
+# training. The corpus tables carry no real PII, so the scrub query
+# injects a deterministic email+phone per doc first; the redaction
+# regexes and counts then verify end to end in both engines.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{2} [0-9]{8}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +45 ' ||
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM raw
+""",
+    doc="PII redaction: email+phone regex counts and [EMAIL]/[PHONE] "
+    "replacement (patterns restricted to syntax Java regex and RE2 "
+    "treat identically); narrow codegen'd projection, no shuffle",
+    tags=["text", "pii"],
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +45 "),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+# Hot-word cap: words appearing in more than this fraction of documents
+# are "dynamic stopwords" (boilerplate vocabulary) and get stripped.
+_HOTWORD_DOC_FRAC = 0.5
+
+
+@register(
+    "text_strip_hotwords",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+df AS (
+  SELECT word, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY word
+),
+total AS (SELECT count(*) AS n FROM documents),
+hot AS (
+  SELECT word FROM df, total WHERE n_docs * 1.0 / n > {_HOTWORD_DOC_FRAC}
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word FROM tok t
+  WHERE t.word NOT IN (SELECT word FROM hot)
+)
+SELECT d.doc_id,
+       coalesce(k.txt, '') AS cleaned_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k ON d.doc_id = k.doc_id
+""",
+    doc="dynamic stopword discovery + strip: words in > 50% of documents "
+    "are corpus boilerplate; tokens survive via broadcast anti-join on "
+    "the (tiny, high-df) hot list and re-concatenate in position order — "
+    "document frequency, not a static list, decides what is noise",
+    tags=["text", "boilerplate"],
+)
+def text_strip_hotwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_words_col()).alias("pos", "word")
+    )
+    # Corpus size as a broadcast 1-row aggregate (same shape as the
+    # flagship's scalar subquery) — no eager driver action in the plan.
+    total = d.agg(F.count("*").alias("n_total"))
+    hot = (
+        tok.groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") > _HOTWORD_DOC_FRAC * F.col("n_total"))
+        .select("word")
+    )
+    kept = tok.join(F.broadcast(hot), "word", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"])
+        ).alias("txt"),
+        F.count("*").alias("n_kept"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("txt", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
