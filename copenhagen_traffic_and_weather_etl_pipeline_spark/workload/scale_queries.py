@@ -1107,3 +1107,43 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_value_seen"),
         F.last("value").over(w_full).alias("last_value_seen"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(CASE WHEN regexp_matches(s, 'view.*click.*purchase') THEN 1 ELSE 0 END
+            AS BIGINT) AS converted
+FROM seq
+""",
+    doc="funnel analysis: did view -> click -> purchase happen in order "
+    "per user? Event sequence built with a deterministic ordered "
+    "aggregation (ts + event_id tiebreak), subsequence matched by regex "
+    "— one shuffle on user_id, sequence length bounded per key",
+    tags=["funnel", "sequence"],
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # sort_array over struct(ts, event_id, type) == ORDER BY ts, event_id.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(">", ordered).alias("s"), F.count("*").alias("n_events")
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("s").rlike("view.*click.*purchase"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted"),
+    )
