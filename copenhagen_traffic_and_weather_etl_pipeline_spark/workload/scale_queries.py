@@ -1147,3 +1147,64 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("converted"),
     )
+
+
+@register(
+    "null_safe_join_brands",
+    oracle="""
+WITH p1 AS (
+  SELECT p_partkey, nullif(p_brand, 'Brand#1') AS b, p_retailprice FROM part
+), p2 AS (
+  SELECT p_partkey, nullif(p_brand, 'Brand#1') AS b FROM part
+)
+SELECT p1.p_partkey AS k1, p2.p_partkey AS k2
+FROM p1 JOIN p2
+  ON p1.b IS NOT DISTINCT FROM p2.b AND p1.p_partkey < p2.p_partkey
+WHERE p1.b IS NULL
+""",
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantics CDC merge "
+    "keys need; still a plain hash equi-join (NULL is just another key, "
+    "which also makes a NULL-heavy column the classic skew hazard — "
+    "salt or filter the NULL block at scale)",
+    tags=["join", "nullsafe"],
+)
+def null_safe_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    masked = p.select(
+        "p_partkey", F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("b")
+    )
+    a, b = masked.alias("a"), masked.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.b").eqNullSafe(F.col("b.b"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.col("a.b").isNull())
+        .select(F.col("a.p_partkey").alias("k1"), F.col("b.p_partkey").alias("k2"))
+    )
+
+
+@register(
+    "multi_distinct_aggs",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="multiple DISTINCT aggregates in one query — Catalyst plans them "
+    "via Expand (one pass, grouped duplicate elimination), not N scans",
+    tags=["agg", "distinct"],
+)
+def multi_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.count("*").alias("n_rows"),
+    )
