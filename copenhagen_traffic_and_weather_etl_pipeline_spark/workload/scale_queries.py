@@ -1208,3 +1208,70 @@ def multi_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+WITH x AS (
+  SELECT event_id, user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+)
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+         AS hour_sum
+FROM x
+""",
+    doc="trailing-1-hour RANGE frame per user (event-time microseconds as "
+    "the numeric range key — the portable formulation of interval "
+    "frames): the time-decayed rolling feature a training pipeline "
+    "computes per entity; ties in us share a frame so no tiebreak "
+    "column is needed for determinism",
+    tags=["window", "range-frame"],
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("hour_sum"),
+    )
+
+
+@register(
+    "ratio_to_report",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY l_returnflag), 6)
+         AS share_of_flag
+FROM g
+""",
+    doc="ratio-to-report: each group's share of its parent total via an "
+    "unordered partition window over the AGGREGATED rows (window input "
+    "is group-count-sized, not row-count-sized)",
+    tags=["window", "ratio"],
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    w = W.partitionBy("l_returnflag")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share_of_flag"),
+    )
