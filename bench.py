@@ -7,7 +7,9 @@ exactly ONE JSON line:
 
 Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
-collect-to-driver or disk cost). Session startup is excluded.
+collect-to-driver or disk cost), best of 2 runs so one GC pause or
+compile hiccup can't skew a round-over-round comparison. Session
+startup is excluded.
 
 Usage: python bench.py [query ...]
 """
@@ -70,10 +72,13 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
