@@ -1275,3 +1275,25 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share_of_flag"),
     )
+
+
+@register(
+    "zscore_by_user",
+    oracle="""
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+         AS value_z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+    doc="per-entity z-score normalization ((x - mean)/sd over an "
+    "unordered partition window) — the standard feature-scaling pass "
+    "before training; one shuffle on the entity key, no Python "
+    "(applyInPandas is unnecessary when the built-in window expresses it)",
+    tags=["window", "features"],
+)
+def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return e.select("event_id", "user_id", F.round(z, 4).alias("value_z"))
