@@ -159,4 +159,150 @@ def keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-__all__ = ["resolve_clusters", "resolve_clusters_star", "keep_list"]
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH dedup: new batch vs an existing corpus INDEX.
+#
+# The batch queries (workload.extension_queries) dedup a corpus against
+# itself — an O(corpus) job you run once. An hourly ingestion must not
+# re-pair 100 TB every tick; it keeps a persistent band-bucket index
+# (doc_id, band_idx, band_key — a few rows per document) and each tick:
+#
+#   1. signatures for the NEW docs only (linear in the batch),
+#   2. batch-vs-index equi-join on (band_idx, band_key) -> corpus dups,
+#   3. batch-vs-batch band collisions -> intra-batch dups (connected
+#      components via resolve_clusters, keep lowest id),
+#   4. append the ACCEPTED docs' bucket rows to the index.
+#
+# Work per tick is O(batch + collisions), never O(corpus). Hashing here
+# is xxhash64 — the fast native path (these operators are not oracle-
+# checked; the md5 formulations in the workload registry are, see README
+# "Scale posture" on that tradeoff).
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: keeps h * (2*n_hashes+1) far below int64 even
+# under ANSI overflow checking, while 2^31 hash space makes a same-band
+# false collision ~(2^-31)^(hashes/band) — negligible.
+_MH_PRIME = (1 << 31) - 1
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): min over shingles of n_hashes permutations
+    of the shingle's xxhash64. One explode + one groupBy — linear."""
+    w = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    idx = F.sequence(F.lit(0), F.size("w") - shingle_n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("w"), (i + k + 1).cast("int"))
+                for k in range(shingle_n)
+            ],
+        ),
+    )
+    sh = (
+        docs.select(F.col(id_col), w.alias("w"))
+        .filter(F.size("w") >= shingle_n)
+        .select(id_col, F.explode(F.array_distinct(grams)).alias("sh"))
+        .select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME)).alias("h"))
+    )
+    perms = [
+        F.min(F.pmod(F.col("h") * (2 * i + 1) + i, F.lit(_MH_PRIME))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*perms)
+    return agg.select(
+        id_col, F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key): the LSH index rows — one xxhash64 per
+    signature band. Two docs share a (band_idx, band_key) iff that band
+    of their signatures matches exactly."""
+    cols = []
+    for b in range(n_bands):
+        band = F.slice(
+            F.col("sig"),
+            F.expr(f"int({b} * size(sig) / {n_bands}) + 1"),
+            F.expr(f"int(size(sig) / {n_bands})"),
+        )
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(F.concat_ws(",", F.transform(band, lambda x: x.cast("string")))).alias(
+                    "band_key"
+                ),
+            )
+        )
+    return sigs.select(
+        id_col, F.explode(F.array(*cols)).alias("bk")
+    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+
+
+def incremental_dedup(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against the corpus index AND itself.
+
+    ``index``: (band_idx, band_key) rows of all previously accepted docs
+    (extra columns allowed). Returns ``(accepted_docs, new_index_rows)``:
+    the batch rows that survive, and their bucket rows to append to the
+    index for the next tick.
+    """
+    buckets = band_buckets(minhash_signature(new_docs, id_col, text_col), id_col)
+
+    # 1. Batch-vs-corpus: any shared band bucket marks the new doc a dup.
+    corpus_dups = (
+        buckets.join(
+            index.select("band_idx", "band_key"), ["band_idx", "band_key"], "semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = buckets.join(corpus_dups, id_col, "anti")
+
+    # 2. Batch-vs-batch: band collisions among survivors -> candidate
+    # pairs -> connected components -> keep the lowest id per cluster.
+    a, b = survivors.alias("a"), survivors.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+    vertices = survivors.select(id_col).distinct()
+    keepers = (
+        keep_list(resolve_clusters(pairs, vertices, id_col=id_col), id_col=id_col)
+        .filter("keep")
+        .select(id_col)
+    )
+
+    accepted = new_docs.join(keepers, id_col, "semi")
+    new_index_rows = buckets.join(keepers, id_col, "semi")
+    return accepted, new_index_rows
+
+
+__all__ = [
+    "resolve_clusters",
+    "resolve_clusters_star",
+    "keep_list",
+    "minhash_signature",
+    "band_buckets",
+    "incremental_dedup",
+]
