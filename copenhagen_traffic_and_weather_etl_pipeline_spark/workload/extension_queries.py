@@ -1351,3 +1351,71 @@ def text_strip_hotwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("txt", F.lit("")).alias("cleaned_text"),
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text encoding: corpus vocabulary + token-id sequences. The vocab is
+# model-sized (top-K words), so the global rank over it is a vocab-sized
+# sort — the same "small model, big data" split as k-means centroids;
+# documents then encode via a broadcast join, linear in corpus size.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 1000
+
+
+@register(
+    "text_token_encode",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS token_id
+  FROM counts ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id,
+       list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM tok t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+""",
+    doc=f"vocabulary build (top-{_VOCAB_K} words by frequency, stable "
+    "count-then-word rank) + token-id encoding of every document via "
+    "broadcast join; OOV -> id 0. The only global sort is over the "
+    "model-sized vocab, never the corpus",
+    tags=["text", "encoding"],
+)
+def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(_words_col()).alias("pos", "word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    # Vocab-sized global rank: TakeOrderedAndProject bounds the sort to
+    # K rows; the row_number window then runs over K rows only.
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), "word")
+        .limit(_VOCAB_K)
+        .withColumn(
+            "token_id",
+            F.row_number()
+            .over(W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "word"))
+            .cast("bigint"),
+        )
+        .select("word", "token_id")
+    )
+    enc = tok.join(F.broadcast(vocab), "word", "left")
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.coalesce("token_id", F.lit(0)).alias("tid")))
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
