@@ -76,5 +76,6 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 from . import reference_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
+from . import training_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "load", "register_views", "TABLES"]

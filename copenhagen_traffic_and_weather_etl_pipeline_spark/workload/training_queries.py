@@ -1,0 +1,268 @@
+"""Training-corpus preparation operators: the steps between "deduped
+documents" and "token stream a trainer can consume" — sequence packing,
+deterministic sharding/shuffling, benchmark decontamination, and
+Gopher-style repetition quality gates.
+
+These extend the training-data family in ``extension_queries.py`` (dedup,
+similarity, text analysis). Same cross-engine rules apply: md5-only
+hashing, round floats BEFORE thresholds, identical aliases both sides.
+
+Scale notes (100 TB posture) are on each query; the common theme is that
+every window here is PARTITIONED (by source shard or hash shard) — no
+global ordering funnels — and the one join (decontamination) keys on a
+benchmark set that is tiny relative to the corpus, i.e. broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import load, register
+from .extension_queries import _DUCK_WORDS_CTE, _words_col, shingles
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): documents are laid end-to-end in a
+# deterministic order and cut into fixed-length training sequences. Each
+# document reports which pack (sequence index) it starts in and at what
+# token offset. This is the standard "group texts into blocks of
+# seq_len" step of LLM pre-training data prep.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+d AS (
+  SELECT doc.doc_id, doc.source, t.n_tokens,
+         sum(t.n_tokens) OVER (PARTITION BY doc.source ORDER BY doc.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tokens
+           AS cum_before
+  FROM documents doc JOIN toks t ON doc.doc_id = t.doc_id
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {_SEQ_LEN} AS BIGINT) AS pack_id,
+       CAST(cum_before % {_SEQ_LEN} AS BIGINT) AS pack_offset
+FROM d
+""",
+    doc=f"concat-and-chunk sequence packing: per-source token stream in "
+    f"doc_id order cut into {_SEQ_LEN}-token packs; each doc gets its pack "
+    "index and token offset. Window is partitioned by source shard — at "
+    "100 TB each shard packs independently (embarrassingly parallel), no "
+    "global ordering",
+    tags=["training", "window"],
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.size(_words_col()).alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
+    return toks.withColumn("cum_before", cum_before).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cum_before div {_SEQ_LEN}").alias("pack_id"),
+        (F.col("cum_before") % _SEQ_LEN).cast("long").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle + sharding: training wants the corpus in a
+# pseudo-random but REPRODUCIBLE order. Hash each doc with a seed, take
+# the first hex nibble as the shard (16 shards), and rank within the
+# shard by the full hash. Re-running with the same seed reproduces the
+# exact order; changing the seed is a fresh epoch-level shuffle.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "epoch0"
+
+
+@register(
+    "shuffle_shards_deterministic",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+)
+SELECT doc_id, CAST('0x' || substr(hk, 1, 1) AS INT) AS shard,
+       row_number() OVER (PARTITION BY CAST('0x' || substr(hk, 1, 1) AS INT)
+                          ORDER BY hk, doc_id) AS pos
+FROM h
+""",
+    doc="seeded deterministic shuffle into 16 hash shards with a "
+    "reproducible position per shard (md5(seed:doc_id); first nibble = "
+    "shard, full digest = intra-shard order). Windows are per-shard — the "
+    "100 TB plan is 16-way parallel rank, never one global sort task; a "
+    "new seed string is a fresh epoch shuffle",
+    tags=["training", "window"],
+)
+def shuffle_shards_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hk = F.md5(
+        F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = F.conv(F.substring(F.col("hk"), 1, 1), 16, 10).cast("int").alias("shard")
+    win = W.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        d.select("doc_id", hk.alias("hk"))
+        .select("doc_id", "hk", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(win).alias("pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing too many
+# word-3-gram shingles with a held-out benchmark set (here: source =
+# 'src0' plays the benchmark). The standard n-gram-overlap test-set
+# decontamination step of corpus prep.
+# ---------------------------------------------------------------------------
+
+_BENCH_SOURCE = "src0"
+_CONTAM_MIN_SHINGLES = 5
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+       FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+bench AS (
+  SELECT DISTINCT sh.sh FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+  WHERE d.source = '{_BENCH_SOURCE}'
+),
+train AS (
+  SELECT sh.doc_id, sh.sh FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+  WHERE d.source <> '{_BENCH_SOURCE}'
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM train t JOIN bench b ON t.sh = b.sh
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_overlap FROM hits
+WHERE n_overlap >= {_CONTAM_MIN_SHINGLES}
+""",
+    doc=f"test-set decontamination: training docs (source != "
+    f"'{_BENCH_SOURCE}') sharing >= {_CONTAM_MIN_SHINGLES} distinct word-"
+    f"3-gram shingles with the benchmark set (source = '{_BENCH_SOURCE}'). "
+    "The benchmark shingle set is tiny relative to the corpus, so the "
+    "overlap join is explicitly broadcast — at 100 TB the corpus side "
+    "streams map-side against it, no shuffle of the big side",
+    tags=["training", "dedup"],
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
+    )
+    train = sh.filter(F.col("source") != _BENCH_SOURCE).select("doc_id", "sh")
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= _CONTAM_MIN_SHINGLES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality gate: fraction of tokens taken by the
+# most frequent word, duplicate-bigram fraction, and mean word length;
+# a doc passes only if every signal is under its cap. (Rahimi et al. /
+# Gopher's "repetition removal" family, re-expressed as two hash
+# aggregations — no windows, no UDFs.)
+# ---------------------------------------------------------------------------
+
+_TOP_WORD_CAP = 0.15
+_DUP_BIGRAM_CAP = 0.05
+_MEAN_WLEN_MIN, _MEAN_WLEN_MAX = 3.0, 10.0
+
+
+@register(
+    "text_repetition_quality",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT doc_id, UNNEST(w) AS word FROM words),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+uni AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
+         round(sum(c * len(word)) * 1.0 / sum(c), 6) AS mean_word_len
+  FROM wc GROUP BY doc_id
+),
+bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+bistat AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT bg) * 1.0 / count(*), 6)
+           AS dup_bigram_frac
+  FROM bi GROUP BY doc_id
+)
+SELECT u.doc_id, u.top_word_frac, b.dup_bigram_frac, u.mean_word_len,
+       CAST(u.top_word_frac <= {_TOP_WORD_CAP}
+            AND b.dup_bigram_frac <= {_DUP_BIGRAM_CAP}
+            AND u.mean_word_len BETWEEN {_MEAN_WLEN_MIN} AND {_MEAN_WLEN_MAX}
+            AS BOOLEAN) AS keep
+FROM uni u JOIN bistat b ON u.doc_id = b.doc_id
+""",
+    doc="Gopher-family repetition gate: top-word token fraction, "
+    "duplicate-bigram fraction, mean word length; keep only under-cap "
+    "docs. Two per-doc hash aggregations (word counts, bigram distinct "
+    "ratio) — map-side combinable, shuffle keyed by doc_id only, no "
+    "windows. All ratios rounded to 6 dp BEFORE the keep predicate so "
+    "both engines agree at cap boundaries",
+    tags=["training", "text"],
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words_col()).alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    uni = wc.groupBy("doc_id").agg(
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(
+            F.sum(F.col("c") * F.length("word")) * 1.0 / F.sum("c"), 6
+        ).alias("mean_word_len"),
+    )
+    w = _words_col()
+    idx = F.sequence(F.lit(0), F.size("w") - 2)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), (i + 1).cast("int")),
+            F.element_at(F.col("w"), (i + 2).cast("int")),
+        ),
+    )
+    bi = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(grams).alias("bg"))
+    )
+    bistat = bi.groupBy("doc_id").agg(
+        F.round(
+            1.0 - F.count_distinct("bg").cast("double") / F.count("*"), 6
+        ).alias("dup_bigram_frac")
+    )
+    keep = (
+        (F.col("top_word_frac") <= _TOP_WORD_CAP)
+        & (F.col("dup_bigram_frac") <= _DUP_BIGRAM_CAP)
+        & F.col("mean_word_len").between(_MEAN_WLEN_MIN, _MEAN_WLEN_MAX)
+    ).alias("keep")
+    return uni.join(bistat, "doc_id").select(
+        "doc_id", "top_word_frac", "dup_bigram_frac", "mean_word_len", keep
+    )
