@@ -137,9 +137,77 @@ def ingest_and_refresh(
     return writer.start()
 
 
+def join_traffic_weather_streams(
+    fetch_stream: DataFrame,
+    tolerance: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: the snapshot join (J1/F0) as two live
+    streams instead of batch tables.
+
+    The reference joins traffic and weather rows produced by the *same*
+    hourly tick (bigquery_scheduled_query.sql joins on date+time+geo
+    after both tables landed). Streaming-native, that is an interval
+    join: traffic and weather records for the same ``geo_key`` whose
+    event times are within ``tolerance`` of each other pair up as soon
+    as both sides arrive — no +5-min scheduler offset, no race.
+
+    Both sides are watermarked, and the join condition carries the
+    event-time range bound — the two things Spark needs to expire join
+    state. State per key is bounded by ``watermark + tolerance`` of
+    input, independent of stream length: the 100 TB/day posture is the
+    watermark, not the corpus, sizing the state store.
+    """
+    t = (
+        fetch_stream.filter(
+            (F.col("data_type") == "traffic") & F.col("error").isNull()
+        )
+        .select(
+            "geo_key",
+            "lat",
+            "lon",
+            F.col("fetched_at").alias("traffic_at"),
+            F.get_json_object("payload", "$.flowSegmentData.currentSpeed")
+            .cast("double")
+            .alias("current_speed"),
+        )
+        .withWatermark("traffic_at", watermark)
+    )
+    w = (
+        fetch_stream.filter(
+            (F.col("data_type") == "weather") & F.col("error").isNull()
+        )
+        .select(
+            F.col("geo_key").alias("w_geo_key"),
+            F.col("fetched_at").alias("weather_at"),
+            F.get_json_object("payload", "$.main.temp")
+            .cast("double")
+            .alias("temp_kelvin"),
+        )
+        .withWatermark("weather_at", watermark)
+    )
+    joined = t.join(
+        w,
+        (F.col("geo_key") == F.col("w_geo_key"))
+        & (F.col("weather_at") >= F.expr(f"traffic_at - INTERVAL {tolerance}"))
+        & (F.col("weather_at") <= F.expr(f"traffic_at + INTERVAL {tolerance}")),
+        "inner",
+    )
+    return joined.select(
+        "geo_key",
+        "lat",
+        "lon",
+        "traffic_at",
+        "weather_at",
+        "current_speed",
+        F.round(F.col("temp_kelvin") - 273.15, 2).alias("temp_celsius"),
+    )
+
+
 __all__ = [
     "FETCH_STREAM_SCHEMA",
     "read_fetch_stream",
     "hourly_window_counts",
     "ingest_and_refresh",
+    "join_traffic_weather_streams",
 ]

@@ -105,3 +105,74 @@ def test_streaming_hourly_window_watermark(spark, tmp_path):
             r = by_key[(hour, dt)]
             assert r["n_results"] == 20
             assert r["n_errors"] == 0
+
+
+def _typed_tick_records(traffic_at: str, weather_at: str) -> list[dict]:
+    """One tick where the two APIs report at DIFFERENT event times."""
+    recs = []
+    for geo_key, geo_name, lat, lon in GEO_POINTS:
+        for data_type, doc, at in [
+            ("traffic", fixtures.tomtom_doc(), traffic_at),
+            ("weather", fixtures.openweather_doc(), weather_at),
+        ]:
+            recs.append(
+                {
+                    "geo_key": geo_key,
+                    "geo_name": geo_name,
+                    "lat": lat,
+                    "lon": lon,
+                    "data_type": data_type,
+                    "status_code": 200,
+                    "payload": json.dumps(doc),
+                    "error": None,
+                    "fetched_at": at,
+                }
+            )
+    return recs
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Traffic and weather pair up iff their event times are within the
+    tolerance: tick A (weather +5 min) joins, tick B (weather +40 min)
+    does not."""
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.streaming import (
+        join_traffic_weather_streams,
+    )
+
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    (input_dir / "tickA.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in _typed_tick_records(
+                "2026-08-12T09:00:00.000Z", "2026-08-12T09:05:00.000Z"
+            )
+        )
+    )
+    (input_dir / "tickB.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in _typed_tick_records(
+                "2026-08-12T10:00:00.000Z", "2026-08-12T10:40:00.000Z"
+            )
+        )
+    )
+
+    stream = read_fetch_stream(spark, str(input_dir))
+    joined = join_traffic_weather_streams(stream, tolerance="15 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("tw_joined")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM tw_joined").collect()
+    # Only tick A's 20 geo points pair; tick B's weather is out of range.
+    assert len(rows) == 20
+    assert {str(r["traffic_at"]) for r in rows} == {"2026-08-12 09:00:00"}
+    one = rows[0]
+    assert one["current_speed"] is not None
+    assert one["temp_celsius"] is not None
