@@ -192,3 +192,32 @@ def test_date_partitioned_table_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "2026-08-13" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert filtered.count() == 50
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    # The 100 TB join pattern: fact partitioned on the join key, dim
+    # carrying the selective predicate. The partition filter must be
+    # INJECTED AT RUNTIME from the dim side (DPP) so the fact scan reads
+    # only matching partitions — a literal-only pruner can't do this.
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("string").alias("pdate"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.partitionBy("pdate").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(str(i), "hot" if i < 2 else "cold") for i in range(10)],
+        "pdate string, klass string",
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("klass") == "hot")
+    j = f.join(d, "pdate")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 2000  # 2 hot partitions x 1000 rows
