@@ -334,6 +334,38 @@ def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_open_schema_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type
+""",
+    doc="S3 open-schema variant: the third semi-structured path — "
+    "parse_json to Spark 4's VARIANT type (binary-encoded, no declared "
+    "schema) and variant_get typed extraction, vs per-path "
+    "get_json_object (json_extract) and schema-on-read from_json "
+    "(json_typed_agg). At scale VARIANT amortizes the parse: one decode "
+    "feeds any number of typed paths, and shredding keeps extraction "
+    "columnar",
+    tags=["S3", "agg", "variant"],
+)
+def variant_open_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("k").alias("n_distinct_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P3: array first/last element (element_at 1 / -1 == reference [0] / [-1]).
 # ---------------------------------------------------------------------------
