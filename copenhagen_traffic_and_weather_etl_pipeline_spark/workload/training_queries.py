@@ -266,3 +266,176 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uni.join(bistat, "doc_id").select(
         "doc_id", "top_word_frac", "dup_bigram_frac", "mean_word_len", keep
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified train/val/test split: within each language stratum,
+# rank docs by a seeded hash and cut at exact 90/5/5 boundaries. Hash
+# ranking makes the split reproducible and uncorrelated with doc_id;
+# exact cuts (not per-row coin flips) make stratum sizes deterministic.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = "split0"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= (n * 9) // 10 THEN 'train'
+            WHEN rn <= (n * 19) // 20 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+    doc="exact stratified 90/5/5 split per language: seeded-hash rank "
+    "inside each stratum, integer cut points ((n*9) div 10 — no float "
+    "boundary drift). Windows are per-stratum; at 100 TB each language "
+    "ranks in parallel and stratum sizes are exact, unlike per-row "
+    "Bernoulli splits",
+    tags=["training", "window"],
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hk = F.md5(
+        F.concat(F.lit(f"{_SPLIT_SEED}:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    ).alias("hk")
+    win = W.partitionBy("lang").orderBy("hk", "doc_id")
+    r = (
+        d.select("doc_id", "lang", hk)
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("n", F.count("*").over(W.partitionBy("lang")))
+    )
+    split = (
+        F.when(F.col("rn") <= F.expr("n * 9 div 10"), "train")
+        .when(F.col("rn") <= F.expr("n * 19 div 20"), "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return r.select("doc_id", "lang", split)
+
+
+# ---------------------------------------------------------------------------
+# Source mixture weights: compare each source's actual token share to a
+# uniform target mixture and emit the per-source sampling weight that
+# would equalize it — the "data mixing" step that decides how often a
+# trainer draws from each corpus slice.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+per_src AS (
+  SELECT d.source, count(*) AS n_docs, sum(t.n_tokens) AS n_tokens
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens,
+               count(*) AS n_sources FROM per_src)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(s.n_tokens * 1.0 / t.total_tokens, 6) AS actual_frac,
+       round((t.total_tokens * 1.0 / t.n_sources) / s.n_tokens, 6)
+         AS uniform_weight
+FROM per_src s CROSS JOIN tot t
+""",
+    doc="data-mixing weights: per-source token share vs a uniform target "
+    "mixture; uniform_weight is the resampling factor that equalizes "
+    "sources. One hash agg keyed by source + a 1-row total broadcast "
+    "cross-join (the scalar-subquery pattern) — nothing here grows with "
+    "corpus size except the first agg",
+    tags=["training", "agg"],
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(_words_col()).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
+            "actual_frac"
+        ),
+        F.round(
+            (F.col("total_tokens") * 1.0 / F.col("n_sources")) / F.col("n_tokens"),
+            6,
+        ).alias("uniform_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget subsampling: cap each source at a fixed token budget by
+# taking docs in seeded-hash order until the budget is exhausted — the
+# deterministic "down-sample the over-represented slice" step.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 600
+_BUDGET_SEED = "budget0"
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+h AS (
+  SELECT d.doc_id, d.source, t.n_tokens,
+         md5('{_BUDGET_SEED}:' || CAST(d.doc_id AS VARCHAR)) AS hk
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM h
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+""",
+    doc=f"deterministic token-budget downsampling: per source, take docs "
+    f"in seeded-hash order while the running token count stays under "
+    f"{_TOKEN_BUDGET} (a doc is kept iff it STARTS within budget, so "
+    "every source gets at least one doc). Per-source window + filter — "
+    "parallel across sources, reproducible across runs",
+    tags=["training", "window"],
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hk = F.md5(
+        F.concat(F.lit(f"{_BUDGET_SEED}:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    ).alias("hk")
+    base = d.select("doc_id", "source", F.size(_words_col()).alias("n_tokens"), hk)
+    win = (
+        W.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = base.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
