@@ -68,6 +68,10 @@ def test_windows_are_partitioned_not_global(spark):
         "latest_per_key",
         "above_customer_avg",
         "tfidf_top_terms",
+        "pack_sequences",
+        "shuffle_shards_deterministic",
+        "split_train_val_test",
+        "sample_token_budget",
     ]:
         plan = plan_of(spark, name)
         assert "Exchange SinglePartition" not in plan, (
