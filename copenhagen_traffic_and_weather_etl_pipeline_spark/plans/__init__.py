@@ -52,3 +52,22 @@ class Pipeline:
 @dataclass
 class RunStats:
     wall_seconds: float
+
+
+def with_run_metrics(df: DataFrame, **metrics) -> tuple[DataFrame, "Observation"]:
+    """O5, Catalyst-native: attach ``df.observe`` accumulators so row
+    counts / error counts ride the job itself instead of a second pass.
+
+    ``metrics`` maps metric name -> aggregate Column (e.g.
+    ``n_rows=F.count(F.lit(1)), n_errors=F.sum(...)``). Returns the
+    wrapped frame and the ``Observation``; after any action on the
+    frame, ``observation.get`` yields the metric dict. Zero extra scans,
+    zero shuffles: the observation is a wrapper node whose accumulators
+    update as partitions stream through — the only affordable way to
+    count a 100 TB write you are already doing (a separate ``count()``
+    would re-run the whole plan).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *[col.alias(k) for k, col in metrics.items()]), obs

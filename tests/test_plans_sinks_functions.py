@@ -105,3 +105,24 @@ def test_compact_table_reduces_files_and_enables_skipping(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_observe_metrics_ride_the_job(spark, tmp_path):
+    # O5 Catalyst-native: counts accumulate during the write itself —
+    # no second scan. Metrics must match the data written.
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.plans import (
+        with_run_metrics,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10 == 0).alias("is_error")
+    )
+    wrapped, obs = with_run_metrics(
+        df,
+        n_rows=F.count(F.lit(1)),
+        n_errors=F.sum(F.col("is_error").cast("long")),
+        max_id=F.max("id"),
+    )
+    wrapped.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 100, "n_errors": 10, "max_id": 99}
