@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import load, register
@@ -1418,4 +1419,124 @@ def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2b: prefix-filtering Jaccard (PPJoin-style). The capped posting-
+# list join above trades recall for boundedness (shingles in > DF_CAP
+# docs are dropped). Prefix filtering is the EXACT algorithm at scale:
+# order each doc's shingles rarest-first (global document frequency),
+# index only the first n - ceil(t*n) + 1 of them — two sets with
+# jaccard >= t MUST share a token inside these prefixes — generate
+# candidates from prefix-token collisions only, then verify exactly.
+# Hot shingles are naturally excluded: they sort LAST and never enter a
+# prefix, so no stop-token cap (and no recall loss) is needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+{_DUCK_SHINGLES_CTE},
+shc AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+dfreq AS (SELECT shh, count(*) AS df FROM shc GROUP BY shh),
+ranked AS (
+  SELECT c.doc_id, c.shh, s.n,
+         row_number() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.shh) AS rn
+  FROM shc c JOIN dfreq f ON c.shh = f.shh JOIN sizes s ON c.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, shh FROM ranked
+  WHERE rn <= n - (8 * n + 9) // 10 + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM prefix a JOIN prefix b ON a.shh = b.shh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cands c
+  JOIN shc x ON x.doc_id = c.d1
+  JOIN shc y ON y.doc_id = c.d2 AND y.shh = x.shh
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.d1 = sa.doc_id
+JOIN sizes sb ON i.d2 = sb.doc_id
+WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.8
+""",
+    doc="EXACT jaccard >= 0.8 near-dup pairs via prefix filtering "
+    "(PPJoin family): shingles ranked rarest-first per doc, candidates "
+    "only from collisions within the first n - ceil(0.8*n) + 1 tokens "
+    "(integer cut (8n+9) div 10 on both engines), then exact "
+    "verification on candidates. No stop-shingle cap and no recall "
+    "loss: hot shingles sort last and never generate candidates — the "
+    "self-join is keyed by globally-RARE tokens, the opposite of the "
+    "skew that kills naive shingle joins",
+    tags=["dedup", "jaccard"],
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hh = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shh")
+    )
+    shc = shingles(d).select("doc_id", hh)
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = shc.groupBy("shh").agg(F.count("*").alias("df"))
+    ranked = (
+        shc.join(dfreq, "shh")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "shh")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(8 * n + 9) div 10") + 1
+    ).select("doc_id", "shh")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    inter = (
+        cands.join(shc.alias("x"), F.col("x.doc_id") == F.col("d1"))
+        .join(
+            shc.alias("y"),
+            (F.col("y.doc_id") == F.col("d2"))
+            & (F.col("y.shh") == F.col("x.shh")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6
+    ).alias("jaccard")
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", jac)
+        .filter(F.col("jaccard") >= 0.8)
     )

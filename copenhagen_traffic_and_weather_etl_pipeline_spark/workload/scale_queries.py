@@ -1297,3 +1297,93 @@ def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return e.select("event_id", "user_id", F.round(z, 4).alias("value_z"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows: every event lands in length/slide overlapping
+# buckets. The tumbling query (hourly_tumbling) is the slide == length
+# special case; this is the general form Structured Streaming shares.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+hop AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (o.off) MINUTE
+           AS window_start,
+         event_type, value
+  FROM e, (SELECT UNNEST([0, 15, 30, 45]) AS off) o
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total_value
+FROM hop GROUP BY window_start, event_type
+""",
+    doc="1-hour windows sliding every 15 minutes: each event contributes "
+    "to exactly 4 overlapping buckets. Spark's window(ts, len, slide) "
+    "expands rows JVM-side then hash-aggregates — the same Expand+agg "
+    "shape GROUPING SETS uses, map-side combinable; the oracle unnests "
+    "the 4 offsets explicitly",
+    tags=["window", "temporal"],
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics: correlation / covariance between the numeric
+# event value and the JSON payload's k field — one pass, map-side
+# combinable moment accumulators (same family as stats_moments_orders).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corr_value_props",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       round(corr(value, k), 6) AS corr_vk,
+       round(covar_samp(value, k), 6) AS covar_vk,
+       round(covar_pop(value, k), 6) AS covar_pop_vk
+FROM e GROUP BY event_type
+""",
+    doc="per-type Pearson correlation and sample/population covariance "
+    "between event value and payload field k: single-pass co-moment "
+    "aggregates, no join, no window — the cheapest cross-column health "
+    "check a feature pipeline runs at any scale",
+    tags=["agg", "stats"],
+)
+def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+        F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
+        F.round(F.covar_pop("value", "k"), 6).alias("covar_pop_vk"),
+    )
