@@ -95,6 +95,64 @@ def compact_table(
     )
 
 
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two bucketed integer columns —
+    the multi-dimensional clustering key Spark has no built-in for.
+
+    Range-sorting on ONE column makes that column's row-group min/max
+    disjoint but leaves every other column's stats spanning the full
+    domain (no skipping). Interleaving the bits of two columns gives a
+    single sort key whose locality is shared: a range of Z values maps
+    to a bounded rectangle in (c1, c2) space, so BOTH columns' min/max
+    per file shrink to ~sqrt(files) of the domain — predicates on either
+    column skip files. Inputs must already be integers in
+    [0, 2**bits); pure shift/or/and expressions, fully codegen'd.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(b1, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(b2, 2 * i)
+        )
+    return key
+
+
+def compact_table_zorder(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    col1: str,
+    col2: str,
+    bits: int = 16,
+) -> int:
+    """``compact_table`` variant clustered on the Z-order key of two
+    columns: same atomic temp-dir swap, but files become rectangles in
+    (col1, col2) space instead of stripes in one dimension."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    zk = zorder_key(F.col(col1), F.col(col2), bits).alias("__zk")
+    out = (
+        df.withColumn("__zk", zk)
+        .repartitionByRange(target_files, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+    )
+
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    tmp = str(Path(path).with_name(Path(path).name + f"_zorder_{uuid.uuid4().hex[:8]}"))
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
+
+
 def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
     """S7: declarative table creation mirroring
     bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's

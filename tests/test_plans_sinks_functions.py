@@ -126,3 +126,63 @@ def test_observe_metrics_ride_the_job(spark, tmp_path):
     wrapped.write.mode("overwrite").parquet(str(tmp_path / "out"))
     got = obs.get
     assert got == {"n_rows": 100, "n_errors": 10, "max_id": 99}
+
+
+def test_zorder_compaction_shrinks_both_columns_spans(spark, tmp_path):
+    # One-column range sort leaves the OTHER column's file min/max
+    # spanning the whole domain (zero skipping). Z-order clustering must
+    # shrink per-file spans on BOTH columns.
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        compact_table_zorder,
+    )
+
+    n, domain, files = 40_000, 1 << 16, 16
+
+    def file_spans(path: str) -> list[dict]:
+        spans = []
+        for p in sorted(Path(path).iterdir()):
+            if not p.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(str(p)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            span = {}
+            for c in ("x", "y"):
+                st = [
+                    md.row_group(g).column(idx[c]).statistics
+                    for g in range(md.num_row_groups)
+                ]
+                span[c] = max(s.max for s in st) - min(s.min for s in st)
+            spans.append(span)
+        return spans
+
+    # Deterministic pseudo-uniform independent x, y in [0, 2^16).
+    src = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(domain)).cast("long").alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(domain)).cast("long").alias("y"),
+    )
+
+    single = str(tmp_path / "single")
+    src.write.parquet(single)
+    compact_table(spark, single, target_files=files, sort_col="x")
+    s1 = file_spans(single)
+    # x-sorted: y spans stay ~full-domain in every file.
+    assert all(sp["y"] > 0.8 * domain for sp in s1)
+
+    zpath = str(tmp_path / "zordered")
+    src.write.parquet(zpath)
+    n_after = compact_table_zorder(spark, zpath, files, "x", "y")
+    assert n_after <= files
+    out = spark.read.parquet(zpath)
+    assert out.count() == n
+
+    s2 = file_spans(zpath)
+    avg_y = sum(sp["y"] for sp in s2) / len(s2)
+    avg_x = sum(sp["x"] for sp in s2) / len(s2)
+    # Z-order: both dimensions' average spans shrink well below the
+    # domain (16 files ~ 4x4 grid -> ~domain/4 per dimension, plus
+    # boundary slack).
+    assert avg_y < 0.5 * domain, f"y span not clustered: {avg_y}"
+    assert avg_x < 0.5 * domain, f"x span not clustered: {avg_x}"
