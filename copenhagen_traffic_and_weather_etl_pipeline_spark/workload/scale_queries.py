@@ -1387,3 +1387,47 @@ def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
         F.round(F.covar_pop("value", "k"), 6).alias("covar_pop_vk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): transitive closure without driver-side loops.
+# The DataFrame connected-components operator (operators/dedup.py) is the
+# general tool; WITH RECURSIVE is the SQL-native form for hierarchical /
+# chain reachability — and here the IDENTICAL SQL text runs on both
+# engines, the strongest possible parity check.
+# ---------------------------------------------------------------------------
+
+_CHAIN_RECURSIVE_SQL = """
+WITH RECURSIVE reach(root, node) AS (
+  SELECT d.doc_id, d.doc_id
+  FROM documents d
+  LEFT JOIN documents p
+    ON p.doc_id = d.doc_id - 1 AND p.source = d.source AND p.lang = d.lang
+  WHERE p.doc_id IS NULL
+  UNION ALL
+  SELECT r.root, b.doc_id
+  FROM reach r
+  JOIN documents a ON a.doc_id = r.node
+  JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND b.source = a.source AND b.lang = a.lang
+)
+SELECT node AS doc_id, root AS chain_root FROM reach
+"""
+
+
+@register(
+    "chain_components_recursive",
+    oracle=_CHAIN_RECURSIVE_SQL,
+    doc="WITH RECURSIVE transitive closure: docs chain to their "
+    "consecutive same-source same-lang neighbors; each doc reports its "
+    "chain root. The same SQL string runs verbatim on Spark 4 and "
+    "DuckDB. Each recursion step is one equi-join on the frontier — "
+    "frontier size is bounded by live chains, and chains advance in "
+    "parallel; no cycles by construction (doc_id strictly increases)",
+    tags=["sql", "recursive", "dedup"],
+)
+def chain_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CHAIN_RECURSIVE_SQL)
