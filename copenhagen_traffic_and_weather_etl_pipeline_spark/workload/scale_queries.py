@@ -1431,3 +1431,22 @@ def chain_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CHAIN_RECURSIVE_SQL)
+
+
+@register(
+    "set_except_all_keys",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="bag-semantics EXCEPT ALL (multiplicity-subtracting difference, "
+    "completing the set-op family next to EXCEPT and INTERSECT ALL): "
+    "count-balanced aggregate join, one shuffle per side",
+    tags=["setop"],
+)
+def set_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.exceptAll(finished_keys)

@@ -176,3 +176,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
     one = rows[0]
     assert one["current_speed"] is not None
     assert one["temp_celsius"] is not None
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: the live fetch stream enriched against the
+    static geo dimension — per micro-batch, Spark re-plans the join and
+    the tiny static side broadcasts; no state store is involved (unlike
+    stream-stream joins), so this is the cheapest enrichment shape."""
+    from pyspark.sql import functions as F
+
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    _write_tick(input_dir, "tick1.json", "2026-08-12T09:00:00.000Z")
+
+    geo_dim = spark.createDataFrame(
+        [(k, name) for k, name, _lat, _lon in GEO_POINTS],
+        "geo_key int, dim_name string",
+    )
+    stream = read_fetch_stream(spark, str(input_dir))
+    enriched = stream.filter(F.col("data_type") == "traffic").join(
+        F.broadcast(geo_dim), "geo_key"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT geo_key, geo_name, dim_name FROM enriched_stream"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["geo_name"] == r["dim_name"] for r in rows)
