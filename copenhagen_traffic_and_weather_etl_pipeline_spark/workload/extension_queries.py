@@ -1540,3 +1540,65 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", jac)
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup method evaluation: measure MinHash-LSH candidate quality against
+# the exact jaccard >= 0.8 ground truth (prefix-filter join). The eval
+# reuses both registered pipelines verbatim — Spark side by calling the
+# query functions, oracle side by nesting the two oracle strings as
+# subqueries — so the metric can never drift from what the queries
+# actually compute.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_eval_oracle() -> str:
+    from . import REGISTRY
+
+    exact_sql = REGISTRY["dedup_prefix_filter_jaccard"].oracle
+    cand_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+SELECT CAST(count(e.d1) AS BIGINT) AS n_exact,
+       CAST(count(m.d1) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN e.d1 IS NOT NULL AND m.d1 IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+       round(sum(CASE WHEN e.d1 IS NOT NULL AND m.d1 IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0 / count(m.d1), 6) AS precision,
+       round(sum(CASE WHEN e.d1 IS NOT NULL AND m.d1 IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0 / count(e.d1), 6) AS recall
+FROM ({exact_sql}) e
+FULL OUTER JOIN ({cand_sql}) m ON e.d1 = m.d1 AND e.d2 = m.d2
+"""
+
+
+@register(
+    "dedup_method_eval",
+    oracle=_dedup_eval_oracle(),
+    doc="dedup quality harness: MinHash-LSH candidate pairs scored "
+    "against the exact prefix-filter jaccard >= 0.8 ground truth — "
+    "precision (candidates that are real near-dups) and recall (real "
+    "near-dups the banding surfaces). The full outer join is tiny "
+    "(pair lists, not documents); at 100 TB this runs on a sampled "
+    "stratum and decides the bands-vs-rows LSH operating point",
+    tags=["dedup", "eval"],
+)
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_prefix_filter_jaccard(spark, sf_dir).select("d1", "d2")
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("md1"), F.col("d2").alias("md2")
+    )
+    j = exact.join(
+        cand,
+        (F.col("d1") == F.col("md1")) & (F.col("d2") == F.col("md2")),
+        "full_outer",
+    )
+    tp = F.sum(
+        F.when(F.col("d1").isNotNull() & F.col("md1").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        F.count("d1").alias("n_exact"),
+        F.count("md1").alias("n_candidates"),
+        tp.cast("long").alias("n_true_pos"),
+        F.round(tp * 1.0 / F.count("md1"), 6).alias("precision"),
+        F.round(tp * 1.0 / F.count("d1"), 6).alias("recall"),
+    )
