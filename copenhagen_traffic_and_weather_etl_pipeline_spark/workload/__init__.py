@@ -77,5 +77,6 @@ from . import reference_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
 from . import training_queries  # noqa: E402,F401
+from . import analytics_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "load", "register_views", "TABLES"]

@@ -72,6 +72,8 @@ def test_windows_are_partitioned_not_global(spark):
         "shuffle_shards_deterministic",
         "split_train_val_test",
         "sample_token_budget",
+        "ewma_user_value",
+        "dedup_canonical_pick",
     ]:
         plan = plan_of(spark, name)
         assert "Exchange SinglePartition" not in plan, (
@@ -225,3 +227,60 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 2000  # 2 hot partitions x 1000 rows
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # A-ES weighted sampling must plan the top-k as per-partition heaps +
+    # driver merge, never a full global sort of the corpus.
+    plan = plan_of(spark, "sample_weighted_docs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_stats_joins_broadcast(spark):
+    # The median/MAD stat tables are one row per event_type; joining them
+    # back to the fact side must broadcast, never shuffle the facts.
+    plan = plan_of(spark, "anomaly_mad_events")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    # The 100 TB shuffle-join lever when neither DPP nor broadcast
+    # applies: a bloom filter built from the selective (filtered) side is
+    # injected into the big side's scan so non-matching rows die before
+    # the shuffle. Verify Spark's runtime bloom-filter rewrite fires.
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).write.parquet(str(tmp_path / "fact"))
+        spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("cls")
+        ).write.parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("cls") == 0)
+        j = f.join(d, "k")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert j.count() == 715  # ceil(5000/7): cls==0 keys present in fact
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
