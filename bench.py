@@ -81,6 +81,30 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Round-over-round regression guard: compare against the checked-in
+    # BENCH_BASELINE.json (round 2's numbers) and surface any query that
+    # regressed >2x, on stderr so the required single-JSON-line stdout
+    # contract holds.
+    baseline_path = REPO / "BENCH_BASELINE.json"
+    regressions: dict[str, str] = {}
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        if base.get("sf") == sf_val:
+            for name, sec in timings.items():
+                ref = base.get("queries", {}).get(name)
+                if ref and sec > 2.0 * ref and sec - ref > 0.25:
+                    regressions[name] = f"{ref:.3f}s -> {sec:.3f}s"
+            ref_total = base.get("value")
+            if ref_total:
+                print(
+                    f"[bench] total {total:.3f}s vs baseline {ref_total:.3f}s "
+                    f"({total / ref_total:.2f}x)",
+                    file=sys.stderr,
+                )
+            for name, msg in regressions.items():
+                print(f"[bench] REGRESSION >2x: {name} {msg}", file=sys.stderr)
+
     print(
         json.dumps(
             {

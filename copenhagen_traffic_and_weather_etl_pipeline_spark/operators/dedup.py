@@ -191,9 +191,16 @@ def minhash_signature(
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>): min over shingles of n_hashes permutations
-    of the shingle's xxhash64. One explode + one groupBy — linear."""
+    of the shingle's hash. One explode + one groupBy — linear.
+
+    ``portable=False`` (default) hashes with xxhash64 — the fast native
+    path for production. ``portable=True`` hashes with md5 (first 15 hex
+    chars as a 60-bit int), which any SQL engine reproduces bit-for-bit —
+    used by the oracle-checked ``dedup_incremental`` registry query.
+    """
     w = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
     idx = F.sequence(F.lit(0), F.size("w") - shingle_n)
     grams = F.transform(
@@ -206,11 +213,19 @@ def minhash_signature(
             ],
         ),
     )
+    if portable:
+        sh_hash = (
+            F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            % _MH_PRIME
+        )
+    else:
+        sh_hash = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
     sh = (
         docs.select(F.col(id_col), w.alias("w"))
         .filter(F.size("w") >= shingle_n)
         .select(id_col, F.explode(F.array_distinct(grams)).alias("sh"))
-        .select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME)).alias("h"))
+        .select(id_col, sh_hash.alias("h"))
     )
     perms = [
         F.min(F.pmod(F.col("h") * (2 * i + 1) + i, F.lit(_MH_PRIME))).alias(f"m{i}")
@@ -223,11 +238,13 @@ def minhash_signature(
 
 
 def band_buckets(
-    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4, portable: bool = False
 ) -> DataFrame:
-    """(id, band_idx, band_key): the LSH index rows — one xxhash64 per
+    """(id, band_idx, band_key): the LSH index rows — one hash per
     signature band. Two docs share a (band_idx, band_key) iff that band
-    of their signatures matches exactly."""
+    of their signatures matches exactly. ``portable`` swaps xxhash64 for
+    md5 over ':'-joined band values (cross-engine reproducible; band_key
+    becomes a hex string instead of a long)."""
     cols = []
     for b in range(n_bands):
         band = F.slice(
@@ -235,14 +252,9 @@ def band_buckets(
             F.expr(f"int({b} * size(sig) / {n_bands}) + 1"),
             F.expr(f"int(size(sig) / {n_bands})"),
         )
-        cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(F.concat_ws(",", F.transform(band, lambda x: x.cast("string")))).alias(
-                    "band_key"
-                ),
-            )
-        )
+        joined = F.concat_ws(":" if portable else ",", F.transform(band, lambda x: x.cast("string")))
+        key = F.md5(joined.cast("binary")) if portable else F.xxhash64(joined)
+        cols.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
     return sigs.select(
         id_col, F.explode(F.array(*cols)).alias("bk")
     ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
@@ -253,15 +265,22 @@ def incremental_dedup(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against the corpus index AND itself.
 
     ``index``: (band_idx, band_key) rows of all previously accepted docs
     (extra columns allowed). Returns ``(accepted_docs, new_index_rows)``:
     the batch rows that survive, and their bucket rows to append to the
-    index for the next tick.
+    index for the next tick. ``portable`` selects md5-based hashing so a
+    SQL oracle can reproduce the decision (index must be built with the
+    same flag).
     """
-    buckets = band_buckets(minhash_signature(new_docs, id_col, text_col), id_col)
+    buckets = band_buckets(
+        minhash_signature(new_docs, id_col, text_col, portable=portable),
+        id_col,
+        portable=portable,
+    )
 
     # 1. Batch-vs-corpus: any shared band bucket marks the new doc a dup.
     corpus_dups = (

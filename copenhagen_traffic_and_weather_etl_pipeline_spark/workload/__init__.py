@@ -78,5 +78,94 @@ from . import extension_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
 from . import training_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+from . import breadth_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The correctness driver checks the FIRST 50
+# registry entries in insertion order per round, so each round the 50
+# slots go to the queries without a green CORRECTNESS row yet; proven
+# queries keep their row from the round that checked them and move to
+# the back. Round 2 proved registry positions 1-50 of that round's order
+# (CORRECTNESS_r02.json); round 3's window below holds everything that
+# was unchecked (positions 51-104), the three fixed entries
+# (text_token_encode, array_agg_orderkeys, mm_byte_features), and the
+# new dedup_incremental. _NEXT_WINDOW queues the overlap-family entries
+# deferred to round 4's rotation.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    "dedup_prefix_filter_jaccard",
+    "dedup_method_eval",
+    "text_token_encode",
+    "mm_byte_features",
+    "dedup_incremental",
+    "pack_sequences",
+    "shuffle_shards_deterministic",
+    "decontaminate_ngram_overlap",
+    "text_repetition_quality",
+    "split_train_val_test",
+    "source_mixture_weights",
+    "sample_token_budget",
+    "window_running_total",
+    "window_lead_lag",
+    "window_rank_suite",
+    "window_time_range_sum",
+    "sliding_window_counts",
+    "sessionize_events",
+    "cube_revenue",
+    "grouping_sets_revenue",
+    "unpivot_lineitem_metrics",
+    "conditional_agg_priorities",
+    "multi_distinct_aggs",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "sample_weighted_docs",
+    "salted_group_count",
+    "salted_join_segments",
+    "percentile_prices",
+    "approx_distinct_users",
+    "ivf_ann_search",
+    "kmeans_clusters",
+    "chain_components_recursive",
+    "scd2_intervals",
+    "topn_orders_per_customer",
+    "array_agg_orderkeys",
+    "daily_counts_gapfilled",
+    "set_intersect_all_keys",
+    "funnel_view_click_purchase",
+    "null_safe_join_brands",
+    "ratio_to_report",
+    "zscore_by_user",
+    "corr_value_props",
+    "stats_moments_orders",
+    "profile_customer",
+    "regexp_extract_types",
+    "anomaly_mad_events",
+    "ewma_user_value",
+    "pagerank_event_transitions",
+    "dedup_canonical_pick",
+]
+
+_NEXT_WINDOW = [
+    "window_moving_avg",
+    "window_first_last",
+    "percentile_by_priority",
+    "hash_sample_orders",
+    "set_except_all_keys",
+    "text_normalize",
+    "histogram_prices",
+]
+
+
+def _rotate_registry() -> None:
+    ordered = {name: REGISTRY[name] for name in _DRIVER_WINDOW + _NEXT_WINDOW}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_rotate_registry()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "load", "register_views", "TABLES"]

@@ -102,6 +102,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
   FROM events
+  WHERE value IS NOT NULL
 ),
 j AS (
   SELECT a.event_id, a.user_id,
@@ -123,7 +124,13 @@ FROM j
     tags=["window", "timeseries"],
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # NULL values are excluded up front (mirrored in the oracle's WHERE):
+    # collect_list silently drops NULLs, which would shift the weight
+    # positions vs the oracle's count(*)-based self-join if any appeared.
+    # Ordering note: collect_list over a ROWS frame preserves frame order
+    # in practice, but that is implementation behavior, not a documented
+    # Spark contract — the rn-keyed oracle is the semantic definition.
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -202,7 +209,10 @@ def _duck_pagerank_sql() -> str:
     "over the event_type->event_type transition graph derived from each "
     "user's consecutive events. Iterative join+agg: one dst-keyed "
     "shuffle per round; ranks rounded to 10 decimals each iteration so "
-    "Spark and the unrolled-CTE oracle stay aligned",
+    "Spark and the unrolled-CTE oracle stay aligned. Simplification "
+    "(both engines, intentional): dangling-node mass is NOT "
+    "redistributed — nodes with no out-edges contribute nothing, so "
+    "ranks do not sum to 1 as in textbook PageRank",
     tags=["graph", "iterative"],
 )
 def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,18 +229,24 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", F.round(F.col("w") / F.col("ow"), 10).alias("p")
     )
     nodes = e.select(F.col("event_type").alias("node")).distinct()
-    n_nodes = nodes.count()  # scalar: node-type cardinality, tiny by design
-    pr = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 10).alias("pr"))
+    # Node count folded in as a broadcast 1-row aggregate (the oracle's
+    # `n` CTE) so building the plan stays lazy — no job runs until the
+    # result is collected.
+    n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    base = nodes.crossJoin(F.broadcast(n))  # (node, n_nodes)
+    pr = base.select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), 10).alias("pr")
+    )
     for _ in range(_PR_ITERS):
         contrib = (
             p.join(pr, p["u"] == pr["node"])
             .groupBy("v")
             .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
         )
-        pr = nodes.join(contrib, nodes["node"] == contrib["v"], "left").select(
+        pr = base.join(contrib, base["node"] == contrib["v"], "left").select(
             "node",
             F.round(
-                (1 - _PR_DAMP) / n_nodes
+                (1 - _PR_DAMP) / F.col("n_nodes")
                 + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)),
                 10,
             ).alias("pr"),

@@ -1,0 +1,283 @@
+"""Relational/text breadth beyond the round-2 surface: gaps-and-islands,
+correlated EXISTS, window-based skyline, information-theoretic text
+quality, map-typed aggregation, and mode. Registered at the back of the
+registry — they enter the driver's 50-slot window at the next rotation
+(see workload/__init__.py).
+
+Every query keeps the scale rules: single keyed shuffle (or none),
+no cartesian products, no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: consecutive-activity runs per user. island_key =
+# date - dense_rank(date) is constant within a consecutive run — the
+# classic O(n log n) formulation (one keyed shuffle, no self-join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gaps_islands_activity",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS rn
+  FROM d
+)
+SELECT user_id,
+       min(day) AS island_start,
+       max(day) AS island_end,
+       count(*) AS n_days
+FROM r
+GROUP BY user_id, day - CAST(rn AS INT)
+""",
+    doc="gaps-and-islands: maximal runs of consecutive active days per "
+    "user via the date-minus-dense_rank constant; one keyed shuffle, no "
+    "self-join (vs the quadratic 'not exists previous day' formulation)",
+    tags=["window", "islands"],
+)
+def gaps_islands_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.dense_rank().over(W.partitionBy("user_id").orderBy("day"))
+    r = d.withColumn("grp", F.date_sub(F.col("day"), rn))
+    return r.groupBy("user_id", "grp").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS with a non-equi correlated predicate: customers who
+# placed at least one order above their own account balance. Compiles to
+# a left-semi hash join on the equi part with the non-equi predicate as
+# the join condition — never a per-row subquery execution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_over_balance",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal
+)
+""",
+    doc="correlated EXISTS with non-equi predicate (order price above the "
+    "customer's own balance) — planned as one left-semi hash join keyed "
+    "on custkey with the inequality as residual condition",
+    tags=["join", "subquery"],
+)
+def exists_over_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_totalprice"] > c["c_acctbal"]),
+        "semi",
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) via running-max window instead of the
+# quadratic dominance anti-join: an order is on the (early date, high
+# price) frontier iff its price strictly exceeds every strictly-earlier
+# order's price. Sort by date, running max over the preceding frame —
+# O(n log n), one shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+WITH m AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         max(o_totalprice) OVER (
+           ORDER BY o_orderdate
+           RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 1 DAY PRECEDING
+         ) AS prev_max
+  FROM orders
+)
+SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+FROM m
+WHERE prev_max IS NULL OR o_totalprice > prev_max
+""",
+    doc="Pareto skyline on (earlier date, higher price): running max over "
+    "strictly-earlier dates via a RANGE window — replaces the quadratic "
+    "dominance self-join with one sort, O(n log n)",
+    tags=["window", "skyline"],
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # RANGE frame keyed on day number so 'strictly earlier date' is
+    # expressible (rangeBetween needs a numeric order key).
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        W.orderBy(day.cast("long"))
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    m = o.withColumn("prev_max", F.max("o_totalprice").over(w))
+    return (
+        m.filter(F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max")))
+        .select(
+            "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram Shannon entropy per document — the information-theoretic
+# quality score next to the ratio heuristics in text_quality. Two keyed
+# aggregations (word counts, then entropy), all JVM built-ins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_entropy",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       round(-sum((w.c / t.n) * log2(w.c / t.n)), 6) AS entropy_bits
+FROM wc w JOIN tot t ON w.doc_id = t.doc_id
+GROUP BY w.doc_id, t.n
+""",
+    doc="per-document unigram Shannon entropy (bits): repetitive/boiler-"
+    "plate docs score low, diverse text high — the standard "
+    "information-theoretic complement to ratio-based quality filters",
+    tags=["text", "quality"],
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+        ).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        wc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed aggregation, serialized for the driver: per user the
+# event_type -> count map. Built as map_from_entries in Spark; both
+# engines emit the canonical 'type:count' sorted-by-type string because
+# map cells aren't hashable in the driver's canonicalizer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_agg_event_counts",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type)
+         AS type_counts,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM c GROUP BY user_id
+""",
+    doc="map-style aggregation (event_type -> count per user) via "
+    "map_from_entries over sorted struct entries, serialized to the "
+    "canonical 'type:count' CSV for engine-portable comparison",
+    tags=["agg", "map"],
+)
+def map_agg_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
+    )
+    # map_from_entries proves the MapType path; the serialization is what
+    # the driver hashes.
+    m = F.map_from_entries(entries)
+    return c.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(m),
+                lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+            ),
+        ).alias("type_counts"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tiebreak. Spark's
+# mode() doesn't define tie order, so both engines state the same
+# explicit count-then-value rank — reproducibility over brevity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mode_return_priority",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, o_orderpriority, count(*) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag, o_orderpriority
+),
+r AS (
+  SELECT l_returnflag, o_orderpriority, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM c
+)
+SELECT l_returnflag, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+""",
+    doc="per-group mode with deterministic count-then-value tiebreak "
+    "(count + row_number; engine mode() functions leave ties undefined)",
+    tags=["agg", "mode"],
+)
+def mode_return_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

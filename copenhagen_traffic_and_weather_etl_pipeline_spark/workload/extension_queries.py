@@ -353,6 +353,91 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 3c: INCREMENTAL MinHash-LSH — the O(batch)-per-tick path
+# (operators/dedup.py incremental_dedup). Fixture: even doc_ids are the
+# already-ingested corpus (their band buckets are the persistent index),
+# odd doc_ids arrive as the new batch. A batch doc is rejected if it
+# shares any band bucket with the index; intra-batch collisions resolve
+# via connected components keeping the lowest id. The oracle replays the
+# exact same portable (md5) hashing + banding + a recursive-CTE CC.
+# ---------------------------------------------------------------------------
+
+
+def _duck_incremental_sql() -> str:
+    # Mirrors operators/dedup.py: m_i = min((hh*(2i+1) + i) % p) over the
+    # doc's md5-hashed shingles; band key = md5 of ':'-joined band values.
+    p = 2_147_483_647  # operators.dedup._MH_PRIME
+    n_hashes, n_bands = 16, 4
+    rpb = n_hashes // n_bands
+    sig_cols = ", ".join(
+        f"min((hh * {2 * i + 1} + {i}) % {p}) AS m{i}" for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, md5({parts}) AS band_key FROM sigs".format(
+            idx=b,
+            parts=" || ':' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE {_DUCK_WORDS_CTE},
+{_DUCK_SHINGLES_CTE},
+shh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {p} AS hh
+  FROM sh
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM shh GROUP BY doc_id),
+bands AS ({band_selects}),
+idx AS (SELECT band_idx, band_key FROM bands WHERE doc_id % 2 = 0),
+probe AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+corpus_dups AS (
+  SELECT DISTINCT p.doc_id
+  FROM probe p JOIN idx i ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+),
+survivors AS (
+  SELECT * FROM probe WHERE doc_id NOT IN (SELECT doc_id FROM corpus_dups)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM survivors a JOIN survivors b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand UNION SELECT d2, d1 FROM cand
+),
+reach(node, root) AS (
+  SELECT DISTINCT doc_id, doc_id FROM survivors
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(root)
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_duck_incremental_sql(),
+    doc="incremental MinHash-LSH dedup (operators/dedup.py "
+    "incremental_dedup): new batch (odd doc_ids) vs the persistent "
+    "band-bucket index of the corpus (even doc_ids), then batch-vs-batch "
+    "CC resolution — O(batch + collisions) per tick, never O(corpus)",
+    tags=["dedup", "minhash", "incremental"],
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_buckets, incremental_dedup, minhash_signature
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    index = band_buckets(minhash_signature(corpus, portable=True), portable=True)
+    accepted, _new_index_rows = incremental_dedup(index, batch, portable=True)
+    return accepted.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Dedup 4: SimHash (32-bit) from md5 nibbles — portable bit extraction via
 # hex-char position, so Spark and DuckDB compute identical fingerprints.
 # ---------------------------------------------------------------------------
@@ -1080,12 +1165,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synthesize_binary_docs(load(spark, sf_dir, "documents")))
 
 
-# No oracle: byte-level feature extraction over binary payloads is the
-# pandas-UDF decode path (SQL can't iterate bytes); the driver records the
-# rows-only check and pytest asserts exact values on fixed payloads.
+# Oracle iterates bytes by exploding the payload's hex string two chars
+# at a time — slow in SQL but exact, which turns the former rows-only
+# check into a full value-hash row. mean_byte is rounded to 6 dp on both
+# engines (double division of an exact integer sum, stable either way).
 @register(
     "mm_byte_features",
-    oracle=None,
+    oracle=f"""
+WITH {_DUCK_BIN_CTE},
+bytes AS (
+  SELECT doc_id, n_bytes, hx,
+         CAST('0x' || substr(hx, CAST(1 + i * 2 AS INT), 2) AS BIGINT) AS bv
+  FROM b, UNNEST(range(0, n_bytes)) t(i)
+)
+SELECT doc_id,
+       n_bytes,
+       round(avg(bv), 6) AS mean_byte,
+       CAST(max(bv) AS BIGINT) AS max_byte,
+       substr(min(hx), 1, 8) AS header_hex
+FROM bytes
+GROUP BY doc_id, n_bytes
+""",
     doc="Arrow-batched mapInPandas feature extraction over BinaryType "
     "payloads (byte stats stand in for a codec/model call; identical "
     "schema/batch plumbing — operators/multimodal.py byte_features)",
@@ -1094,7 +1194,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import byte_features, synthesize_binary_docs
 
-    return byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
+    feats = byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
+    return feats.withColumn("mean_byte", F.round("mean_byte", 6))
 
 
 # ---------------------------------------------------------------------------
@@ -1185,6 +1286,17 @@ _LEV_PREFIX = 80
 _LEV_MAX = 20
 
 
+# Length-band staircase: the first-2-words block key follows a Zipf
+# distribution, so at 100x data the hottest block alone would dominate
+# the self-join. The join key therefore also carries
+# band = floor(len(pfx) / (_LEV_MAX+1)); since lev(a,b) >= |len(a)-len(b)|,
+# a qualifying pair's bands differ by at most 1, so probing each doc's
+# home band plus one neighbor (the classic staircase join) keeps the
+# OUTPUT EXACTLY IDENTICAL while the hottest shuffle bucket is capped by
+# the length histogram, not the word distribution.
+_LEV_BAND = _LEV_MAX + 1
+
+
 @register(
     "dedup_levenshtein",
     oracle=f"""
@@ -1197,36 +1309,61 @@ WITH n AS (
          array_to_string(string_split(norm, ' ')[1:2], ' ') AS blk,
          substr(norm, 1, {_LEV_PREFIX}) AS pfx
   FROM n
+), b0 AS (
+  SELECT doc_id, blk, pfx,
+         CAST(floor(length(pfx) / {_LEV_BAND}) AS INT) AS band
+  FROM b
+), r AS (
+  SELECT doc_id, blk, pfx, band, 0 AS up FROM b0
+  UNION ALL
+  SELECT doc_id, blk, pfx, band + 1, 1 FROM b0
 )
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
-FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+SELECT least(a.doc_id, r.doc_id) AS d1, greatest(a.doc_id, r.doc_id) AS d2,
+       CAST(levenshtein(a.pfx, r.pfx) AS BIGINT) AS edit_dist
+FROM b0 a JOIN r ON a.blk = r.blk AND a.band = r.band
+                AND (r.up = 1 OR a.doc_id < r.doc_id)
+WHERE levenshtein(a.pfx, r.pfx) <= {_LEV_MAX}
 """,
-    doc="Levenshtein near-dup pairs blocked by the first two words, "
-    "distance on an 80-char prefix (bounded DP cost; integer distance "
-    "is exact cross-engine — no float rounding needed)",
+    doc="Levenshtein near-dup pairs blocked by (first two words, prefix-"
+    "length band): staircase equi-join over home+neighbor length bands — "
+    "identical output to a pure word block (|len diff| <= edit distance) "
+    "but skew-safe; distance on an 80-char prefix bounds the DP cost",
     tags=["dedup", "levenshtein"],
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    base = d.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("blk"),
-        F.substring(norm, 1, _LEV_PREFIX).alias("pfx"),
+    base = _lev_blocked(load(spark, sf_dir, "documents"))
+    probe = base.withColumn("up", F.lit(0)).unionByName(
+        base.withColumn("band", F.col("band") + 1).withColumn("up", F.lit(1))
     )
-    a, b = base.alias("a"), base.alias("b")
+    a, b = base.alias("a"), probe.alias("b")
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.band") == F.col("b.band"))
+            # home-vs-home pairs once via id order; home-vs-neighbor pairs
+            # are unique already (the reverse orientation has no matching
+            # band copy), so only least/greatest normalization is needed.
+            & ((F.col("b.up") == 1) | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
             dist.cast("bigint").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
     )
+
+
+def _lev_blocked(d: DataFrame) -> DataFrame:
+    """(doc_id, blk, pfx, band): the skew-safe levenshtein block key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("blk"),
+        F.substring(norm, 1, _LEV_PREFIX).alias("pfx"),
+    ).withColumn("band", F.floor(F.length("pfx") / _LEV_BAND).cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -1378,7 +1515,7 @@ vocab AS (
   FROM counts ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
 )
 SELECT t.doc_id,
-       list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids,
+       array_to_string(list(coalesce(v.token_id, 0) ORDER BY t.pos), ' ') AS token_ids,
        CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM tok t LEFT JOIN vocab v ON t.word = v.word
 GROUP BY t.doc_id
@@ -1409,12 +1546,21 @@ def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "token_id")
     )
     enc = tok.join(F.broadcast(vocab), "word", "left")
+    # token_ids is serialized space-joined (not array<bigint>): the
+    # driver's canonicalizer sorts result columns with pandas, which
+    # cannot hash list-typed cells. Same serialization in the oracle
+    # (array_to_string ... ORDER BY pos), so values still compare 1:1.
     return enc.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("pos", F.coalesce("token_id", F.lit(0)).alias("tid")))
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("token_id", F.lit(0)).alias("tid"))
+                    )
+                ),
+                lambda s: s["tid"].cast("string"),
             ),
-            lambda s: s["tid"],
         ).alias("token_ids"),
         F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
         .cast("bigint")

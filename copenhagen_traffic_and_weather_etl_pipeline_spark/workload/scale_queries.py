@@ -487,25 +487,40 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HyperLogLog++). The sketch's exact value is
-# engine-specific, so there is no value oracle — the driver records a
-# rows-only check; exact_users rides along so the error is inspectable.
+# Approximate distinct (HyperLogLog++). The sketch's raw estimate is
+# engine-specific, so the checked columns are the exact count plus a
+# WITHIN-BOUND verdict on the sketch: rsd=0.01 and a 5% gate put the
+# assertion at ~5 sigma, and the sketch is deterministic for fixed data,
+# so the verdict is stable — this upgrades the former rows-only entry to
+# a full value-hash row without pretending the estimates match.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "approx_distinct_users",
-    oracle=None,
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
     doc="HLL++ approx_count_distinct per event_type (sketch mergeable "
-    "map-side — constant memory per group at any scale); no value oracle: "
-    "sketch estimates are engine-specific",
+    "map-side — constant memory per group at any scale); oracle checks "
+    "the exact count and that the sketch lands within 5% of it "
+    "(rsd=0.01, ~5-sigma margin)",
     tags=["agg", "approx"],
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.count_distinct("user_id")
+            )
+            <= F.count_distinct("user_id") * 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -957,7 +972,7 @@ def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_orderkeys",
     oracle="""
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ' ') AS orderkeys,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """,
@@ -968,8 +983,16 @@ FROM orders GROUP BY o_custkey
 )
 def array_agg_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # Serialized space-joined, not array<bigint>: the driver's pandas
+    # canonicalizer cannot hash list cells (same fix as text_token_encode).
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("orderkeys"),
         F.count("*").alias("n_orders"),
     )
 

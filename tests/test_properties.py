@@ -224,3 +224,62 @@ def test_frame_sample_matches_reference(spark, n_chars):
         for idx in range(0, n_frames, 4)
     }
     assert {r["frame_idx"]: r["frame_digest"] for r in rows} == expect
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein blocking skew: the (first-2-words, length-band) key must
+# (a) cap the hottest block when a Zipf-hot word prefix dominates, and
+# (b) lose no pairs vs the unblocked exact computation.
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_length_band_caps_hot_block_and_is_exact(spark):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.extension_queries import (
+        _LEV_MAX,
+        _lev_blocked,
+    )
+
+    # 60 docs all sharing the hot first-2-words block, lengths spread so
+    # the band key splits them; a few true near-dup pairs inside.
+    rows = [(i, "the quick " + "x" * (i % 6 * 15) + f" tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    blocked = _lev_blocked(df)
+    sizes = {
+        (r["blk"], r["band"]): r["n"]
+        for r in blocked.groupBy("blk", "band").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(sizes) > 1, "length band failed to split the hot word block"
+    assert max(sizes.values()) < 60, "hottest block not reduced"
+
+    # Exactness: staircase output == brute-force pairs under the threshold.
+    import itertools
+
+    base = {r["doc_id"]: r["pfx"] for r in blocked.collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (d1, d2, lev(base[d1], base[d2]))
+        for d1, d2 in itertools.combinations(sorted(base), 2)
+        if lev(base[d1], base[d2]) <= _LEV_MAX
+    }
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.extension_queries import (
+        dedup_levenshtein,
+    )
+
+    tmp = "file:///tmp/lev_prop_docs"
+    df.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    got = {
+        (r["d1"], r["d2"], r["edit_dist"])
+        for r in dedup_levenshtein(spark, tmp).collect()
+    }
+    assert got == expect
