@@ -123,16 +123,20 @@ WHERE prev_max IS NULL OR o_totalprice > prev_max
 )
 def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    # RANGE frame keyed on day number so 'strictly earlier date' is
-    # expressible (rangeBetween needs a numeric order key).
-    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
-    w = (
-        W.orderBy(day.cast("long"))
-        .rangeBetween(W.unboundedPreceding, -1)
+    # Scale shape: only the per-day MAX can set a new frontier record, so
+    # aggregate to one row per date FIRST — the global ordered window then
+    # runs over date-cardinality rows (thousands), not the order table
+    # (billions at 100 TB); orders re-join the tiny frontier by date.
+    # (Same "model-sized global sort" exemption as the token-encode vocab.)
+    daily = o.groupBy("o_orderdate").agg(F.max("o_totalprice").alias("day_max"))
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    w = W.orderBy(day).rangeBetween(W.unboundedPreceding, -1)
+    dm = daily.select(
+        "o_orderdate", F.max("day_max").over(w).alias("prev_max")
     )
-    m = o.withColumn("prev_max", F.max("o_totalprice").over(w))
     return (
-        m.filter(F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max")))
+        o.join(F.broadcast(dm), "o_orderdate")
+        .filter(F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max")))
         .select(
             "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
         )

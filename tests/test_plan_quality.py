@@ -284,3 +284,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skyline_window_runs_over_daily_aggregate_and_broadcasts(spark):
+    plan = plan_of(spark, "skyline_orders")
+    # The global frontier window must sit ABOVE the per-day max aggregate
+    # (date-cardinality rows), and the frontier re-joins orders broadcast.
+    assert "BroadcastHashJoin" in plan
+    win = plan.index("Window")
+    agg = plan.index("HashAggregate")
+    assert agg > win or "day_max" in plan[win:], (
+        "frontier window should consume the daily-max aggregate"
+    )
+
+
+def test_breadth_windows_and_aggs_are_scale_shaped(spark):
+    for name in ["gaps_islands_activity", "map_agg_event_counts", "mode_return_priority"]:
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: funnels all rows through one partition"
+        )
+    assert "CartesianProduct" not in plan_of(spark, "exists_over_balance")
