@@ -285,3 +285,159 @@ def mode_return_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-crawl pipeline family. The corpus tables carry no URLs, so each
+# query first synthesizes a deterministic messy URL per document (mixed
+# case, optional default port, utm tracking params, fragments — the same
+# inject-then-process pattern as text_pii_scrub) and then runs the real
+# operator: canonicalization, per-domain caps, blocklist filtering.
+# All regex built-ins — narrow projections at any scale.
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END"
+    " || source || '.example.com'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)"
+    " || '/p/' || CAST(doc_id AS {str_t})"
+    " || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END)"
+    " || CAST(doc_id AS {str_t})"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END))"
+)
+
+
+def _canon_sql(url: str, engine: str) -> str:
+    """Canonicalization pipeline, identical steps both engines:
+    lowercase -> drop fragment -> drop utm_* params -> tidy dangling
+    ?/& -> drop :443 default port -> drop www."""
+    # Patterns avoid backslash escapes entirely ('[.]' not '\.'): Spark
+    # SQL string literals consume backslashes, DuckDB's don't, so any
+    # backslashed pattern means two different regexes.
+    g = ", 'g'" if engine == "duck" else ""
+    c = f"lower({url})"
+    c = f"regexp_replace({c}, '#.*$', ''{g})"
+    c = f"regexp_replace({c}, 'utm_[a-z_]+=[^&#]*&?', ''{g})"
+    c = f"regexp_replace({c}, '[?&]$', ''{g})"
+    c = f"regexp_replace({c}, ':443/', '/'{g})"
+    c = f"regexp_replace({c}, '^https://www[.]', 'https://'{g})"
+    return c
+
+
+@register(
+    "web_url_canonicalize",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL.format(str_t="VARCHAR")} AS raw_url FROM documents
+)
+SELECT doc_id, raw_url,
+       {_canon_sql("raw_url", "duck")} AS canon_url,
+       regexp_extract({_canon_sql("raw_url", "duck")}, '^https?://([^/:?#]+)', 1)
+         AS domain
+FROM raw
+""",
+    doc="URL canonicalization (lowercase, strip fragment / utm params / "
+    "default port / www) + registrable-domain extraction — the dedup key "
+    "for crawl corpora; pure regexp projection, no shuffle",
+    tags=["web", "text"],
+)
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", F.expr(_RAW_URL_SQL.format(str_t="string")).alias("raw_url")
+    )
+    canon = F.expr(_canon_sql("raw_url", "spark"))
+    return raw.select(
+        "doc_id",
+        "raw_url",
+        canon.alias("canon_url"),
+        F.regexp_extract(canon, r"^https?://([^/:?#]+)", 1).alias("domain"),
+    )
+
+
+_DOMAIN_CAP = 40
+
+
+@register(
+    "web_domain_caps",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         regexp_extract({_canon_sql(_RAW_URL_SQL.format(str_t="VARCHAR"), "duck")},
+                        '^https?://([^/:?#]+)', 1) AS domain
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM raw
+)
+SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_DOMAIN_CAP}
+""",
+    doc=f"per-domain document cap (keep top {_DOMAIN_CAP} by length, "
+    "deterministic doc_id tiebreak) — the anti-spam/diversity gate crawl "
+    "pipelines apply before training; partitioned window, one shuffle, "
+    "and Spark plans a WindowGroupLimit so each partition keeps only "
+    "cap rows before the final filter",
+    tags=["web", "sampling"],
+)
+def web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    canon = F.expr(_canon_sql(_RAW_URL_SQL.format(str_t="string"), "spark"))
+    raw = d.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(canon, r"^https?://([^/:?#]+)", 1).alias("domain"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    return (
+        raw.withColumn("rk", rk.cast("bigint"))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .select("doc_id", "domain", "rk")
+    )
+
+
+_BLOCKED_SOURCES = ["src3", "src7", "src11"]
+
+
+@register(
+    "web_blocklist_filter",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, lang,
+         regexp_extract({_canon_sql(_RAW_URL_SQL.format(str_t="VARCHAR"), "duck")},
+                        '^https?://([^/:?#]+)', 1) AS domain
+  FROM documents
+),
+blocked AS (
+  SELECT UNNEST(['{"', '".join(s + ".example.com" for s in _BLOCKED_SOURCES)}'])
+    AS domain
+)
+SELECT r.domain, CAST(count(*) AS BIGINT) AS n_docs
+FROM raw r ANTI JOIN blocked b ON r.domain = b.domain
+GROUP BY r.domain
+""",
+    doc="domain blocklist filter: broadcast anti-join of the corpus "
+    "against a (tiny) blocked-domain list, then per-domain survivor "
+    "counts — the blocklist never shuffles the corpus",
+    tags=["web", "join"],
+)
+def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    canon = F.expr(_canon_sql(_RAW_URL_SQL.format(str_t="string"), "spark"))
+    raw = d.select(
+        "doc_id",
+        F.regexp_extract(canon, r"^https?://([^/:?#]+)", 1).alias("domain"),
+    )
+    blocked = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(s + ".example.com",) for s in _BLOCKED_SOURCES], "domain string"
+    )
+    return (
+        raw.join(F.broadcast(blocked), "domain", "anti")
+        .groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
