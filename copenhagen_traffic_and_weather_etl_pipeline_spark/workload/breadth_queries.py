@@ -441,3 +441,135 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN with asymmetric distance (ADC) — the
+# memory-bound scale path next to IVF's compute-bound one: vectors are
+# stored as m sub-space code ids (here 4x16-dim sub-spaces, 4 seeded
+# centroids each -> 1 byte per vector instead of 256), and a query
+# scans CODES against a tiny per-query lookup table, never raw vectors.
+# Centroids are seeded existing vectors (vec_ids 1..4, like IVF) so both
+# engines share the exact codebook without a training loop.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4           # sub-spaces
+_PQ_SUBDIM = 16     # dims per sub-space (4 x 16 = the 64-dim embedding)
+_PQ_CENT_IDS = [1, 2, 3, 4]
+_PQ_QUERY_VEC = 0
+_PQ_TOPK = 10
+
+_DUCK_L2SQ = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _l2sq(a, b):
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _duck_pq_sql() -> str:
+    ids = ", ".join(str(i) for i in _PQ_CENT_IDS)
+    l2_assign = _DUCK_L2SQ.format(a="p.sub", b="c.csub")
+    l2_query = _DUCK_L2SQ.format(a="q.sub", b="c.csub")
+    return f"""
+WITH subs AS (
+  SELECT vec_id, s,
+         embedding[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sub
+  FROM embeddings, UNNEST(range(0, {_PQ_M})) t(s)
+),
+cents AS (
+  SELECT vec_id AS cent_id, s, sub AS csub FROM subs WHERE vec_id IN ({ids})
+),
+assign AS (
+  SELECT p.vec_id, p.s, c.cent_id,
+         row_number() OVER (PARTITION BY p.vec_id, p.s
+                            ORDER BY round({l2_assign}, 6), c.cent_id) AS rnk
+  FROM subs p JOIN cents c ON p.s = c.s
+),
+lut AS (
+  SELECT c.s, c.cent_id, round({l2_query}, 6) AS qd
+  FROM cents c JOIN subs q ON q.s = c.s AND q.vec_id = {_PQ_QUERY_VEC}
+)
+SELECT a.vec_id, round(sum(l.qd), 6) AS adc_dist
+FROM assign a JOIN lut l ON a.s = l.s AND a.cent_id = l.cent_id
+WHERE a.rnk = 1 AND a.vec_id <> {_PQ_QUERY_VEC}
+GROUP BY a.vec_id
+ORDER BY adc_dist, a.vec_id
+LIMIT {_PQ_TOPK}
+"""
+
+
+@register(
+    "pq_ann_adc",
+    oracle=_duck_pq_sql(),
+    doc=f"product-quantization ANN: {_PQ_M}x{_PQ_SUBDIM}-dim sub-spaces, "
+    f"{len(_PQ_CENT_IDS)} seeded centroids each; vectors collapse to "
+    f"{_PQ_M} code ids, the query builds a {_PQ_M * len(_PQ_CENT_IDS)}-row "
+    "asymmetric-distance lookup table (broadcast) and the scan sums code "
+    "lookups — raw vectors are never touched at query time",
+    tags=["similarity", "ann", "pq"],
+)
+def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sub"
+                        ),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    cents = subs.filter(F.col("vec_id").isin(_PQ_CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), "s", F.col("sub").alias("csub")
+    )
+    # Encoding: nearest sub-space centroid per (vector, sub-space). The
+    # codebook is broadcast; at rest a real deployment stores only codes.
+    rnk = F.row_number().over(
+        W.partitionBy("vec_id", "s").orderBy("d", "cent_id")
+    )
+    codes = (
+        subs.join(F.broadcast(cents), "s")
+        .select(
+            "vec_id", "s", "cent_id",
+            F.round(_l2sq(F.col("sub"), F.col("csub")), 6).alias("d"),
+        )
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "s", "cent_id")
+    )
+    # Per-query ADC lookup table: m x k exact sub-distances, broadcast.
+    lut = (
+        cents.join(
+            subs.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+                "s", F.col("sub").alias("qsub")
+            ),
+            "s",
+        )
+        .select(
+            "s", "cent_id",
+            F.round(_l2sq(F.col("qsub"), F.col("csub")), 6).alias("qd"),
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .join(F.broadcast(lut), ["s", "cent_id"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+    )
