@@ -305,3 +305,10 @@ def test_breadth_windows_and_aggs_are_scale_shaped(spark):
             f"{name}: funnels all rows through one partition"
         )
     assert "CartesianProduct" not in plan_of(spark, "exists_over_balance")
+
+
+def test_pq_adc_broadcasts_lut_and_takes_ordered_topk(spark):
+    plan = plan_of(spark, "pq_ann_adc")
+    assert "BroadcastHashJoin" in plan, "codebook/LUT joins must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    assert "CartesianProduct" not in plan
