@@ -573,3 +573,109 @@ def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing: order training documents easiest-first by a
+# deterministic quality score and cut into ntile stages — the data-side
+# half of curriculum learning schedules. One partitioned-by-nothing
+# ntile would be a global sort, so the score is bucketed per language
+# (the unit curricula are usually built within anyway).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_buckets",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(least(n_chars, 400) * 1.0
+               + len(list_distinct(string_split(text, ' '))) * 100.0
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS score
+  FROM documents
+)
+SELECT doc_id, lang, score,
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT)
+         AS stage
+FROM s
+""",
+    doc="curriculum stages: deterministic quality score (length capped at "
+    "400 + lexical diversity) cut into per-language ntile(4) — "
+    "partitioned window, no global sort; stage 1 = easiest",
+    tags=["training", "curriculum"],
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    score = F.round(
+        F.least(F.col("n_chars"), F.lit(400)).cast("double")
+        + F.size(F.array_distinct(words)) * 100.0
+        / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+    s = d.select("doc_id", "lang", score.alias("score"))
+    stage = F.ntile(4).over(W.partitionBy("lang").orderBy("score", "doc_id"))
+    return s.withColumn("stage", stage.cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization: categorical values hash into a fixed
+# 8-bucket feature space (md5-based so both engines agree) — the
+# unbounded-vocabulary answer to one-hot encoding. Output is the global
+# bucket histogram per feature column; per-row vectors are the same
+# expression without the groupBy.
+# ---------------------------------------------------------------------------
+
+_FEAT_BUCKETS = 8
+
+
+@register(
+    "hashed_feature_buckets",
+    oracle=f"""
+WITH f AS (
+  SELECT 'priority' AS feat,
+         CAST(('0x' || substr(md5('priority=' || o_orderpriority), 1, 8)) AS BIGINT)
+           % {_FEAT_BUCKETS} AS bucket
+  FROM orders
+  UNION ALL
+  SELECT 'status' AS feat,
+         CAST(('0x' || substr(md5('status=' || o_orderstatus), 1, 8)) AS BIGINT)
+           % {_FEAT_BUCKETS} AS bucket
+  FROM orders
+)
+SELECT feat, bucket, CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY feat, bucket
+""",
+    doc=f"hashing-trick features: 'col=value' md5-hashed into "
+    f"{_FEAT_BUCKETS} buckets (engine-portable), per-feature bucket "
+    "histogram — fixed-width feature space regardless of category "
+    "cardinality, single partial+final agg",
+    tags=["training", "features"],
+)
+def hashed_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def bucket(prefix: str, col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix + "="), F.col(col)).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _FEAT_BUCKETS
+        )
+
+    f = o.select(
+        F.lit("priority").alias("feat"),
+        bucket("priority", "o_orderpriority").alias("bucket"),
+    ).unionByName(
+        o.select(
+            F.lit("status").alias("feat"),
+            bucket("status", "o_orderstatus").alias("bucket"),
+        )
+    )
+    return f.groupBy("feat", "bucket").agg(F.count("*").cast("bigint").alias("n"))
