@@ -357,3 +357,254 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "is_canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group ordinary least squares: trend of event value over time via
+# the SQL-standard REGR_* aggregates (single-pass co-moment
+# aggregation, map-side combinable — the same partial-agg shape as
+# corr_value_props). Time is rescaled to days-since-corpus-start before
+# the fit: subtracting the global minimum keeps x in [0, ~30] so the
+# slope/intercept survive 6-dp rounding identically on both engines
+# (raw epoch seconds ~1.7e9 would put all the variance in the last few
+# float bits). The global min is a 1-row aggregate broadcast via
+# cross-join — the scalar-subquery pattern, no second scan shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_regression_events",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, epoch(CAST(ts AS TIMESTAMP)) AS t
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT min(t) AS t0 FROM e)
+SELECT event_type,
+       round(regr_slope(value, (t - t0) / 86400.0), 6) AS slope_per_day,
+       round(regr_intercept(value, (t - t0) / 86400.0), 6) AS intercept,
+       round(regr_r2(value, (t - t0) / 86400.0), 6) AS r2,
+       count(*) AS n
+FROM e, m
+GROUP BY event_type
+""",
+    doc="per-event_type OLS trend (REGR_SLOPE/INTERCEPT/R2 over "
+    "days-since-start): one-pass co-moment aggregation with partial "
+    "(map-side) combine; the global t0 is a broadcast 1-row aggregate. "
+    "x is centered to [0,30] days so 6-dp rounding is engine-stable",
+    tags=["stats", "regression"],
+)
+def trend_regression_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.col("ts").cast("double").alias("t"))
+    )
+    t0 = e.agg(F.min("t").alias("t0"))
+    x = (F.col("t") - F.col("t0")) / 86400.0
+    return (
+        e.crossJoin(F.broadcast(t0))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (clipped) means: per-group p05/p95 via exact interpolated
+# percentiles, then the mean of values clipped into that band — the
+# standard robust-mean used to stop heavy-tailed metrics from dominating
+# training-data quality scores. Two keyed aggregations; the per-group
+# stats frame is group-cardinality-sized, so the join back is broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_values",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS p05,
+         round(quantile_cont(value, 0.95), 6) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, q.p05, q.p95,
+       round(avg(least(greatest(e.value, q.p05), q.p95)), 6) AS winsorized_mean,
+       round(avg(e.value), 6) AS raw_mean,
+       count(e.value) AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.p05, q.p95
+""",
+    doc="winsorized mean per event_type: exact interpolated p05/p95 "
+    "(percentile == quantile_cont linear interpolation), clip, re-mean. "
+    "Stats are 1-row-per-group so the clip join broadcasts; both "
+    "aggregations have map-side partial phases",
+    tags=["stats", "robust"],
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.count("value").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap repair: hourly per-type means on a dense hour spine,
+# missing hours filled by linear interpolation between the nearest
+# present neighbours. The neighbour lookup is the max/min-of-CASE
+# running-window trick (prev_h = max(h where present) over preceding,
+# next_h = min(...) over following) — no IGNORE NULLS dependence, no
+# self-join against the raw table; the value lookup joins the tiny
+# hourly aggregate (spine-sized) back twice. Scale shape: the raw scan
+# aggregates down to |types|x|hours| rows FIRST; everything after runs
+# on the aggregate, and the windows are keyed by event_type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interpolate_hourly_values",
+    oracle="""
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+  FROM e GROUP BY event_type, date_trunc('hour', ts)
+),
+b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM e),
+spine_h AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM e),
+g AS (
+  SELECT t.event_type, s.h, hv.v
+  FROM types t CROSS JOIN spine_h s
+  LEFT JOIN hourly hv ON hv.event_type = t.event_type AND hv.h = s.h
+),
+w AS (
+  SELECT event_type, h, v,
+         max(CASE WHEN v IS NOT NULL THEN h END)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS ph,
+         min(CASE WHEN v IS NOT NULL THEN h END)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM g
+),
+j AS (
+  SELECT w.event_type, w.h, w.v, w.ph, w.nh, pv.v AS pv, nv.v AS nv
+  FROM w
+  LEFT JOIN hourly pv ON pv.event_type = w.event_type AND pv.h = w.ph
+  LEFT JOIN hourly nv ON nv.event_type = w.event_type AND nv.h = w.nh
+),
+fx AS (
+  SELECT event_type, h, v, ph, nh, pv, nv,
+         CAST(round(pv * 1e6) AS BIGINT) AS pv6,
+         CAST(round(nv * 1e6) AS BIGINT) AS nv6,
+         CAST((epoch(h) - epoch(ph)) / 3600 AS BIGINT) AS k,
+         CAST((epoch(nh) - epoch(ph)) / 3600 AS BIGINT) AS n
+  FROM j
+)
+SELECT event_type, h AS hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN ph IS NULL THEN nv
+            WHEN nh IS NULL THEN pv
+            ELSE ((2 * (pv6 * (n - k) + nv6 * k) + n) // (2 * n)) / 1e6
+       END AS value_filled,
+       (v IS NULL) AS was_missing
+FROM fx
+""",
+    doc="dense-spine linear interpolation of hourly per-type means: "
+    "prev/next present hour via max/min-of-CASE running windows (no "
+    "IGNORE NULLS, engine-portable), neighbour values joined from the "
+    "spine-sized hourly aggregate. Raw data collapses to the aggregate "
+    "before any window runs; the interpolation itself is exact BIGINT "
+    "micro-unit arithmetic so both engines agree bit-for-bit",
+    tags=["timeseries", "window"],
+)
+def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine_h = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    g = types.crossJoin(F.broadcast(spine_h)).join(
+        hourly, ["event_type", "h"], "left"
+    )
+    wp = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wn = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    present = F.when(F.col("v").isNotNull(), F.col("h"))
+    w = g.select(
+        "event_type",
+        "h",
+        "v",
+        F.max(present).over(wp).alias("ph"),
+        F.min(present).over(wn).alias("nh"),
+    )
+    pv = hourly.select(
+        F.col("event_type"), F.col("h").alias("ph"), F.col("v").alias("pv")
+    )
+    nv = hourly.select(
+        F.col("event_type"), F.col("h").alias("nh"), F.col("v").alias("nv")
+    )
+    j = w.join(pv, ["event_type", "ph"], "left").join(
+        nv, ["event_type", "nh"], "left"
+    )
+    # Interpolate in exact integer micro-units: pv/nv are 6-dp decimals,
+    # hour offsets are small ints, so pv + (nv-pv)*k/n is computed as
+    # round((pv6*(n-k) + nv6*k) / n) in BIGINT space — no float division,
+    # no half-ulp rounding divergence between engines at .xxxxxx5
+    # boundaries (seen live: 59.2816665 rounded apart at 6 dp).
+    sec = lambda c: F.col(c).cast("double")  # noqa: E731
+    fx = j.select(
+        "event_type",
+        "h",
+        "v",
+        "ph",
+        "nh",
+        "pv",
+        "nv",
+        F.round(F.col("pv") * 1e6).cast("bigint").alias("pv6"),
+        F.round(F.col("nv") * 1e6).cast("bigint").alias("nv6"),
+        ((sec("h") - sec("ph")) / 3600).cast("bigint").alias("k"),
+        ((sec("nh") - sec("ph")) / 3600).cast("bigint").alias("n"),
+    )
+    interp = (
+        F.expr("(2 * (pv6 * (n - k) + nv6 * k) + n) div (2 * n)") / 1e6
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("ph").isNull(), F.col("nv"))
+        .when(F.col("nh").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return fx.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("was_missing"),
+    )
