@@ -439,3 +439,85 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the 100 TB shape of the n-gram
+# overlap test. The benchmark shingle set is hashed into a Bloom filter
+# (k=3 xxhash64 seeds into an m-bit space, represented as the tiny
+# DataFrame of SET bit positions — never a driver-side bitset). Each
+# corpus shingle probes the filter via THREE broadcast left-semi joins
+# (one per hash), so the petabyte side streams map-only and only
+# bloom-positive shingles reach the exact confirm join. Bloom filters
+# have no false negatives, so prefilter + exact-confirm == the exact
+# join — the filter only cuts the data volume, exactly how a production
+# decontamination pass runs when the corpus dwarfs the benchmark.
+# Spark's own runtime bloom join (spark.sql.optimizer.runtime.bloomFilter)
+# does this implicitly; the explicit form keeps the mechanism visible,
+# testable, and tunable (m, k).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bit-space size
+_BLOOM_SEEDS = (101, 202, 303)  # k = 3 hash functions
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+       FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+bench AS (
+  SELECT DISTINCT sh.sh FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+  WHERE d.source = '{_BENCH_SOURCE}'
+),
+train AS (
+  SELECT sh.doc_id, sh.sh FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+  WHERE d.source <> '{_BENCH_SOURCE}'
+)
+SELECT t.doc_id, count(*) AS n_overlap
+FROM train t JOIN bench b ON t.sh = b.sh
+GROUP BY t.doc_id
+""",
+    doc="Bloom-prefiltered benchmark decontamination: bench shingles -> "
+    f"set-bit positions (k={len(_BLOOM_SEEDS)} xxhash64 seeds, m={_BLOOM_M}); "
+    "corpus shingles probe via 3 broadcast left-semi joins, survivors "
+    "exact-confirmed against the bench set. No false negatives => result "
+    "== exact overlap join (the oracle); the filter exists purely to "
+    "keep the big side map-only at scale. Flags ANY overlap (>=1), the "
+    "strict-decontamination policy",
+    tags=["training", "dedup", "bloom"],
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    bench = sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
+    train = sh.filter(F.col("source") != _BENCH_SOURCE).select("doc_id", "sh")
+
+    def pos(seed: int):
+        return F.pmod(F.xxhash64(F.col("sh"), F.lit(seed)), F.lit(_BLOOM_M))
+
+    # The "filter" itself: distinct set-bit positions of the bench set.
+    bits = (
+        bench.select(
+            F.explode(F.array(*[pos(s) for s in _BLOOM_SEEDS])).alias("pos")
+        ).distinct()
+    )
+    probe = train.select(
+        "doc_id",
+        "sh",
+        *[pos(s).alias(f"p{i}") for i, s in enumerate(_BLOOM_SEEDS)],
+    )
+    cand = probe
+    for i in range(len(_BLOOM_SEEDS)):
+        cand = cand.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"p{i}")),
+            f"p{i}",
+            "left_semi",
+        )
+    return (
+        cand.select("doc_id", "sh")
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -312,3 +312,39 @@ def test_pq_adc_broadcasts_lut_and_takes_ordered_topk(spark):
     assert "BroadcastHashJoin" in plan, "codebook/LUT joins must broadcast"
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_probes_are_broadcast_semi_joins(spark):
+    # The Bloom probe must be k broadcast LEFT-SEMI joins against the
+    # set-bit positions, and the confirm join must broadcast the bench
+    # shingle set: the corpus side streams map-only end to end. A
+    # SortMergeJoin anywhere here means the big side shuffled on a
+    # probe key — the exact failure the filter exists to avoid.
+    plan = plan_of(spark, "decontaminate_bloom")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4  # 3 probes + confirm
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interpolation_windows_are_partitioned(spark):
+    # Both neighbour-lookup windows run per event_type — no global
+    # (unpartitioned) window funnel over the spine.
+    plan = plan_of(spark, "interpolate_hourly_values")
+    assert "Window" in plan
+    assert "PartitionBy" not in plan  # formatted plans don't use this token
+    import re
+
+    # every Window node's partition spec mentions event_type
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1)
+
+
+def test_trend_regression_is_single_pass_partial_agg(spark):
+    # REGR_* compile to one hash aggregation with a partial phase and
+    # the scalar t0 arrives via a broadcast (1-row) exchange.
+    plan = plan_of(spark, "trend_regression_events")
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree

@@ -283,3 +283,49 @@ def test_levenshtein_length_band_caps_hot_block_and_is_exact(spark):
         for r in dedup_levenshtein(spark, tmp).collect()
     }
     assert got == expect
+
+
+def test_bloom_decontaminate_equals_exact_join(spark):
+    """Bloom prefilter has no false negatives, so prefilter +
+    exact-confirm must equal the plain exact overlap join; and the
+    filter must actually be small (set bits bounded by |bench| * k)."""
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY, load
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.extension_queries import (
+        shingles,
+    )
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.training_queries import (
+        _BENCH_SOURCE,
+        _BLOOM_M,
+        _BLOOM_SEEDS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    sh = shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    bench = sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
+    train = sh.filter(F.col("source") != _BENCH_SOURCE).select("doc_id", "sh")
+    exact = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    got = REGISTRY["decontaminate_bloom"].fn(spark, sf)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    n_bench = bench.count()
+    n_bits = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("sh"), F.lit(s)), F.lit(_BLOOM_M))
+                        for s in _BLOOM_SEEDS
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .count()
+    )
+    assert 0 < n_bits <= min(n_bench * len(_BLOOM_SEEDS), _BLOOM_M)
