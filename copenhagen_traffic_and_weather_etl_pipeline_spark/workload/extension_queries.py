@@ -1748,3 +1748,52 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / F.count("md1"), 6).alias("precision"),
         F.round(tp * 1.0 / F.count("d1"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus profiling: per-label L2-norm statistics — the
+# standard sanity pass before any ANN/dedup run (un-normalized or
+# degenerate vectors poison cosine thresholds). One narrow projection
+# computes the norm JVM-side (F.aggregate, no Python), then a single
+# keyed aggregation. Cross-engine determinism: the per-row norm is
+# fixed to integer micro-units BEFORE aggregating, so sums/averages are
+# exact integer arithmetic on both engines — no float-order divergence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+WITH n AS (
+  SELECT label,
+         CAST(round({_DUCK_NORM.format(a='embedding')} * 1e6) AS BIGINT) AS n6
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       ((2 * sum(n6) + count(*)) // (2 * count(*))) / 1e6 AS avg_norm,
+       min(n6) / 1e6 AS min_norm,
+       max(n6) / 1e6 AS max_norm
+FROM n GROUP BY label
+""",
+    doc="per-label embedding L2-norm profile (count/avg/min/max): norm "
+    "computed JVM-side via F.aggregate, snapped to BIGINT micro-units "
+    "before the keyed agg so both engines do exact integer arithmetic. "
+    "Scale: narrow scan of (label, embedding), one partial-combinable "
+    "shuffle keyed by label",
+    tags=["embedding", "profiling"],
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    n6 = F.round(_norm(F.col("embedding")) * 1e6).cast("bigint")
+    return (
+        e.select("label", n6.alias("n6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (F.expr("(2 * sum(n6) + count(*)) div (2 * count(*))") / 1e6).alias(
+                "avg_norm"
+            ),
+            (F.min("n6") / 1e6).alias("min_norm"),
+            (F.max("n6") / 1e6).alias("max_norm"),
+        )
+    )

@@ -521,3 +521,105 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade: the composed accept/reject decision a corpus
+# pipeline actually ships — ordered rules, first failure wins, every doc
+# gets an auditable verdict. Rules reuse the Gopher-style repetition
+# signals plus length bounds. Single pass: the word/bigram aggregations
+# are per-doc hash aggs (map-side combinable, keyed by doc_id), the rule
+# evaluation is one CASE projection — no windows, no joins beyond the
+# per-doc signal join.
+# ---------------------------------------------------------------------------
+
+_CASCADE_MIN_CHARS = 100
+_CASCADE_MAX_CHARS = 500
+
+
+@register(
+    "quality_filter_cascade",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT doc_id, UNNEST(w) AS word FROM words),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+uni AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
+         round(sum(c * len(word)) * 1.0 / sum(c), 6) AS mean_word_len
+  FROM wc GROUP BY doc_id
+),
+bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+bistat AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT bg) * 1.0 / count(*), 6)
+           AS dup_bigram_frac
+  FROM bi GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.n_chars < {_CASCADE_MIN_CHARS} THEN 'too_short'
+            WHEN d.n_chars > {_CASCADE_MAX_CHARS} THEN 'too_long'
+            WHEN u.mean_word_len < {_MEAN_WLEN_MIN}
+              OR u.mean_word_len > {_MEAN_WLEN_MAX} THEN 'bad_word_length'
+            WHEN u.top_word_frac > {_TOP_WORD_CAP} THEN 'repetitive_top_word'
+            WHEN b.dup_bigram_frac > {_DUP_BIGRAM_CAP} THEN 'repetitive_bigrams'
+            ELSE 'keep'
+       END AS verdict
+FROM documents d
+JOIN uni u ON u.doc_id = d.doc_id
+JOIN bistat b ON b.doc_id = d.doc_id
+""",
+    doc="ordered quality-filter cascade (length bounds -> word-length "
+    "sanity -> top-word repetition -> duplicate-bigram repetition), "
+    "first failing rule is the verdict — the auditable keep/drop "
+    "decision of a production corpus pipeline. Signals are per-doc hash "
+    "aggregations rounded to 6 dp before every threshold",
+    tags=["training", "text", "quality"],
+)
+def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words_col()).alias("word"))
+    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    uni = wc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(
+            F.sum(F.col("c") * F.length("word")) / F.sum("c"), 6
+        ).alias("mean_word_len"),
+    )
+    w = _words_col()
+    bi = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat_ws(' ', w[i-1], w[i]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bistat = bi.groupBy("doc_id").agg(
+        F.round(1.0 - F.countDistinct("bg") / F.count("*"), 6).alias(
+            "dup_bigram_frac"
+        )
+    )
+    verdict = (
+        F.when(F.col("n_chars") < _CASCADE_MIN_CHARS, "too_short")
+        .when(F.col("n_chars") > _CASCADE_MAX_CHARS, "too_long")
+        .when(
+            (F.col("mean_word_len") < _MEAN_WLEN_MIN)
+            | (F.col("mean_word_len") > _MEAN_WLEN_MAX),
+            "bad_word_length",
+        )
+        .when(F.col("top_word_frac") > _TOP_WORD_CAP, "repetitive_top_word")
+        .when(F.col("dup_bigram_frac") > _DUP_BIGRAM_CAP, "repetitive_bigrams")
+        .otherwise("keep")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .join(uni, "doc_id")
+        .join(bistat, "doc_id")
+        .select("doc_id", "lang", verdict.alias("verdict"))
+    )
