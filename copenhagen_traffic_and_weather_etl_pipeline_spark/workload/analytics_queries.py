@@ -608,3 +608,125 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("value_filled"),
         F.col("v").isNull().alias("was_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the part
+# co-order graph (parts appearing in the same order are adjacent). The
+# Spark side uses the degree-ordered algorithm: direct every edge from
+# its lower-(degree, id) endpoint to the higher one, enumerate wedges
+# from each source's out-neighbourhood, and confirm the closing edge
+# with an equi semi-join. Degree ordering bounds out-degrees by
+# O(sqrt(m)) — THE standard trick that keeps the wedge set near-linear
+# on power-law graphs, where id-ordered enumeration explodes on hubs.
+# The oracle counts the same triangles with the simpler id-ordered
+# 3-way join (any enumeration order yields the same count).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_coorder",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+agg AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       round(3.0 * tri.n_triangles / agg.n_wedges, 6) AS clustering_coeff
+FROM agg, tri
+""",
+    doc="triangle count + global clustering coefficient of the part "
+    "co-order graph, via degree-ordered wedge enumeration (direct edges "
+    "low->high (degree,id), wedges from out-neighbourhoods, closing "
+    "edge confirmed by an equi semi-join). Degree ordering caps "
+    "out-degree at O(sqrt(m)) so hub nodes cannot blow up the wedge "
+    "set; every join is a hash equi-join, no cartesian",
+    tags=["graph", "stats"],
+)
+def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient each edge from the lower (degree, id) endpoint to the
+    # higher; deg is |V|-sized, so both lookups broadcast.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    x, y = directed.alias("x"), directed.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.ddst") < F.col("y.ddst"))
+            | (
+                (F.col("x.ddst") == F.col("y.ddst"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("wu"), F.col("y.dst").alias("wv"))
+    closing = directed.select(
+        F.col("src").alias("wu"), F.col("dst").alias("wv")
+    )
+    tri = wedges.join(closing, ["wu", "wv"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

@@ -348,3 +348,16 @@ def test_trend_regression_is_single_pass_partial_agg(spark):
     tree = plan.split("\n\n")[0]
     assert "HashAggregate" in tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+
+
+def test_triangle_count_is_all_equi_hash_joins(spark):
+    # Degree-ordered triangle counting must compile to hash equi-joins
+    # (the non-equi (degree,id) tiebreaks ride as post-join filters on
+    # the src equi-key) — a CartesianProduct or BroadcastNestedLoopJoin
+    # on the wedge join would be quadratic in edges at scale.
+    plan = plan_of(spark, "triangle_count_coorder")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # the scalar 1-row assemblies at the end are the only nested-loop
+    # joins allowed; the wedge/closing joins must be hash equi-joins
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or tree.count("BroadcastHashJoin") >= 2
