@@ -1,0 +1,103 @@
+"""Sketch-based operators: bounded-state approximations whose answers
+are exact-confirmed — the two-phase shape (small-memory candidate
+generation, exact verification restricted to candidates) that large
+corpora force when the key cardinality itself won't fit anywhere.
+
+Cross-engine contract as elsewhere: the sketch only ever produces a
+candidate SUPERSET; the final answer comes from an exact pass, so the
+DuckDB oracle is plain exact SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+from .extension_queries import _DUCK_WORDS_CTE, _words_col
+
+# ---------------------------------------------------------------------------
+# Heavy hitters over the token stream: find every word whose frequency
+# exceeds 1/_HH_K of all tokens. Exact groupBy-count works until the
+# vocabulary itself is too large to shuffle; the bounded-state answer is
+# Misra-Gries with _HH_K counters per partition. Guarantee (pigeonhole):
+# any word with global freq > N/_HH_K has freq > N_p/_HH_K in at least
+# one partition, so it survives that partition's sketch — the union of
+# per-partition candidates is a SUPERSET of the true heavy hitters.
+# Candidates (<= _HH_K per partition) are broadcast back for one exact
+# counting pass restricted to them. The threshold compare is pure
+# integer arithmetic (cnt * _HH_K > N) so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_HH_K = 50  # support threshold 1/50 = 2% of the token stream
+
+
+def _misra_gries_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries: at most _HH_K - 1 counters survive.
+
+    State lives across the partition's Arrow batches; emits only the
+    surviving candidate words (counts are NOT trustworthy estimates at
+    this point — the exact confirm pass computes real counts).
+    """
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for w in pdf["word"]:
+            if w in counters:
+                counters[w] += 1
+            elif len(counters) < _HH_K - 1:
+                counters[w] = 1
+            else:
+                # decrement-all step, dropping zeroed counters
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    yield pd.DataFrame({"word": list(counters.keys())})
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT UNNEST(w) AS word FROM words),
+n AS (SELECT count(*) AS n FROM tok)
+SELECT word, count(*) AS cnt,
+       round(count(*) * 1.0 / max(n.n), 6) AS frac
+FROM tok, n
+GROUP BY word
+HAVING count(*) * {_HH_K} > max(n.n)
+""",
+    doc=f"heavy hitters (tokens with > 1/{_HH_K} of the stream): "
+    "per-partition Misra-Gries sketch (bounded state, Arrow-batched "
+    "mapInPandas) emits a guaranteed candidate superset; candidates are "
+    "broadcast for one exact counting pass. The sketch bounds memory "
+    "when the vocabulary can't be shuffled; the confirm pass makes the "
+    "answer exact (== the oracle's plain HAVING query). Integer "
+    "threshold (cnt*K > N), no float compare",
+    tags=["sketch", "text"],
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(_words_col()).alias("word"))
+    candidates = (
+        tokens.mapInPandas(_misra_gries_candidates, "word string").distinct()
+    )
+    n = tokens.agg(F.count("*").alias("n"))
+    return (
+        tokens.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("frac"),
+        )
+    )

@@ -329,3 +329,39 @@ def test_bloom_decontaminate_equals_exact_join(spark):
         .count()
     )
     assert 0 < n_bits <= min(n_bench * len(_BLOOM_SEEDS), _BLOOM_M)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_candidates_are_superset_of_heavy_hitters(stream, n_parts):
+    """Union of per-partition Misra-Gries survivors must contain every
+    item with global frequency > N/K — the guarantee the exact-confirm
+    pass of heavy_hitters_tokens relies on."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.sketch_queries import (
+        _HH_K,
+        _misra_gries_candidates,
+    )
+
+    words = [f"w{x}" for x in stream]
+    chunk = max(1, len(words) // n_parts)
+    candidates = set()
+    for i in range(0, len(words), chunk):
+        part = words[i : i + chunk]
+        # feed each partition as two batches to exercise cross-batch state
+        mid = len(part) // 2
+        batches = iter(
+            [pd.DataFrame({"word": part[:mid]}), pd.DataFrame({"word": part[mid:]})]
+        )
+        for out in _misra_gries_candidates(batches):
+            candidates.update(out["word"])
+    counts = Counter(words)
+    n = len(words)
+    true_hh = {w for w, c in counts.items() if c * _HH_K > n}
+    assert true_hh <= candidates
