@@ -730,3 +730,187 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users cohorted by first-activity week, then for
+# each (cohort, week offset) the distinct-user count and the retention
+# rate against the cohort's base week. Two keyed shuffles (first-week
+# per user, then the cohort/offset count) — the user->cohort join keys
+# on user_id and the base-size join is cohort-cardinality-sized, i.e.
+# broadcast. date_trunc('week') is Monday-anchored on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM e GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT f.cohort_week, e.user_id,
+         CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS week_offset
+  FROM e JOIN first f USING (user_id)
+),
+counts AS (
+  SELECT cohort_week, week_offset, count(*) AS n_users
+  FROM act GROUP BY cohort_week, week_offset
+),
+base AS (
+  SELECT cohort_week, n_users AS base_users FROM counts WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_users,
+       round(c.n_users * 1.0 / b.base_users, 6) AS retention
+FROM counts c JOIN base b USING (cohort_week)
+""",
+    doc="weekly cohort retention matrix: first-activity week per user, "
+    "distinct active users per (cohort, week offset), rate vs the "
+    "cohort's base week. Keyed shuffles only (user_id, then cohort/"
+    "offset); the base-size join is cohort-count-sized so it "
+    "broadcasts. Monday-anchored date_trunc('week') on both engines",
+    tags=["analytics", "retention"],
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a
+        # midnight TIMESTAMP — align the output type.
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    counts = act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("base_users")
+    )
+    return counts.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("base_users"), 6).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment (md5 parity —
+# reproducible, balanced, no rand()), then mean lift and Welch's t
+# statistic between the arms. Numerical contract: values snap to BIGINT
+# micro-units first; per-arm n/sum/sum-of-squares are EXACT integer
+# aggregates (sum-of-squares in DECIMAL(38,0)/HUGEINT), and the float
+# math happens once, on the driver-sized 2-row frame, with identical
+# expression shape on both engines — no accumulation-order divergence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+WITH v AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) AS INT) % 2
+           AS variant,
+         CAST(round(value * 1e6) AS BIGINT) AS v6
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT variant, count(*) AS n, sum(v6) AS s6,
+         sum(CAST(v6 AS HUGEINT) * v6) AS q12
+  FROM v GROUP BY variant
+),
+m AS (
+  SELECT variant, n, s6 / 1e6 / n AS mean,
+         (CAST(q12 AS DOUBLE) / 1e12 - (s6 / 1e6) * (s6 / 1e6) / n) / (n - 1)
+           AS var
+  FROM s
+),
+p AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+    max(CASE WHEN variant = 0 THEN mean END) AS mean_a,
+    max(CASE WHEN variant = 1 THEN mean END) AS mean_b,
+    max(CASE WHEN variant = 0 THEN var END) AS var_a,
+    max(CASE WHEN variant = 1 THEN var END) AS var_b
+  FROM m
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_b - mean_a) / mean_a, 6) AS rel_lift,
+       round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 6) AS welch_t
+FROM p
+""",
+    doc="A/B readout with deterministic md5-parity assignment and "
+    "Welch's t: per-arm n/sum/sum-of-squares aggregated as EXACT "
+    "integers (micro-unit BIGINT + DECIMAL(38,0) squares), float math "
+    "only on the 2-row arm frame with identical expression shape both "
+    "engines. One keyed shuffle; assignment reproducible across runs "
+    "(no rand())",
+    tags=["stats", "experiment"],
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hk = F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast("binary"))
+    variant = (F.conv(F.substring(hk, 1, 1), 16, 10).cast("int") % 2).alias("variant")
+    v6 = F.round(F.col("value") * 1e6).cast("bigint").alias("v6")
+    s = (
+        e.select(variant, v6)
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v6").alias("s6"),
+            F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("q12"),
+        )
+    )
+    m = s.select(
+        "variant",
+        "n",
+        (F.col("s6") / 1e6 / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("q12").cast("double") / 1e12
+                - (F.col("s6") / 1e6) * (F.col("s6") / 1e6) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+
+    def pick(v, c):
+        return F.max(F.when(F.col("variant") == v, F.col(c)))
+
+    p = m.agg(
+        pick(0, "n").alias("n_a"),
+        pick(1, "n").alias("n_b"),
+        pick(0, "mean").alias("mean_a"),
+        pick(1, "mean").alias("mean_b"),
+        pick(0, "var").alias("var_a"),
+        pick(1, "var").alias("var_b"),
+    )
+    return p.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_b") - F.col("mean_a")) / F.col("mean_a"), 6).alias(
+            "rel_lift"
+        ),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            6,
+        ).alias("welch_t"),
+    )

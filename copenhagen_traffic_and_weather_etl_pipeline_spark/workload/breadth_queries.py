@@ -679,3 +679,124 @@ def hashed_feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return f.groupBy("feat", "bucket").agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations: the declarative rule suite (deequ/dbt-test
+# style) an ETL pipeline runs before publishing a table — uniqueness,
+# referential integrity, null guards, range guards, and distribution
+# guards, each reported as (rule, n_violations, passed). Scale shape:
+# all same-table rules share ONE conditional-aggregation scan (no
+# rule-per-pass rescans); the two referential rules are anti-join
+# counts keyed on the FK. The union of per-rule rows is driver-sized.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS rule,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'orders_orderdate_not_null', count(*) FILTER (o_orderdate IS NULL)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_fk_customer', count(*)
+  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*)
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem_quantity_in_1_50',
+         count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+  UNION ALL
+  SELECT 'events_value_le_150', count(*) FILTER (value > 150) FROM events
+  UNION ALL
+  SELECT 'documents_n_chars_consistent',
+         count(*) FILTER (n_chars <> len(text)) FROM documents
+  UNION ALL
+  SELECT 'documents_min_60_chars', count(*) FILTER (n_chars < 60)
+  FROM documents
+) t
+""",
+    doc="declarative data-quality expectations (deequ/dbt-test style): "
+    "uniqueness, FK integrity (anti-join counts), null/range guards, "
+    "and distribution guards, one row per rule with its violation "
+    "count. Same-table rules share a single conditional-aggregation "
+    "scan; nothing shuffles except the two FK anti-joins (keyed) — the "
+    "publish-gate an ETL pipeline runs before swapping a snapshot in",
+    tags=["quality", "etl"],
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    orders_rules = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orders_pk_unique"),
+        cnt(F.col("o_orderdate").isNull()).alias("orders_orderdate_not_null"),
+        cnt(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("orders_totalprice_positive"),
+    )
+    lineitem_rules = lineitem.agg(
+        cnt(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("lineitem_quantity_in_1_50")
+    )
+    events_rules = events.agg(
+        cnt(F.col("value") > 150).alias("events_value_le_150")
+    )
+    docs_rules = documents.agg(
+        cnt(F.col("n_chars") != F.length("text")).alias(
+            "documents_n_chars_consistent"
+        ),
+        cnt(F.col("n_chars") < 60).alias("documents_min_60_chars"),
+    )
+
+    def unpivot(df, names):
+        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        return df.selectExpr(
+            f"stack({len(names)}, {pairs}) as (rule, n_violations)"
+        )
+
+    fk_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("rule"), "n_violations")
+    )
+    fk_lineitem = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("rule"), "n_violations")
+    )
+    return (
+        unpivot(
+            orders_rules,
+            [
+                "orders_pk_unique",
+                "orders_orderdate_not_null",
+                "orders_totalprice_positive",
+            ],
+        )
+        .unionAll(fk_orders)
+        .unionAll(fk_lineitem)
+        .unionAll(unpivot(lineitem_rules, ["lineitem_quantity_in_1_50"]))
+        .unionAll(unpivot(events_rules, ["events_value_le_150"]))
+        .unionAll(
+            unpivot(
+                docs_rules,
+                ["documents_n_chars_consistent", "documents_min_60_chars"],
+            )
+        )
+    )
