@@ -800,3 +800,65 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain time rollup: hour/day/week aggregates of the event stream
+# from ONE scan via GROUPING SETS over pre-computed truncations — the
+# materialization pattern behind every metrics dashboard's grain
+# switcher. A single Expand + one keyed shuffle produces all three
+# grains; the naive alternative (three scans, three shuffles) triples
+# the cost at 100 TB. Buckets are emitted as strings so the sparse
+# (grain, bucket) matrix stays one flat column per axis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_rollup_multigrain",
+    oracle="""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+g AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_bucket,
+         value
+  FROM e
+)
+SELECT hour_bucket, day_bucket, week_bucket,
+       CAST(GROUPING(hour_bucket) * 4 + GROUPING(day_bucket) * 2
+            + GROUPING(week_bucket) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM g
+GROUP BY GROUPING SETS ((hour_bucket), (day_bucket), (week_bucket))
+""",
+    doc="multi-grain time rollup (hour/day/week) from one scan via "
+    "GROUPING SETS on pre-truncated buckets: single Expand node, one "
+    "keyed shuffle for all grains vs 3x scans done naively. The "
+    "dashboard-grain materialization pattern",
+    tags=["agg", "timeseries", "grouping-sets"],
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    g = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_bucket"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_bucket"
+        ),
+        "value",
+    )
+    return g.groupingSets(
+        [["hour_bucket"], ["day_bucket"], ["week_bucket"]],
+        "hour_bucket",
+        "day_bucket",
+        "week_bucket",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
