@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import load, register
-from .extension_queries import _duck_minhash_ctes, dedup_minhash_lsh
+from .extension_queries import _DUCK_WORDS_CTE, _duck_minhash_ctes, dedup_minhash_lsh
 
 # ---------------------------------------------------------------------------
 # Robust anomaly detection: median / MAD per event_type. Two grouped exact
@@ -913,4 +913,163 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
             6,
         ).alias("welch_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution: sessionize each user's stream (30-minute
+# inactivity gap), find the session's first event type, and attribute
+# every purchase in the session to it. Two keyed windows (gap flag +
+# running session id, then first-event lookup) over the same
+# (user_id)-partitioned sort — one shuffle, the second window reuses
+# the partitioning. The classic marketing-analytics join of
+# sessionization and conversion counting.
+# ---------------------------------------------------------------------------
+
+_ATTR_GAP_S = 1800
+
+
+@register(
+    "attribution_first_touch",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+g AS (
+  SELECT *,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_ATTR_GAP_S}
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+f AS (
+  SELECT *,
+         first_value(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS first_touch
+  FROM s
+)
+SELECT first_touch, count(*) AS n_purchases
+FROM f WHERE event_type = 'purchase'
+GROUP BY first_touch
+""",
+    doc="first-touch attribution: 30-min-gap sessionization (flag + "
+    "running sum windows), session's first event type attributed to "
+    "each purchase. Both windows share the user_id partitioning — one "
+    "shuffle; deterministic (ts, event_id) tie order on both engines",
+    tags=["analytics", "session"],
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    )
+    new_session = F.when(
+        gap.isNull() | (gap > _ATTR_GAP_S), 1
+    ).otherwise(0)
+    s = e.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    wf = (
+        W.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    f = s.withColumn("first_touch", F.first("event_type").over(wf))
+    return (
+        f.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI: pointwise mutual information of word pairs
+# sharing documents — the classic corpus-statistics signal behind
+# collocation mining and embedding evaluation. Candidate pairs come
+# from a per-doc DISTINCT-word self-join (bounded by per-doc vocab, not
+# doc length); support filtering happens BEFORE the log so only
+# frequent pairs pay the math. Scale: the pair space is capped by
+# blocking on doc_id (posting-list shape, same family as the n-gram
+# Jaccard join); document frequencies broadcast.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 25
+
+
+@register(
+    "pmi_token_pairs",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT DISTINCT doc_id, UNNEST(w) AS word FROM words),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+dfreq AS (SELECT word, count(*) AS df FROM tok GROUP BY word),
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS c_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING count(*) >= {_PMI_MIN_SUPPORT}
+)
+SELECT p.w1, p.w2, p.c_ab,
+       round(ln((p.c_ab * nd.n) / (f1.df * CAST(f2.df AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN dfreq f1 ON f1.word = p.w1
+JOIN dfreq f2 ON f2.word = p.w2
+CROSS JOIN nd
+""",
+    doc=f"document-level PMI of token pairs (support >= "
+    f"{_PMI_MIN_SUPPORT}): per-doc DISTINCT-word self-join blocked on "
+    "doc_id (posting-list candidate shape), document frequencies and "
+    "the doc count broadcast, log only after the support filter. "
+    "ln() applied to the identical double ratio on both engines",
+    tags=["text", "stats"],
+)
+def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extension_queries import _words_col
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_words_col()).alias("word")).distinct()
+    )
+    nd = tok.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    dfreq = tok.groupBy("word").agg(F.count("*").alias("df"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    )
+    f1 = dfreq.select(F.col("word").alias("w1"), F.col("df").alias("df1"))
+    f2 = dfreq.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n"))
+                    / (F.col("df1") * F.col("df2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )

@@ -623,3 +623,66 @@ def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bistat, "doc_id")
         .select("doc_id", "lang", verdict.alias("verdict"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (RAG / context-window prep): cut each
+# document's token stream into fixed-size chunks with a stride smaller
+# than the chunk (overlap keeps boundary context retrievable). Pure
+# JVM: sequence() generates chunk starts, slice() takes the window —
+# narrow explode per doc, no shuffle at all until a consumer
+# aggregates. Chunks are emitted as md5 digests + offsets, not
+# materialized text (at 100 TB you ship chunk COORDINATES to the
+# embedder, never a second copy of the corpus).
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+starts AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {_CHUNK_STRIDE})) AS start
+  FROM words WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(least(start + {_CHUNK_LEN}, len(w)) - start AS BIGINT) AS n_tok,
+       md5(array_to_string(w[start + 1 : least(start + {_CHUNK_LEN}, len(w))], ' '))
+         AS chunk_digest
+FROM starts
+""",
+    doc=f"overlapping chunking ({_CHUNK_LEN}-token chunks, stride "
+    f"{_CHUNK_STRIDE}): sequence() starts + slice() windows, all "
+    "JVM-side, narrow explode with zero shuffle. Emits offsets + md5 "
+    "digests rather than duplicated text — chunk coordinates, not a "
+    "second corpus copy",
+    tags=["training", "chunking"],
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words_col()
+    starts = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("start"),
+        )
+    )
+    n_tok = F.least(F.col("start") + _CHUNK_LEN, F.size("w")) - F.col("start")
+    chunk = F.slice(F.col("w"), F.col("start") + 1, F.lit(_CHUNK_LEN))
+    return starts.select(
+        "doc_id",
+        F.expr(f"start div {_CHUNK_STRIDE}").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        n_tok.cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_digest"),
+    )
