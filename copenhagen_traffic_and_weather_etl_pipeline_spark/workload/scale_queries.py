@@ -1473,3 +1473,85 @@ def set_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     finished_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_keys.exceptAll(finished_keys)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): learn coarse clusters with k-means,
+# then search for near-duplicate pairs ONLY within a cluster — the
+# learned-blocking variant of embedding dedup (vs the label-blocked and
+# LSH-bucket-blocked variants in extension_queries). At 100 TB the
+# cluster assignment is a broadcast-centroid projection and the pair
+# join is equi on cluster id — the pair space shrinks from O(n^2) to
+# sum over clusters of |c|^2, tunable via k. Oracle nests the unrolled
+# k-means SQL as a CTE and replays the same blocked cosine join.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.4
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=f"""
+WITH assign AS (
+{_duck_kmeans_sql()}
+),
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+j AS (
+  SELECT a.cluster, e.vec_id, e.embedding, e.nrm
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+)
+SELECT cluster, v1, v2, cosine FROM (
+  SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4) AS cosine
+  FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) t
+WHERE cosine >= {_SEMDEDUP_COS}
+""",
+    doc="SemDeDup-style semantic dedup: k-means coarse clusters as the "
+    "LEARNED blocking key, cosine pairs only within a cluster "
+    f"(threshold {_SEMDEDUP_COS}, rounded before comparing). Centroids "
+    "broadcast, pair join equi on cluster id — O(sum |c|^2), not "
+    "O(n^2); k tunes the block size. Completes the embedding-dedup "
+    "family: label-blocked, LSH-bucketed, and learned-cluster blocking",
+    tags=["dedup", "embedding", "clustering"],
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_clusters, kmeans_fit
+    from .extension_queries import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    assign = assign_clusters(e, centroids).select("vec_id", "cluster")
+    j = (
+        e.join(assign, "vec_id")
+        .select(
+            "cluster", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+    )
+    a, b = j.alias("a"), j.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEMDEDUP_COS)
+    )

@@ -101,3 +101,52 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("n"), 6).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity scoring: fit the corpus-level unigram model
+# (one word-count aggregation), then score each document by the
+# perplexity of its tokens under that model — the simplest statistical
+# ancestor of model-based quality filtering (docs far from the corpus
+# distribution score high). The model is vocabulary-sized, so the
+# probability lookup is a broadcast join; per-doc scoring is one keyed
+# aggregation. exp/ln run on identical double ratios on both engines,
+# rounded at 4 dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_perplexity",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT doc_id, UNNEST(w) AS word FROM words),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+lm AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(exp(-avg(ln(lm.c / n.n))), 4) AS perplexity
+FROM tok t JOIN lm ON lm.word = t.word CROSS JOIN n
+GROUP BY t.doc_id
+""",
+    doc="unigram-LM perplexity per document: corpus word counts are the "
+    "model (vocab-sized, broadcast), each doc scored by "
+    "exp(-mean log p(w)) — the statistical ancestor of model-based "
+    "quality filters; outlier docs surface with high perplexity. One "
+    "count agg + broadcast lookup + one keyed agg",
+    tags=["text", "quality", "sketch"],
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words_col()).alias("word"))
+    n = tok.agg(F.count("*").cast("double").alias("n"))
+    lm = tok.groupBy("word").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("c") / F.col("n")))), 4
+            ).alias("perplexity"),
+        )
+    )
