@@ -97,6 +97,34 @@ SHOWCASE = [
         "corpus-side shingle stream joins map-side with no shuffle of the "
         "big side — overlap counting is a hash agg keyed by doc_id.",
     ),
+    (
+        "decontaminate_bloom",
+        "The Bloom filter is the tiny DataFrame of set-bit positions, "
+        "broadcast three times as LEFT-SEMI probes (one per hash seed): "
+        "the corpus side streams map-only, and only bloom-positive "
+        "shingles reach the (also broadcast) exact confirm join.",
+    ),
+    (
+        "heavy_hitters_tokens",
+        "Misra-Gries candidates come from an ArrowEvalPython/mapInPandas "
+        "stage with bounded state; the exact confirm pass is a broadcast "
+        "LEFT-SEMI on the candidate set then one partial-combinable hash "
+        "agg — the full vocabulary is never shuffled.",
+    ),
+    (
+        "triangle_count_coorder",
+        "Degree-ordered wedge enumeration: edges orient via two broadcast "
+        "degree lookups, the wedge join and the closing-edge semi-join "
+        "are hash equi-joins on src / (wu, wv) — no cartesian, wedge "
+        "volume capped by the O(sqrt(m)) out-degree bound.",
+    ),
+    (
+        "interpolate_hourly_values",
+        "The raw scan collapses to the hourly aggregate FIRST; the spine "
+        "cross-join is broadcast (both sides tiny), both neighbour "
+        "windows are partitioned by event_type, and the value lookups "
+        "join the aggregate, not raw events.",
+    ),
 ]
 
 
