@@ -361,3 +361,27 @@ def test_triangle_count_is_all_equi_hash_joins(spark):
     # the scalar 1-row assemblies at the end are the only nested-loop
     # joins allowed; the wedge/closing joins must be hash equi-joins
     assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or tree.count("BroadcastHashJoin") >= 2
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
+    # The SemDeDup pair join must hash-join on the learned cluster id
+    # (blocking), never cartesian over the corpus.
+    plan = plan_of(spark, "dedup_semantic_kmeans")
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_narrow_no_shuffle(spark):
+    # Chunk generation is explode(sequence) + slice over the scan: any
+    # Exchange here would shuffle full documents before cutting them.
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_heavy_hitters_confirm_is_broadcast_semi(spark):
+    # The exact confirm pass must be a broadcast left-semi on the
+    # candidate set; the full vocabulary must never shuffle on word.
+    plan = plan_of(spark, "heavy_hitters_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan

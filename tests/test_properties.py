@@ -365,3 +365,36 @@ def test_misra_gries_candidates_are_superset_of_heavy_hitters(stream, n_parts):
     n = len(words)
     true_hh = {w for w, c in counts.items() if c * _HH_K > n}
     assert true_hh <= candidates
+
+
+def test_chunking_matches_python_reference(spark):
+    """Every chunk of every doc must match a pure-Python re-chunking of
+    the same whitespace tokenization: same starts, lengths, digests;
+    full coverage (union of chunks == token stream) and stride-sized
+    overlap between consecutive chunks."""
+    import hashlib
+    import re as _re
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY, load
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.training_queries import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    expected = {}
+    for doc_id, text in docs.items():
+        w = _re.sub(r"\s+", " ", text.strip()).split(" ") if text.strip() else []
+        for idx, start in enumerate(range(0, len(w), _CHUNK_STRIDE)):
+            chunk = w[start : start + _CHUNK_LEN]
+            digest = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            expected[(doc_id, idx)] = (start, len(chunk), digest)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tok"], r["chunk_digest"])
+        for r in REGISTRY["chunk_documents_overlap"].fn(spark, sf).collect()
+    }
+    assert got == expected
