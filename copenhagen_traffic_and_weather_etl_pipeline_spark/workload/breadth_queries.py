@@ -862,3 +862,103 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-user count per day WITHOUT a distinct-over-window
+# (which Spark refuses and which would hold per-partition hash sets at
+# scale): each user contributes 1 on their FIRST active day, and the
+# cumulative sum of new-user counts over the day spine equals the
+# running distinct count. Shuffles: one keyed agg (user first day), one
+# tiny day-level agg, one day-ordered running sum over |days| rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_distinct_users",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY first_day),
+days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events)
+SELECT days.day, coalesce(d.new_users, 0) AS new_users,
+       sum(coalesce(d.new_users, 0)) OVER (ORDER BY days.day
+           ROWS UNBOUNDED PRECEDING) AS cum_distinct_users
+FROM days LEFT JOIN d USING (day)
+""",
+    doc="running distinct users per day via first-day attribution + "
+    "cumulative sum — the scale-safe rewrite of COUNT(DISTINCT) OVER "
+    "(ORDER BY day): no per-row dedup state, the only unpartitioned "
+    "window runs over the |days|-sized aggregate, not raw events",
+    tags=["window", "analytics"],
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    j = days.join(d, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_distinct_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-supply-chain revenue (TPC-H Q5 family): five-way star join
+# (lineitem -> orders -> customer, lineitem -> supplier -> nation) with
+# the LOCAL constraint c_nationkey = s_nationkey. The fact chain
+# shuffles on its join keys once; customer, supplier, and nation are
+# dimension-sized and broadcast — Catalyst orders the joins so the
+# selective local filter applies before the wide aggregation. Exercises
+# every remaining testdata dimension (supplier had no query until now).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supply_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+    doc="TPC-H-Q5-style local-supply revenue: 5-way join with the "
+    "customer-nation == supplier-nation constraint; customer/supplier/"
+    "nation broadcast, the fact chain shuffles once on its keys, "
+    "aggregation is partial-combinable on n_name. First query to "
+    "exercise the supplier dimension",
+    tags=["join", "tpch"],
+)
+def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
