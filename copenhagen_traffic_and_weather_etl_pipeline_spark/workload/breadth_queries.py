@@ -962,3 +962,100 @@ def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfilment-latency profile: days between order date and line-item
+# ship date, aggregated per order priority — date arithmetic + keyed
+# agg on the orders/lineitem join (fact-fact, but orders is the smaller
+# fact and the join key is its primary key; the aggregate itself is
+# priority-cardinality-sized). Exact integer day diffs; the mean is
+# emitted in exact micro-day units to avoid float-division divergence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ship_delay_by_priority",
+    oracle="""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n,
+       min(delay_days) AS min_delay,
+       max(delay_days) AS max_delay,
+       ((2 * sum(delay_days) * 1000000 + count(*)) // (2 * count(*))) / 1e6
+         AS avg_delay_days
+FROM j GROUP BY o_orderpriority
+""",
+    doc="fulfilment latency per order priority: integer day diffs "
+    "(orderdate -> shipdate), min/max/mean; the mean is computed in "
+    "exact integer micro-day arithmetic. One keyed join + one "
+    "priority-sized aggregation",
+    tags=["agg", "temporal"],
+)
+def ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("delay_days").alias("min_delay"),
+        F.max("delay_days").alias("max_delay"),
+        (
+            F.expr("(2 * sum(delay_days) * 1000000 + count(*)) div (2 * count(*))")
+            / 1e6
+        ).alias("avg_delay_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth: monthly aggregate, then lag() over
+# the month-ordered spine. The unpartitioned window is |months|-sized
+# (runs on the aggregate, not raw rows) — the same collapse-then-window
+# discipline as running_distinct_users and the Pareto skyline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m')
+           AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+FROM m
+""",
+    doc="month-over-month revenue growth: monthly sum first (raw rows "
+    "collapse to |months|), lag + ratio over the tiny ordered spine — "
+    "unpartitioned window only ever sees the aggregate",
+    tags=["window", "timeseries"],
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
