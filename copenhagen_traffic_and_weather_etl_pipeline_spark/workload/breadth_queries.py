@@ -1059,3 +1059,50 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users: COUNT(DISTINCT) over a sliding RANGE
+# frame has no scale-safe window form (per-row dedup state). The
+# distributed rewrite: dedup to (user, day) FIRST, then interval-join
+# that aggregate against the tiny day spine (spine broadcast, so the
+# non-equi range condition is a broadcast join over |users x days|
+# rows, not raw events), then count distinct per spine day. The same
+# collapse-then-join discipline as the other spine queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+spine AS (SELECT DISTINCT day FROM ud)
+SELECT s.day, count(DISTINCT ud.user_id) AS active_7d
+FROM spine s
+JOIN ud ON ud.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day
+""",
+    doc="rolling 7-day distinct users: the scale-safe rewrite of "
+    "COUNT(DISTINCT) OVER (RANGE 7 days) — dedup to (user, day), "
+    "interval-join against the broadcast day spine, count distinct per "
+    "day. Work is |user-days| x 7, never per-row dedup state in a "
+    "window",
+    tags=["window", "analytics", "temporal"],
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = ud.select("day").distinct().select(F.col("day").alias("sday"))
+    return (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.date_sub(F.col("sday"), 6))
+            & (F.col("day") <= F.col("sday")),
+        )
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("sday").alias("day"), "active_7d")
+    )
