@@ -1106,3 +1106,44 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.col("sday").alias("day"), "active_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions not covered by window_rank_suite:
+# cume_dist (fraction of peers at-or-below) and nth_value (the
+# partition's 2nd-highest price as a per-row reference). Same keyed
+# discipline: one customer-partitioned sort serves both functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(cume_dist() OVER w, 6) AS cdist,
+       nth_value(round(o_totalprice, 2), 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_highest
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="cume_dist + nth_value(2) per customer ordered by price "
+    "(deterministic o_orderkey tiebreak; the nth_value frame is "
+    "explicit ROWS UNBOUNDED PRECEDING..CURRENT so both engines use "
+    "the same default-frame semantics). One keyed window sort",
+    tags=["window", "rank"],
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value(F.round(F.col("o_totalprice"), 2), 2)
+        .over(wf)
+        .alias("second_highest"),
+    )
