@@ -1147,3 +1147,77 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wf)
         .alias("second_highest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew profile: the measurement that justifies (or rules
+# out) salting/AQE-skew-join before a big shuffle. For each candidate
+# key, one keyed count collapses the table to per-key cardinalities;
+# the profile (key count, max share, normalized entropy) is computed on
+# that aggregate. Normalized entropy ~1.0 => uniform (hash-partition
+# freely); low entropy + high max share => salt or skew-join. The
+# per-key aggregate is exactly the map-side-combinable count a real
+# shuffle would do — profiling costs one pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_profile",
+    oracle="""
+WITH e AS (
+  SELECT 'events.user_id' AS keyspace, CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+),
+c AS (SELECT keyspace, k, count(*) AS c FROM e GROUP BY keyspace, k),
+s AS (
+  SELECT keyspace, count(*) AS n_keys, sum(c) AS total, max(c) AS max_rows
+  FROM c GROUP BY keyspace
+)
+SELECT c.keyspace,
+       max(s.n_keys) AS n_keys,
+       max(s.total) AS total_rows,
+       max(s.max_rows) AS max_rows,
+       round(max(s.max_rows) * 1.0 / max(s.total), 6) AS max_share,
+       round(-sum((c.c * 1.0 / s.total) * ln(c.c * 1.0 / s.total))
+             / ln(max(s.n_keys)), 4) AS norm_entropy
+FROM c JOIN s USING (keyspace)
+GROUP BY c.keyspace
+""",
+    doc="shuffle-key skew profile (events.user_id, lineitem.l_orderkey): "
+    "per-key counts -> key count, max key share, normalized Shannon "
+    "entropy. Near-1 entropy => safe to hash-partition; high max_share "
+    "=> salt (salted_group_count/salted_join_segments are the "
+    "remedies). One map-side-combinable count per keyspace; stats run "
+    "on the per-key aggregate",
+    tags=["skew", "profiling"],
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("keyspace"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("keyspace"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    c = ev.unionAll(li).groupBy("keyspace", "k").agg(F.count("*").alias("c"))
+    s = c.groupBy("keyspace").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_rows"),
+    )
+    p = F.col("c") / F.col("total")
+    return (
+        c.join(F.broadcast(s), "keyspace")
+        .groupBy("keyspace")
+        .agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("total").alias("total_rows"),
+            F.max("max_rows").alias("max_rows"),
+            F.round(F.max("max_rows") / F.max("total"), 6).alias("max_share"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.max("n_keys")), 4
+            ).alias("norm_entropy"),
+        )
+    )
