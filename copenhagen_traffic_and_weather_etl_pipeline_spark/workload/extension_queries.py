@@ -1797,3 +1797,96 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n6") / 1e6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outliers: cosine of every vector to its OWN label
+# centroid; low similarity = candidate mislabel/noise (the
+# embedding-space pruning step of corpus curation). Centroids come from
+# one posexplode + (label, dim) aggregation — k*dim rows, broadcast
+# back; no driver-side math. The oracle rebuilds identical centroids
+# with per-dim avg (rounded to 6 dp on both engines before the cosine
+# so the tiny aggregation-order float drift cannot cross the rounding).
+# ---------------------------------------------------------------------------
+
+_CENTROID_OUTLIER_COS = 0.5
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT label, i, round(avg(v[i]), 6) AS m
+  FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS cv,
+         sqrt(list_sum(list_transform(list(m ORDER BY i), x -> x * x))) AS cnrm
+  FROM m GROUP BY label
+),
+j AS (
+  SELECT p.vec_id, p.label,
+         round(list_sum(list_transform(range(1, len(p.v) + 1),
+               i -> p.v[i] * c.cv[i]))
+               / ({_DUCK_NORM.format(a='p.v')} * c.cnrm), 4) AS cos_centroid
+  FROM pts p JOIN cent c USING (label)
+)
+SELECT vec_id, label, cos_centroid,
+       CAST(cos_centroid < {_CENTROID_OUTLIER_COS} AS BOOLEAN) AS is_outlier
+FROM j
+""",
+    doc="embedding-space outlier scoring: cosine to the own-label "
+    "centroid (per-dim avg rounded to 6 dp both engines), flag below "
+    f"{_CENTROID_OUTLIER_COS}. Centroid build is one (label, dim) "
+    "aggregation — k*dim rows — broadcast back; the corpus side is one "
+    "narrow pass. The curation step that prunes mislabeled/noisy "
+    "vectors before dedup or ANN indexing",
+    tags=["embedding", "quality"],
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select(
+        "label", F.posexplode("v").alias("i", "x")
+    )
+    m = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("m"))
+    cent = (
+        m.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("im")
+        )
+        .select(
+            "label",
+            F.transform(F.col("im"), lambda s: s.getField("m")).alias("cv"),
+        )
+        .select(
+            "label",
+            "cv",
+            F.sqrt(
+                F.aggregate(
+                    F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("cnrm"),
+        )
+    )
+    j = e.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (_norm(F.col("v")) * F.col("cnrm")), 4)
+    return j.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_centroid"),
+        (cos < _CENTROID_OUTLIER_COS).alias("is_outlier"),
+    )

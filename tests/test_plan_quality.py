@@ -385,3 +385,12 @@ def test_heavy_hitters_confirm_is_broadcast_semi(spark):
     plan = plan_of(spark, "heavy_hitters_tokens")
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_local_supply_star_join_broadcasts_all_dims(spark):
+    # customer, supplier, nation must all arrive as broadcast hash
+    # joins; only the lineitem-orders fact chain may shuffle.
+    plan = plan_of(spark, "local_supply_revenue")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
