@@ -1073,3 +1073,79 @@ def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: per-user time from first 'view' to first subsequent
+# 'purchase', profiled as exact percentiles. Two tiny conditional
+# aggregations per user (first view ts, first purchase-after-view ts)
+# in ONE pass via min-of-CASE, then a global percentile over the
+# |users|-sized latency frame — raw events are scanned once, keyed by
+# user_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+u AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM e GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         min(e.ts) AS first_purchase
+  FROM e JOIN u ON e.user_id = u.user_id
+  WHERE e.event_type = 'purchase' AND u.first_view IS NOT NULL
+    AND e.ts >= u.first_view
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT round(epoch(p.first_purchase) - epoch(u.first_view), 6) AS latency_s
+  FROM p JOIN u USING (user_id)
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.50), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.90), 4) AS p90_s,
+       round(quantile_cont(latency_s, 0.99), 4) AS p99_s
+FROM lat
+""",
+    doc="view->purchase funnel latency: first view per user (min-of-"
+    "CASE), first purchase at-or-after it, exact interpolated "
+    "p50/p90/p99 over the |users|-sized latency frame. One keyed scan "
+    "+ one keyed filter-join; percentiles run on the aggregate",
+    tags=["analytics", "funnel", "stats"],
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    p = (
+        e.join(u, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = p.join(u, "user_id").select(
+        F.round(
+            F.col("first_purchase").cast("double")
+            - F.col("first_view").cast("double"),
+            6,
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.50)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.90)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 4).alias("p99_s"),
+    )
