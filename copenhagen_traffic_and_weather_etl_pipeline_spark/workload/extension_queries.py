@@ -1890,3 +1890,95 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos.alias("cos_centroid"),
         (cos < _CENTROID_OUTLIER_COS).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH-bucket search against the
+# brute-force ground truth for the standard query vector — the
+# measurement that tells you whether 8 hyperplanes are enough or you
+# need multi-probe/rotated plane sets. Both the candidate search (query
+# bucket only) and the truth (full scan top-k) are TakeOrdered-shaped;
+# the recall is an integer intersection count over two k-sized frames.
+# Companion to dedup_method_eval (which does the same for MinHash-LSH).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, CAST({_duck_bucket_bits()} AS BIGINT) AS qbucket
+  FROM embeddings WHERE vec_id = {_TOPK_QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         CAST({_duck_bucket_bits('e.embedding')} AS BIGINT) AS bucket_id,
+         {_DUCK_DOT.format(a='e.embedding', b='qe')}
+           / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='qe')}) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> {_TOPK_QUERY_VEC_ID}
+),
+truth AS (
+  SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
+),
+ann AS (
+  SELECT s.vec_id FROM scored s, q
+  WHERE s.bucket_id = q.qbucket
+  ORDER BY s.cos DESC, s.vec_id LIMIT {_TOPK_K}
+)
+SELECT (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM ann) AS n_ann,
+       (SELECT count(*) FROM ann JOIN truth USING (vec_id)) AS n_overlap,
+       round((SELECT count(*) FROM ann JOIN truth USING (vec_id)) * 1.0
+             / {_TOPK_K}, 6) AS recall_at_k
+""",
+    doc=f"recall@{_TOPK_K} of LSH-bucket ANN vs brute-force ground "
+    "truth for the standard query vector: candidates restricted to the "
+    "query's bucket, truth from the full scan, recall = integer "
+    "intersection / k. The evaluation harness for tuning plane count / "
+    "multi-probe — companion to dedup_method_eval",
+    tags=["similarity", "lsh", "eval"],
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _TOPK_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _TOPK_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _bucket_col(F.col("embedding")).alias("bucket_id"),
+            "qbucket",
+            cos.alias("cos"),
+        )
+    )
+    truth = (
+        scored.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(_TOPK_K)
+        .select("vec_id")
+    )
+    ann = (
+        scored.filter(F.col("bucket_id") == F.col("qbucket"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(_TOPK_K)
+        .select("vec_id")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_ann = ann.agg(F.count("*").alias("n_ann"))
+    overlap = ann.join(truth, "vec_id").agg(F.count("*").alias("n_overlap"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_ann))
+        .crossJoin(F.broadcast(overlap))
+        .select(
+            "n_truth",
+            "n_ann",
+            "n_overlap",
+            F.round(F.col("n_overlap") / _TOPK_K, 6).alias("recall_at_k"),
+        )
+    )
