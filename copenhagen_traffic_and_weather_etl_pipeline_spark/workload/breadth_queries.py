@@ -1221,3 +1221,70 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: refresh a per-key aggregate by
+# merging the stored base aggregate with the aggregate of ONLY the new
+# partition — the algebraic-MV pattern (sum/count are mergeable
+# partials) that turns an O(history) nightly recompute into O(delta).
+# Here the last event day plays the delta; the query materializes base
+# and delta aggregates separately and merges — the oracle recomputes
+# from scratch, proving merge == full recompute. avg is re-derived
+# from merged sum/count in exact micro-unit integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(round(value * 1e6) AS BIGINT) AS v6
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, count(*) AS n, sum(v6) AS sum_v6,
+       ((2 * sum(v6) + count(*)) // (2 * count(*))) / 1e6 AS avg_value
+FROM e GROUP BY event_type
+""",
+    doc="incremental aggregate maintenance: base (all days but last) "
+    "and delta (last day) aggregates merged by summing partials — "
+    "count/sum are algebraic, avg re-derived from merged exact "
+    "micro-unit integers. Oracle recomputes from scratch: merge == "
+    "full recompute, the O(delta)-per-tick refresh contract. Partition "
+    "pruning makes the delta scan touch one day at 100 TB",
+    tags=["incremental", "agg"],
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("v6"),
+        )
+    )
+    last_day = e.agg(F.max("day").alias("cutoff"))
+    ec = e.crossJoin(F.broadcast(last_day))
+    base = (
+        ec.filter(F.col("day") < F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("v6").alias("sum_v6"))
+    )
+    delta = (
+        ec.filter(F.col("day") == F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("v6").alias("sum_v6"))
+    )
+    merged = (
+        base.unionAll(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_v6").alias("sum_v6"))
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        "sum_v6",
+        (F.expr("(2 * sum_v6 + n) div (2 * n)") / 1e6).alias("avg_value"),
+    )
