@@ -80,6 +80,7 @@ from . import training_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import breadth_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401
+from . import geo_cdc_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50

@@ -394,3 +394,46 @@ def test_local_supply_star_join_broadcasts_all_dims(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_is_equi_full_outer(spark):
+    # MERGE must compile to ONE equi full-outer join on the merge key —
+    # no cartesian, no per-op join fan-out.
+    plan = plan_of(spark, "merge_upsert_cdc")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") <= 2  # the one merge join (+ node label line)
+
+
+def test_contiguous_ids_avoid_global_sort_funnel(spark):
+    # The window over the fact table must be partitioned by the range
+    # bucket; the only single-partition stages are over the
+    # bucket-cardinality aggregate (N/4096 rows), and the offsets come
+    # back via broadcast.
+    import re
+
+    plan = plan_of(spark, "assign_contiguous_ids")
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("bucket" in s and "o_orderkey" in s for s in specs), (
+        "fact-table ranking must partition by the range bucket"
+    )
+
+
+def test_geo_cell_density_is_take_ordered_partial_agg(spark):
+    plan = plan_of(spark, "geo_cell_density")
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 2  # partial + final
+
+
+def test_nearest_station_is_join_free(spark):
+    # 20 stations fold into the projection as literals: the argmin is
+    # array_min over literal expressions — the plan must contain NO join
+    # and NO shuffle except the final 20-key count aggregation.
+    plan = plan_of(spark, "nearest_station_events")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "CartesianProduct" not in plan
+    assert tree.count("Exchange") <= 1
