@@ -686,3 +686,132 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction: the first two byte-pair-encoding merges learned
+# from the corpus — the core computation of tokenizer training. The
+# scale-critical trick (Sennrich et al. 2016) is to run everything over
+# the WORD-FREQUENCY table, never the corpus: pair statistics are
+# sum(word_freq) aggregations over O(vocab) rows, each learned merge is
+# broadcast (1 row) and applied with two string-replace passes, and the
+# argmax is TakeOrderedAndProject(1). Two iterations are unrolled; a
+# production loop would iterate the same two stages driver-side with
+# the vocab frame cached (merge decisions are model-sized, like the
+# k-means centroids). Merge application uses the spaced-symbol string
+# form (" h e l l o ") where replacing " l l " with " ll " is exactly
+# one BPE merge; two replace passes make adjacent odd/even occurrences
+# converge identically on both engines (left-to-right non-overlapping
+# replace semantics are the same in the JVM and DuckDB).
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_SQL = """
+  SELECT split_part(p, '~', 1) AS l, split_part(p, '~', 2) AS r,
+         sum(f) AS cnt
+  FROM (
+    SELECT UNNEST(list_transform(range(1, len(a)),
+                                 i -> a[i] || '~' || a[i+1])) AS p, f
+    FROM (SELECT string_split(trim(s), ' ') AS a, f FROM {src})
+    WHERE len(a) >= 2
+  ) GROUP BY 1, 2
+"""
+
+
+@register(
+    "bpe_pair_merges",
+    oracle=f"""
+WITH words0 AS (
+  SELECT lower(tok) AS w FROM (
+    SELECT UNNEST(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                  ' ')) AS tok
+    FROM documents
+  )
+),
+words AS (
+  SELECT w, count(*) AS f FROM words0
+  WHERE regexp_matches(w, '^[a-z]{{2,12}}$') GROUP BY w
+),
+sp AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, f FROM words),
+p1 AS ({_BPE_PAIRS_SQL.format(src="sp")}),
+m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+sp2 AS (
+  SELECT replace(replace(sp.s,
+                         ' ' || m1.l || ' ' || m1.r || ' ',
+                         ' ' || m1.l || m1.r || ' '),
+                 ' ' || m1.l || ' ' || m1.r || ' ',
+                 ' ' || m1.l || m1.r || ' ') AS s,
+         sp.f
+  FROM sp CROSS JOIN m1
+),
+p2 AS ({_BPE_PAIRS_SQL.format(src="sp2")}),
+m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1)
+SELECT 1 AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1
+UNION ALL
+SELECT 2 AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m2
+""",
+    doc="first two BPE merges over the word-frequency table: spaced "
+    "symbol strings, freq-weighted adjacent-pair counts (map-side "
+    "combine over O(vocab) rows), argmax via TakeOrdered(1) with "
+    "(count desc, pair asc) tie-break, merge applied by two broadcast "
+    "string-replace passes. O(vocab) per merge, never O(corpus)",
+    tags=["training", "tokenizer", "bpe"],
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_words_col()).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,12}$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    sp = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+        "f",
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("a", F.split(F.trim(F.col("s")), " "))
+            .filter(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a)-1), "
+                        "i -> concat(element_at(a, i), '~', element_at(a, i+1)))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p")
+            .agg(F.sum("f").alias("cnt"))
+            .select(
+                F.split("p", "~").getItem(0).alias("l"),
+                F.split("p", "~").getItem(1).alias("r"),
+                "cnt",
+            )
+        )
+
+    def top1(pc: DataFrame) -> DataFrame:
+        return pc.orderBy(F.desc("cnt"), "l", "r").limit(1)
+
+    m1 = top1(pair_counts(sp))
+    merged1 = sp.crossJoin(
+        F.broadcast(m1.select(F.col("l").alias("ml"), F.col("r").alias("mr")))
+    )
+    pat = F.concat(F.lit(" "), F.col("ml"), F.lit(" "), F.col("mr"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("ml"), F.col("mr"), F.lit(" "))
+    sp2 = merged1.select(
+        F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "f"
+    )
+    m2 = top1(pair_counts(sp2))
+
+    def row(step: int, m: DataFrame) -> DataFrame:
+        return m.select(
+            F.lit(step).alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+
+    return row(1, m1).unionAll(row(2, m2))

@@ -437,3 +437,14 @@ def test_nearest_station_is_join_free(spark):
     assert "Join" not in tree
     assert "CartesianProduct" not in plan
     assert tree.count("Exchange") <= 1
+
+
+def test_bpe_merges_are_takeordered_argmax_with_broadcast_apply(spark):
+    # Pair stats aggregate O(vocab) rows with a partial phase, each
+    # argmax is TakeOrderedAndProject(1), and the learned merge comes
+    # back as a broadcast single row — never a shuffle of the vocab on
+    # the merge pair.
+    plan = plan_of(spark, "bpe_pair_merges")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
