@@ -153,6 +153,24 @@ def compact_table_zorder(
     return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
 
 
+def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose schema evolved across appends (new
+    columns added by later ticks — the reference's upstream APIs add
+    fields without notice; TomTom's ``@version`` bumps are the live
+    example).
+
+    ``mergeSchema=true`` unions the footers of every file: rows written
+    before a column existed surface it as NULL, so downstream queries
+    never break on mixed-vintage partitions. Scale note: footer merging
+    reads one footer per file (driver-side listing + distributed footer
+    reads) — at 100 TB keep it off (Spark's default) for steady-state
+    scans and pin the evolved schema explicitly via
+    ``spark.read.schema(...)`` once the evolution is known; this helper
+    is for the transition window and ad-hoc exploration.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
     """S7: declarative table creation mirroring
     bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's

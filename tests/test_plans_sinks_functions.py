@@ -186,3 +186,32 @@ def test_zorder_compaction_shrinks_both_columns_spans(spark, tmp_path):
     # boundary slack).
     assert avg_y < 0.5 * domain, f"y span not clustered: {avg_y}"
     assert avg_x < 0.5 * domain, f"x span not clustered: {avg_x}"
+
+
+def test_schema_evolution_across_appends(spark, tmp_path):
+    # A later tick starts writing an extra column; mergeSchema reads
+    # must surface it (NULL for pre-evolution rows) and keep working
+    # predicates on both vintages.
+    from pyspark.sql import Row, functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        append_table,
+        read_table_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    append_table(v1, path)
+    v2 = spark.createDataFrame([Row(k=3, v="c", extra=30), Row(k=4, v="d", extra=40)])
+    append_table(v2, path)
+
+    out = read_table_evolved(spark, path)
+    assert set(out.columns) == {"k", "v", "extra"}
+    rows = {r.k: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1].extra is None and rows[3].extra == 30
+    # Predicates on the evolved column only match post-evolution rows.
+    assert out.filter(F.col("extra") >= 30).count() == 2
+    # Pinning the merged schema reads the same data without footer merge.
+    pinned = spark.read.schema(out.schema).parquet(path)
+    assert pinned.count() == 4
