@@ -208,5 +208,40 @@ SHOWCASE += [
 ]
 
 
+
+
+SHOWCASE += [
+    (
+        "merge_upsert_cdc",
+        "MERGE INTO semantics in ONE equi full-outer join on the merge "
+        "key: deletes filter post-join, updates/inserts coalesce — no "
+        "per-op join fan-out, no cartesian; at 100 TB the target side "
+        "is additionally bucket-prunable by the CDC key range.",
+    ),
+    (
+        "assign_contiguous_ids",
+        "Gap-free IDs without a global sort funnel: local rank windows "
+        "partition by the logical range bucket, the only unpartitioned "
+        "window runs over bucket-cardinality rows (N/4096), and bucket "
+        "offsets return via broadcast.",
+    ),
+    (
+        "nearest_station_events",
+        "Nearest-of-20-stations with a join-free tree: the station list "
+        "folds into the projection as literal expressions, array_min "
+        "picks the argmin in exact integers, and the only exchange is "
+        "the final 20-key count.",
+    ),
+    (
+        "bpe_pair_merges",
+        "BPE induction over the word-frequency table: pair counts are "
+        "partial-combinable aggs over O(vocab) rows, each argmax is "
+        "TakeOrderedAndProject(1), and learned merges apply via "
+        "broadcast string-replace — the corpus is scanned once to build "
+        "word frequencies and never again.",
+    ),
+]
+
+
 if __name__ == "__main__":
     raise SystemExit(main())
