@@ -398,3 +398,116 @@ def test_chunking_matches_python_reference(spark):
         for r in REGISTRY["chunk_documents_overlap"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_merges vs a canonical pure-Python BPE learner. The Python
+# reference applies merges the textbook way (left-to-right greedy scan
+# within each word); generated words keep symbol runs <= 3, the regime
+# where the query's two-pass string-replace provably converges to the
+# same result — so agreement here means the Spark procedure IS
+# canonical BPE (argmax tie-break included) on such corpora.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_freqs: dict[str, int]) -> list[tuple[str, str, int]]:
+    def pair_counts(seqs: dict[tuple, int]):
+        counts: dict[tuple, int] = {}
+        for seq, f in seqs.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = counts.get((seq[i], seq[i + 1]), 0) + f
+        return counts
+
+    def apply(seq: tuple, pair: tuple) -> tuple:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                out.append(seq[i] + seq[i + 1])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return tuple(out)
+
+    seqs = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(2):
+        counts = pair_counts(seqs)
+        if not counts:
+            break
+        # tie-break: highest count, then lexicographically smallest pair
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append((best[0], best[1], top))
+        seqs = {apply(s, best): f for s, f in seqs.items()}
+    return merges
+
+
+_bpe_word = st.lists(st.sampled_from("abcd"), min_size=2, max_size=6).map("".join).filter(
+    lambda w: all(w[i : i + 4] != w[i] * 4 for i in range(len(w)))
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(_bpe_word, min_size=3, max_size=12), min_size=2, max_size=5))
+def test_bpe_merges_match_canonical_reference(spark, tmp_path_factory, docs):
+    from collections import Counter
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    sf_dir = tmp_path_factory.mktemp("bpe_sf")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "documents.parquet"))
+
+    got = sorted(
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in REGISTRY["bpe_pair_merges"].fn(spark, str(sf_dir)).collect()
+    )
+
+    freqs = Counter(w for ws in docs for w in ws)
+    want = [
+        (i + 1, l, r, c) for i, (l, r, c) in enumerate(_bpe_reference(dict(freqs)))
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# assign_contiguous_ids vs global rank on adversarial key sets: huge
+# gaps (empty buckets), all keys inside one bucket, and keys straddling
+# bucket boundaries must all produce the exact 1..N ranking.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_contiguous_ids_are_exact_global_rank(spark, tmp_path_factory, keys):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    sf_dir = tmp_path_factory.mktemp("ids_sf")
+    spark.createDataFrame([(k,) for k in keys], "o_orderkey long").write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "orders.parquet"))
+
+    got = {
+        r.o_orderkey: r.seq_id
+        for r in REGISTRY["assign_contiguous_ids"].fn(spark, str(sf_dir)).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
