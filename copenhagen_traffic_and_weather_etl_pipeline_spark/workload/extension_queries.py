@@ -1982,3 +1982,101 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_overlap") / _TOPK_K, 6).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score every document against a fixed query-term set
+# and return the top 15 — the lexical-retrieval op behind RAG corpus
+# search, distinct from tfidf_top_terms (per-doc keyword extraction).
+# Scale shape: term postings (docs containing a query term) are the
+# only rows that flow past the tf aggregation; document length joins
+# in doc-keyed; the df/N statistics are term-cardinality and broadcast;
+# top-k is TakeOrderedAndProject. Float determinism: every double op
+# is written identically for both engines and the three per-term
+# contributions combine in a FIXED order (s_join + s_vector +
+# s_stream), never a float SUM whose order the engine picks; ln() runs
+# on the identical double ratio (the pmi_token_pairs precedent).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_TOPK = 15
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT doc_id, UNNEST(w) AS w FROM words),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('join', 'vector', 'stream') GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.w,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / CAST(s.n_docs AS DOUBLE))))
+           AS sc
+  FROM tf t
+  JOIN dfreq f ON t.w = f.w
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+combined AS (
+  SELECT doc_id,
+         sum(CASE WHEN w = 'join' THEN sc ELSE 0.0 END)
+           + sum(CASE WHEN w = 'vector' THEN sc ELSE 0.0 END)
+           + sum(CASE WHEN w = 'stream' THEN sc ELSE 0.0 END) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM combined
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+    doc=f"BM25 (k1=1.2, b=0.75) over query terms {_BM25_TERMS}: term "
+    "postings aggregate tf, df/N broadcast as term-cardinality stats, "
+    "doc-length joins doc-keyed, per-term scores combine in a fixed "
+    f"order, top {_BM25_TOPK} via TakeOrderedAndProject",
+    tags=["text", "retrieval", "bm25"],
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words_col()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    sc = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", sc.alias("sc"))
+    )
+    term_sum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("w") == t, F.col("sc")).otherwise(F.lit(0.0))
+    )
+    combined = scored.groupBy("doc_id").agg(
+        (term_sum("join") + term_sum("vector") + term_sum("stream")).alias("score")
+    )
+    return (
+        combined.orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

@@ -1555,3 +1555,47 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _SEMDEDUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (Greenwald-Khanna / KLL-family sketch behind
+# percentile_approx). Same contract as approx_distinct_users: the raw
+# sketch estimate is engine-specific, so the checked columns are the
+# exact interpolated percentiles plus a WITHIN-BOUND verdict on the
+# sketch — |approx - exact| within 5% of the group's value range.
+# accuracy=10000 bounds rank error at 1e-4, orders of magnitude inside
+# the gate for these group sizes, and the sketch is deterministic for
+# fixed data. At 100 TB the sketch is the only viable path (mergeable,
+# constant memory per group); the exact percentile here is the oracle
+# anchor, not the production plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_quantile_value",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.9), 4) AS p90_exact,
+       TRUE AS approx_within_bounds
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+    doc="percentile_approx (accuracy=10000) vs exact interpolated "
+    "p50/p90 of events.value per event_type: exact values checked, "
+    "sketch gated within 5% of the group's value range. The mergeable "
+    "constant-memory sketch is the 100 TB path; exact is the anchor",
+    tags=["agg", "approx", "percentile"],
+)
+def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rng = F.max("value") - F.min("value")
+    within = lambda q: (  # noqa: E731
+        F.abs(F.percentile_approx("value", q, 10000) - F.percentile("value", q))
+        <= rng * 0.05
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50_exact"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90_exact"),
+        (within(0.5) & within(0.9)).alias("approx_within_bounds"),
+    )

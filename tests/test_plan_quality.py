@@ -448,3 +448,22 @@ def test_bpe_merges_are_takeordered_argmax_with_broadcast_apply(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_broadcast_and_topk_is_take_ordered(spark):
+    # df/N stats arrive broadcast; top-k is TakeOrderedAndProject; the
+    # corpus never shuffles on the query terms (postings aggregate
+    # carries only term-matching rows).
+    plan = plan_of(spark, "bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_quantile_is_single_two_phase_agg(spark):
+    # Sketch + exact percentiles compile into one aggregation (objhash
+    # agg, partial + final) — no extra shuffle per quantile.
+    plan = plan_of(spark, "approx_quantile_value")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
