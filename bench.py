@@ -51,6 +51,22 @@ HEADLINE = [
     "cube_revenue",
 ]
 
+# Extended set: the heavyweight round-3 families. Timed and reported in
+# a separate JSON key so the headline total stays comparable to
+# BENCH_BASELINE.json (round 2's 20-query set) round over round.
+EXTENDED = [
+    "dedup_prefix_filter_jaccard",
+    "decontaminate_bloom",
+    "heavy_hitters_tokens",
+    "bpe_pair_merges",
+    "merge_upsert_cdc",
+    "assign_contiguous_ids",
+    "nearest_station_events",
+    "bm25_retrieval",
+    "triangle_count_coorder",
+    "pq_ann_adc",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,23 +80,28 @@ def main() -> int:
     from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
 
     names = sys.argv[1:] or [n for n in HEADLINE if n in REGISTRY]
+    extended = [] if sys.argv[1:] else [n for n in EXTENDED if n in REGISTRY]
     spark = get_spark(app_name="bench")
 
     # Warm the JVM/scan path once so the first timed query doesn't pay
     # one-time session costs (codegen compile, filesystem metadata).
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_set(qnames: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in qnames:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = REGISTRY[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
 
+    timings = time_set(names)
     total = round(sum(timings.values()), 3)
+    ext_timings = time_set(extended)
 
     # Round-over-round regression guard: compare against the checked-in
     # BENCH_BASELINE.json (round 2's numbers) and surface any query that
@@ -112,6 +133,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": ext_timings,
+                "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf_val,
             }
         )
