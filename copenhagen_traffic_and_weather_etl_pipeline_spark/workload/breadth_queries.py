@@ -1288,3 +1288,58 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_v6",
         (F.expr("(2 * sum_v6 + n) div (2 * n)") / 1e6).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen: the classic forensic data-quality check —
+# leading digits of organically-generated amounts follow
+# P(d) = log10(1 + 1/d); synthetic or tampered feeds drift. One
+# map-side-combinable count by digit (9 groups); the expected share is
+# a per-row scalar, and the observed share divides by a broadcast
+# 1-row total. Complements dq_expectations' rule rows with a
+# distribution-shape signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_price_digits",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit,
+         count(*) AS n_orders
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+t AS (SELECT sum(n_orders) AS total FROM d)
+SELECT d.digit, d.n_orders,
+       round(d.n_orders * 1.0 / t.total, 6) AS obs_share,
+       round(ln(1 + 1.0 / CAST(d.digit AS BIGINT)) / ln(10), 6) AS benford_share
+FROM d CROSS JOIN t
+""",
+    doc="Benford's-law first-digit distribution of o_totalprice vs the "
+    "log10(1+1/d) expectation: 9-group count, broadcast total, exact "
+    "integer digit extraction; forensic DQ signal next to "
+    "dq_expectations",
+    tags=["dq", "stats"],
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    t = d.agg(F.sum("n_orders").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders") * 1.0 / F.col("total"), 6).alias("obs_share"),
+        F.round(
+            F.log(1 + 1.0 / F.col("digit").cast("bigint")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_share"),
+    )
