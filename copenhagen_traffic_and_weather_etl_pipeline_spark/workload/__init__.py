@@ -39,20 +39,25 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: list[str
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
-    ``events.parquet`` stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
-    which Spark 4.x rejects at scan time (PARQUET_TYPE_ILLEGAL). Read it
-    as a raw long and truncate to microseconds with integer division —
-    ``ts div 1000`` (never float ``/1000``: ~1.7e18 nanos exceeds double
-    mantissa precision). Oracles must truncate identically via
-    ``CAST(ts AS TIMESTAMP)`` (DuckDB TIMESTAMP_NS -> micros).
+    ``events.ts`` has shipped in two physical vintages: parquet INT64
+    TIMESTAMP(NANOS) (which Spark 4.x rejects at scan time unless read
+    as a raw long) and plain TIMESTAMP(MICROS) (surfaced as
+    TIMESTAMP_NTZ). Normalize both to session-TZ ``timestamp`` micros:
+    the nanos-long vintage truncates with integer division ``ts div
+    1000`` (never float ``/1000``: ~1.7e18 nanos exceeds double
+    mantissa precision); the NTZ vintage casts directly (session TZ is
+    UTC, so wall-clock values are preserved). Oracles truncate
+    identically via ``CAST(ts AS TIMESTAMP)``.
     """
     if table == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{table}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
