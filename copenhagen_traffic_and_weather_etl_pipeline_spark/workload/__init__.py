@@ -86,6 +86,7 @@ from . import analytics_queries  # noqa: E402,F401
 from . import breadth_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401
 from . import geo_cdc_queries  # noqa: E402,F401
+from . import layout_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50

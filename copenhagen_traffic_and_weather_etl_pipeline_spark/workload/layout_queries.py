@@ -1,0 +1,660 @@
+"""Data-layout, sketch, and survival/linkage queries.
+
+Eight capabilities that round out what a 100 TB deployment needs beyond
+query execution — how the data is *laid out*, *skipped*, and *sketched*:
+
+- ``zorder_cluster_key``: Morton (Z-order) interleaving of two integer
+  dimensions — the clustering key behind multi-dimensional data
+  skipping (Delta/Iceberg OPTIMIZE ZORDER). Pure integer bit math, so
+  Spark and DuckDB agree bit-for-bit.
+- ``compaction_plan``: greedy small-file bin-packing into target-sized
+  output files via an exclusive running sum over the file manifest —
+  the maintenance job that keeps a 100 TB table's file count sane.
+- ``zonemap_prune_estimate``: min/max zone-map pruning effectiveness
+  for the same predicate under two physical layouts (key-clustered vs
+  date-clustered) — quantifies why clustering by the filter column
+  matters.
+- ``kmv_set_intersection``: K-minimum-values sketch estimate of the
+  Jaccard overlap between two user sets, next to the exact answer —
+  the mergeable-sketch path for audience-overlap questions that are
+  too big to intersect exactly.
+- ``kaplan_meier_retention``: product-limit survival estimate of user
+  lifetime — windows run over the duration histogram (days), never the
+  raw event log.
+- ``record_linkage_score``: Fellegi-Sunter-style blocked pairwise
+  field-agreement scoring — entity resolution's scoring step, with
+  blocking keys bounding the pair space.
+- ``equidepth_histogram``: exact equi-depth (decile) boundaries WITHOUT
+  a single-partition global sort — the two-level range-bucket ranking
+  pattern applied to an order-by-value ranking.
+- ``mutual_information_event_value``: mutual information between event
+  type and value band — the feature-selection screen for a training
+  pipeline, from exact contingency counts.
+
+All float outputs are rounded to 6 decimals on both engines; everything
+upstream of the final round is either exact integer arithmetic or
+IEEE-double ops (`/`, `ln`, `exp`) fed identical integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# Morton / Z-order clustering key. Interleaves the bits of two 16-bit
+# dimensions so that points close in 2-D stay close in the 1-D sort
+# order — the property file-level min/max skipping needs to prune
+# multi-dimensional predicates. The expression is 32 unrolled
+# shift/mask terms: pure integer ops, whole-stage-codegen'd JVM-side,
+# no UDF. Coordinates reuse geo_cdc_queries' deterministic microdegree
+# derivation from event_id.
+# ---------------------------------------------------------------------------
+
+_LAT_EXPR = "55640000 + (event_id * 40503) % 80000"
+_LON_EXPR = "12500000 + (event_id * 69427) % 100000"
+# Normalize microdegrees to 16-bit [0, 65535]: multiply-then-divide in
+# BIGINT (max intermediate ~5.2e9, well inside int64).
+_X16 = {"spark": "(((lat_u - 55640000) * 65536) div 80000)",
+        "duck": "(((lat_u - 55640000) * 65536) // 80000)"}
+_Y16 = {"spark": "(((lon_u - 12500000) * 65536) div 100000)",
+        "duck": "(((lon_u - 12500000) * 65536) // 100000)"}
+
+
+def _morton_expr(x: str, y: str, engine: str) -> str:
+    """32-term unrolled bit interleave of two 16-bit ints."""
+    terms = []
+    for i in range(16):
+        if engine == "spark":
+            # Cast the extracted bit to BIGINT before the shift: on INT
+            # inputs shiftleft(1, 31) wraps negative in 32-bit space.
+            terms.append(
+                f"shiftleft(cast(shiftright({x}, {i}) & 1 as bigint), {2 * i})"
+            )
+            terms.append(
+                f"shiftleft(cast(shiftright({y}, {i}) & 1 as bigint), {2 * i + 1})"
+            )
+        else:
+            terms.append(f"(CAST(({x} >> {i}) & 1 AS BIGINT) << {2 * i})")
+            terms.append(f"(CAST(({y} >> {i}) & 1 AS BIGINT) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_cluster_key",
+    oracle=f"""
+WITH ec AS (
+  SELECT {_LAT_EXPR} AS lat_u, {_LON_EXPR} AS lon_u FROM events
+),
+z AS (
+  SELECT {_morton_expr(_X16['duck'], _Y16['duck'], 'duck')} AS zval FROM ec
+)
+SELECT zval // 16777216 AS z_bucket,
+       count(*) AS n_events,
+       min(zval) AS min_z, max(zval) AS max_z
+FROM z GROUP BY 1
+ORDER BY n_events DESC, z_bucket
+LIMIT 50
+""",
+    doc="Morton (Z-order) clustering key over (lat, lon): 32 unrolled "
+    "shift/mask terms interleave two 16-bit dims into one BIGINT sort "
+    "key; top-8-bit buckets aggregated. The write-side layout op behind "
+    "multi-dimensional data skipping — at 100 TB this key feeds "
+    "repartitionByRange before the parquet write",
+    tags=["layout", "zorder", "scale-pattern"],
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ec = load(spark, sf_dir, "events").select(
+        F.expr(_LAT_EXPR).alias("lat_u"), F.expr(_LON_EXPR).alias("lon_u")
+    )
+    z = ec.select(
+        F.expr(_morton_expr(_X16["spark"], _Y16["spark"], "spark")).alias("zval")
+    )
+    return (
+        z.select(F.expr("zval div 16777216").alias("z_bucket"), "zval")
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+        .orderBy(F.desc("n_events"), "z_bucket")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner: greedy bin-packing of a file manifest into
+# ~target-sized output files. bin = exclusive-running-bytes // target
+# assigns files in manifest order; every bin lands in
+# [target, target + max_file_bytes) except the last. The window runs
+# over the MANIFEST (one row per file), not the data — at 100 TB that
+# is millions of rows, not billions, and the same two-level bucket
+# trick applies if even the manifest outgrows one partition.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1_000_000  # bytes per output file
+_ROW_BYTES = 120             # estimated bytes per lineitem row
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT l_orderkey // 400 AS file_id, count(*) * {_ROW_BYTES} AS bytes
+  FROM lineitem GROUP BY 1
+),
+planned AS (
+  SELECT file_id, bytes,
+         COALESCE(sum(bytes) OVER (ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM files
+)
+SELECT prior // {_COMPACT_TARGET} AS bin_id,
+       count(*) AS n_files,
+       sum(bytes) AS total_bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM planned GROUP BY 1
+""",
+    doc="small-file compaction plan: per-file byte counts (file = "
+    "l_orderkey//400 micro-file proxy), exclusive running sum over the "
+    "manifest, bin = prior_bytes // 1 MB target. Greedy contiguous "
+    "bin-packing; the window is manifest-sized, never data-sized",
+    tags=["layout", "compaction", "maintenance"],
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.expr("l_orderkey div 400").alias("file_id"))
+        .groupBy("file_id")
+        .agg((F.count("*") * _ROW_BYTES).alias("bytes"))
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.withColumn("prior", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
+    return (
+        planned.select(
+            F.expr(f"prior div {_COMPACT_TARGET}").alias("bin_id"),
+            "file_id",
+            "bytes",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning estimate: per-zone min/max of the filter column
+# under two layouts — zones by key order (uncorrelated with the
+# predicate) vs zones by date (the filter column). Demonstrates, in
+# numbers, why clustering by the filter column turns a full scan into
+# a pruned one: the planner-visible stats are exactly these min/max
+# pairs. All comparisons on exact timestamps.
+# ---------------------------------------------------------------------------
+
+_ZM_LO, _ZM_HI = "1995-06-01", "1995-09-01"
+
+
+def _zonemap_side(df: DataFrame, zone: F.Column, layout: str) -> DataFrame:
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi = F.lit(_ZM_HI).cast("timestamp")
+    zones = df.groupBy(zone.alias("zone")).agg(
+        F.count("*").alias("rows_z"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.sum(
+            ((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).cast("bigint")
+        ).alias("matched_z"),
+    )
+    scanned = (F.col("min_d") < hi) & (F.col("max_d") >= lo)
+    return zones.agg(
+        F.lit(layout).alias("layout"),
+        F.count("*").alias("total_zones"),
+        F.sum(scanned.cast("bigint")).alias("scanned_zones"),
+        F.sum("rows_z").alias("total_rows"),
+        F.sum(F.when(scanned, F.col("rows_z")).otherwise(F.lit(0))).alias(
+            "rows_scanned"
+        ),
+        F.sum("matched_z").alias("rows_matched"),
+    )
+
+
+@register(
+    "zonemap_prune_estimate",
+    oracle=f"""
+WITH key_zones AS (
+  SELECT o_orderkey // 256 AS zone, count(*) AS rows_z,
+         min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '{_ZM_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_ZM_HI}' THEN 1 ELSE 0 END)
+           AS matched_z
+  FROM orders GROUP BY 1
+),
+date_zones AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS zone, count(*) AS rows_z,
+         min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '{_ZM_LO}'
+                   AND o_orderdate <  TIMESTAMP '{_ZM_HI}' THEN 1 ELSE 0 END)
+           AS matched_z
+  FROM orders GROUP BY 1
+)
+SELECT 'key_clustered' AS layout, count(*) AS total_zones,
+       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END)
+         AS scanned_zones,
+       sum(rows_z) AS total_rows,
+       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN rows_z ELSE 0 END)
+         AS rows_scanned,
+       sum(matched_z) AS rows_matched
+FROM key_zones
+UNION ALL
+SELECT 'date_clustered', count(*),
+       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END),
+       sum(rows_z),
+       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN rows_z ELSE 0 END),
+       sum(matched_z)
+FROM date_zones
+""",
+    doc="min/max zone-map pruning effectiveness for one date predicate "
+    "under key-clustered (zone = o_orderkey//256) vs date-clustered "
+    "(calendar-month) layouts: zones scanned, rows scanned, rows "
+    "matched. The quantitative case for clustering by the filter column",
+    tags=["layout", "pruning", "zonemap"],
+)
+def zonemap_prune_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    by_key = _zonemap_side(orders, F.expr("o_orderkey div 256"), "key_clustered")
+    by_date = _zonemap_side(
+        orders,
+        F.year("o_orderdate") * 12 + F.month("o_orderdate"),
+        "date_clustered",
+    )
+    return by_key.unionAll(by_date)
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values set-intersection sketch. Each side keeps its k
+# smallest md5(user_id) values; merging two sketches = k smallest of
+# the union; the Jaccard estimate is |union-top-k present in both| / k.
+# Unlike HLL, KMV sketches compose under BOTH union and intersection
+# estimation, and the arithmetic is integer-exact so the oracle can
+# replay the sketch bit-for-bit. Exact answers ride along to expose
+# the estimation error.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+
+
+@register(
+    "kmv_set_intersection",
+    oracle=f"""
+WITH vu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+vh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM vu ORDER BY h LIMIT {_KMV_K}),
+ph AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM pu ORDER BY h LIMIT {_KMV_K}),
+ut AS (SELECT h FROM (SELECT h FROM vh UNION SELECT h FROM ph) u
+       ORDER BY h LIMIT {_KMV_K}),
+m AS (SELECT count(*) AS union_size,
+             sum(CASE WHEN h IN (SELECT h FROM vh)
+                       AND h IN (SELECT h FROM ph) THEN 1 ELSE 0 END)
+               AS kmv_matches
+      FROM ut),
+ex AS (SELECT
+         (SELECT count(*) FROM vu WHERE user_id IN (SELECT user_id FROM pu))
+           AS exact_inter,
+         (SELECT count(*) FROM (SELECT user_id FROM vu UNION
+                                SELECT user_id FROM pu) q) AS exact_union)
+SELECT {_KMV_K} AS k, m.union_size, m.kmv_matches,
+       m.kmv_matches * 1000000 // m.union_size AS jaccard_micro_est,
+       ex.exact_inter, ex.exact_union,
+       ex.exact_inter * 1000000 // ex.exact_union AS jaccard_micro_exact
+FROM m, ex
+""",
+    doc="K-minimum-values sketch (k=128) of md5(user_id) per event set; "
+    "merged union-top-k membership in both sketches estimates Jaccard "
+    "as matches / union-sketch-size (NOT /k: below k distinct values "
+    "the sketch is the exact set). Integer micro-units; exact "
+    "intersection/union ride along. The mergeable-sketch path for "
+    "audience overlap at 100 TB — each partition keeps k hashes, merge "
+    "is k-smallest-of-unions",
+    tags=["sketch", "kmv", "approx"],
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string")).alias("h")
+
+    def sketch(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .select(h)
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    vh, ph = sketch("view"), sketch("purchase")
+    union_top = vh.union(ph).distinct().orderBy("h").limit(_KMV_K)
+    usize = union_top.agg(F.count("*").alias("union_size"))
+    matches = (
+        union_top.join(vh, "h", "semi")
+        .join(ph, "h", "semi")
+        .agg(F.count("*").alias("kmv_matches"))
+    )
+    vu = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    pu = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_i = vu.join(pu, "user_id", "semi").agg(F.count("*").alias("exact_inter"))
+    exact_u = vu.union(pu).distinct().agg(F.count("*").alias("exact_union"))
+    return (
+        matches.crossJoin(F.broadcast(usize))
+        .crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(exact_u))
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            "union_size",
+            "kmv_matches",
+            F.expr("kmv_matches * 1000000 div union_size").alias(
+                "jaccard_micro_est"
+            ),
+            "exact_inter",
+            "exact_union",
+            F.expr("exact_inter * 1000000 div exact_union").alias(
+                "jaccard_micro_exact"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival over user lifetimes. The event
+# log collapses to one row per user (first/last activity), then to the
+# lifetime-duration histogram; both windows (descending at-risk count,
+# ascending log-survival prefix) run over that histogram — tens of
+# rows — never the raw log. Spark's ln(0) returns NULL (DuckDB gives
+# -inf), so the zero-survivor terminal step is handled with an
+# explicit any_zero flag instead of relying on engine float semantics.
+# Survival rounded to 6 decimals on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle="""
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t
+  FROM events GROUP BY user_id
+),
+hist AS (SELECT t, count(*) AS d FROM life GROUP BY t),
+risk AS (
+  SELECT t, d,
+         sum(d) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+  FROM hist
+),
+km AS (
+  SELECT t, d, n,
+         sum(CASE WHEN n > d
+                  THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                  ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_ln,
+         max(CASE WHEN n = d THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS any_zero
+  FROM risk
+)
+SELECT t AS t_days, n AS n_at_risk, d AS churned,
+       CASE WHEN any_zero = 1 THEN 0.0 ELSE round(exp(sum_ln), 6) END
+         AS survival_r6
+FROM km
+""",
+    doc="Kaplan-Meier product-limit survival of user lifetime (days "
+    "between first and last event): at-risk counts via descending "
+    "cumulative sum over the duration histogram, S(t) = "
+    "exp(prefix-sum of ln((n-d)/n)) with an explicit zero-survivor "
+    "flag (Spark ln(0) is NULL, DuckDB -inf). Windows are "
+    "histogram-sized, not log-sized",
+    tags=["survival", "analytics", "window"],
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("t")
+    )
+    hist = life.groupBy("t").agg(F.count("*").alias("d"))
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.withColumn("n", F.sum("d").over(w_desc))
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("n") > F.col("d"),
+        F.ln((F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double")),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn("sum_ln", F.sum(ln_term).over(w_asc)).withColumn(
+        "any_zero",
+        F.max(F.when(F.col("n") == F.col("d"), 1).otherwise(0)).over(w_asc),
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("churned"),
+        F.when(F.col("any_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("sum_ln"), 6))
+        .alias("survival_r6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter-style record linkage scoring. Blocking key
+# (nationkey, acctbal band) bounds the candidate pair space — the part
+# that decides whether entity resolution survives 100 TB — then each
+# pair accumulates integer field-agreement weights. Output is the
+# score histogram (exact integers). The a.key < b.key predicate
+# dedupes unordered pairs inside the equi-join, never via distinct.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "record_linkage_score",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+pairs AS (
+  SELECT (CASE WHEN a.seg = b.seg THEN 24 ELSE 0 END)
+       + (CASE WHEN abs(a.bal_c - b.bal_c) < 10000 THEN 16 ELSE 0 END)
+       + (CASE WHEN a.k % 10 = b.k % 10 THEN 8 ELSE 0 END) AS score
+  FROM c a JOIN c b
+    ON a.nat = b.nat AND a.bal_c // 200000 = b.bal_c // 200000
+   AND a.k < b.k
+)
+SELECT score, count(*) AS n_pairs FROM pairs GROUP BY score
+""",
+    doc="blocked record-linkage scoring (Fellegi-Sunter shape): block on "
+    "(nationkey, acctbal//2000-dollar band), score candidate pairs by "
+    "integer field-agreement weights (segment 24, balance-within-$100 "
+    "16, external-id last digit 8), return the score histogram. "
+    "Blocking bounds pairs; the join is a hash equi-join on the block "
+    "key",
+    tags=["linkage", "dedup", "blocking"],
+)
+def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    ).withColumn("band", F.expr("bal_c div 200000"))
+    a = c.select(*(F.col(x).alias(f"a_{x}") for x in c.columns))
+    b = c.select(*(F.col(x).alias(f"b_{x}") for x in c.columns))
+    pairs = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.col("a_band") == F.col("b_band"))
+        & (F.col("a_k") < F.col("b_k")),
+    )
+    score = (
+        F.when(F.col("a_seg") == F.col("b_seg"), 24).otherwise(0)
+        + F.when(F.abs(F.col("a_bal_c") - F.col("b_bal_c")) < 10000, 16).otherwise(0)
+        + F.when(F.col("a_k") % 10 == F.col("b_k") % 10, 8).otherwise(0)
+    )
+    return pairs.select(score.alias("score")).groupBy("score").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth (decile) histogram without a single-partition global
+# sort: the two-level range-bucket ranking trick (assign_contiguous_ids)
+# applied to ranking BY VALUE. Bucketing by price band is monotone in
+# the sort key, so offset + local_rank IS the global row_number ordered
+# by (price, tie-break keys); deciles then come from integer rank math.
+# The oracle uses the plain global row_number with the same decile
+# formula (NOT ntile — ntile spreads the remainder differently).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT price_c,
+         row_number() OVER (ORDER BY price_c, l_orderkey, l_linenumber) AS rk,
+         count(*) OVER () AS n
+  FROM li
+)
+SELECT (rk - 1) * 10 // n AS decile,
+       count(*) AS n_rows,
+       min(price_c) AS min_price_c,
+       max(price_c) AS max_price_c
+FROM ranked GROUP BY 1
+""",
+    doc="exact decile boundaries over l_extendedprice (integer cents) "
+    "with NO global single-partition sort: local row_number within a "
+    "$10k price band + exclusive running band counts broadcast back = "
+    "exact global rank; decile = (rank-1)*10 div N. Unpartitioned "
+    "window only over band cardinality (~price_range/10k rows)",
+    tags=["histogram", "equi-depth", "scale-pattern"],
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("band", F.expr("price_c div 1000000"))
+    local = li.withColumn(
+        "local_rank",
+        F.row_number().over(
+            Window.partitionBy("band").orderBy("price_c", "l_orderkey", "l_linenumber")
+        ),
+    )
+    band_counts = li.groupBy("band").agg(F.count("*").alias("bn"))
+    offsets = band_counts.select(
+        "band",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    total = li.agg(F.count("*").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "price_c",
+            (F.col("offset") + F.col("local_rank")).alias("rk"),
+            "n",
+        )
+    )
+    return (
+        ranked.select(F.expr("(rk - 1) * 10 div n").alias("decile"), "price_c")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price_c").alias("min_price_c"),
+            F.max("price_c").alias("max_price_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and value band — the
+# feature-selection screen over a contingency table. Counts are exact
+# integers; the only floats are the final ln/division terms fed
+# identical integers on both engines, then rounded to 6 decimals.
+# Marginals join back via broadcast (they are category-cardinality).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mutual_information_event_value",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS x,
+         least(3, greatest(0,
+           CAST(floor(value * 100) AS BIGINT) // 2500)) AS y
+  FROM events
+),
+cxy AS (SELECT x, y, count(*) AS c FROM e GROUP BY x, y),
+cx AS (SELECT x, count(*) AS cx FROM e GROUP BY x),
+cy AS (SELECT y, count(*) AS cy FROM e GROUP BY y),
+n AS (SELECT count(*) AS n FROM e)
+SELECT n.n AS n_events,
+       round(sum((CAST(cxy.c AS DOUBLE) / n.n)
+         * ln(CAST(cxy.c AS DOUBLE) * n.n
+              / (CAST(cx.cx AS DOUBLE) * cy.cy))), 6) AS mi_nats_r6
+FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+GROUP BY n.n
+""",
+    doc="mutual information (nats) between event_type and value band "
+    "(bands of $25 capped at 4): exact contingency counts, broadcast "
+    "marginal joins, one final ln/divide rounded to 6 decimals",
+    tags=["mi", "feature-selection", "analytics"],
+)
+def mutual_information_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        F.expr(
+            "least(3, greatest(0, cast(floor(value * 100) as bigint) div 2500))"
+        ).alias("y"),
+    )
+    cxy = e.groupBy("x", "y").agg(F.count("*").alias("c"))
+    cx = e.groupBy("x").agg(F.count("*").alias("cx"))
+    cy = e.groupBy("y").agg(F.count("*").alias("cy"))
+    n = e.agg(F.count("*").alias("n"))
+    joined = (
+        cxy.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (F.col("c").cast("double") / F.col("n")) * F.ln(
+        F.col("c").cast("double") * F.col("n")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return joined.groupBy("n").agg(
+        F.round(F.sum(term), 6).alias("mi_nats_r6")
+    ).select(F.col("n").alias("n_events"), "mi_nats_r6")
