@@ -1,0 +1,78 @@
+"""JSONL (newline-delimited JSON) source and sharded sink.
+
+Training-data pipelines exchange corpora as JSONL shards (one document
+per line, fixed shard count, deterministic shard assignment so
+downstream jobs can re-find a document without a lookup table). The
+reference exchanges raw API JSON (deployment_function.py fetch loop);
+this module is the bulk-corpus counterpart:
+
+- :func:`read_jsonl` — schema-projected read with a corrupt-record
+  channel: malformed lines land in a quarantine DataFrame instead of
+  failing the job (same error-channel contract as
+  ``operators.flatten.split_errors``).
+- :func:`write_jsonl_sharded` — hash-sharded JSONL export with a
+  deterministic ``shard = xxhash64(key) % n`` assignment and a
+  row-count manifest. At 100 TB the shard column doubles as the
+  partition directory, so a consumer reading shard 17 touches 1/n of
+  the files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL with a quarantine channel: returns ``(ok, bad)``.
+
+    ``ok`` carries rows matching ``schema``; ``bad`` carries the raw
+    text of lines that failed to parse. PERMISSIVE mode with an
+    explicit corrupt-record column — the whole-job-fails alternative
+    (FAILFAST) is wrong for a 100 TB corpus where a handful of
+    truncated lines per shard is normal. The input is cached before
+    splitting because Spark disallows queries that project only the
+    internal corrupt column from a lazily re-parsed source.
+    """
+    full = schema.add(CORRUPT_COL, StringType())
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()
+    )
+    ok = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return ok, bad
+
+
+def write_jsonl_sharded(
+    df: DataFrame, path: str, n_shards: int, key: str
+) -> DataFrame:
+    """Export ``df`` as ``n_shards`` JSONL shard directories with
+    deterministic assignment ``shard = pmod(xxhash64(key), n_shards)``;
+    returns the per-shard row-count manifest (read back from the files
+    actually written, so the manifest doubles as a write verification).
+
+    The shard column is a physical partition directory: a consumer can
+    list ``shard=K/`` and touch exactly 1/n of the corpus, and the same
+    key always lands in the same shard across exports — the contract
+    resharding-free incremental consumers rely on.
+    """
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_shards))
+    )
+    sharded.write.partitionBy("shard").mode("overwrite").json(path)
+    spark = df.sparkSession
+    return (
+        spark.read.json(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("shard")
+    )

@@ -1343,3 +1343,64 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(1 + 1.0 / F.col("digit").cast("bigint")) / F.log(F.lit(10.0)), 6
         ).alias("benford_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy screen: k-anonymity / l-diversity over quasi-identifier
+# classes — the governance gate before a table (or training corpus)
+# leaves the warehouse. Quasi-identifiers: (nationkey, $1000 balance
+# band); sensitive attribute: market segment. One grouped agg (partial
+# + final) plus a driver-sized summary; everything exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_customers",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+         c_mktsegment AS seg
+  FROM customer
+),
+g AS (
+  SELECT nat, bal_band, count(*) AS grp_n, count(DISTINCT seg) AS l_div
+  FROM q GROUP BY 1, 2
+)
+SELECT min(grp_n) AS k_anonymity,
+       min(l_div) AS l_diversity,
+       count(*) AS n_classes,
+       sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS rows_below_k5,
+       sum(grp_n) AS total_rows,
+       sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000 // sum(grp_n)
+         AS reident_risk_micro
+FROM g
+""",
+    doc="k-anonymity + l-diversity privacy screen: quasi-identifier "
+    "classes (nationkey, $1000 balance band), sensitive attribute "
+    "mktsegment; reports the minimum class size, minimum sensitive "
+    "diversity, and the re-identifiable row fraction (< k=5) in exact "
+    "micro-units. One partial+final grouped agg; summary is driver-sized",
+    tags=["privacy", "governance"],
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr("cast(round(c_acctbal * 100) as bigint) div 100000").alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    g = q.groupBy("nat", "bal_band").agg(
+        F.count("*").alias("grp_n"), F.countDistinct("seg").alias("l_div")
+    )
+    below = F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(F.lit(0)))
+    return g.agg(
+        F.min("grp_n").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+        F.count("*").alias("n_classes"),
+        below.alias("rows_below_k5"),
+        F.sum("grp_n").alias("total_rows"),
+        F.expr(
+            "sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000"
+            " div sum(grp_n)"
+        ).alias("reident_risk_micro"),
+    )
