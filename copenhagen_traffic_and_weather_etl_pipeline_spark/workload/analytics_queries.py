@@ -1149,3 +1149,64 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_s, 0.90)"), 4).alias("p90_s"),
         F.round(F.expr("percentile(latency_s, 0.99)"), 4).alias("p99_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) over irregular samples: each observation
+# holds until the next one, so its weight is the gap to the successor
+# (last observation weighted 0 — no holding period; documented, both
+# engines identical). Weights are exact epoch-second BIGINTs from lead()
+# over a per-user window; the only float op is the final
+# sum(w*v)/sum(w), rounded to 6. The irregular-sampling counterpart to
+# ewma_user_value's count-based decay.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg_value",
+    oracle="""
+WITH s AS (
+  SELECT user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
+         lead(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_eu
+  FROM events
+),
+w AS (
+  SELECT user_id, value,
+         COALESCE(next_eu - eu, 0) AS w
+  FROM s
+)
+SELECT user_id,
+       sum(w) AS observed_us,
+       round(sum(w * value) / sum(w), 6) AS twap_r6
+FROM w GROUP BY user_id
+HAVING sum(w) > 0
+""",
+    doc="time-weighted average of event value per user over IRREGULAR "
+    "sample times: each value holds until its successor (lead() gap in "
+    "exact epoch MICROseconds = weight; final sample weighted 0), TWAP "
+    "= sum(w*v)/sum(w) rounded to 6. One per-user partitioned window + "
+    "one grouped agg — the standard tick-data aggregate, no "
+    "resampling spine needed",
+    tags=["timeseries", "window", "twap"],
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        F.unix_micros("ts").alias("eu"),
+    )
+    nxt = F.lead("eu").over(W.partitionBy("user_id").orderBy("eu", "event_id"))
+    w = ev.withColumn("w", F.coalesce(nxt - F.col("eu"), F.lit(0)))
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.sum("w").alias("observed_us"),
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
+                "twap_r6"
+            ),
+        )
+        .filter(F.col("observed_us") > 0)
+    )

@@ -307,3 +307,76 @@ def nearest_station_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_d2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change data feed between two table states): given the
+# previous and current state of a keyed table, classify every key as
+# added / removed / changed / unchanged — the Delta-style CDF a
+# downstream consumer reads instead of re-scanning the snapshot. The
+# "previous" state is derived deterministically from orders (drop keys
+# % 11 == 0, bump totalprice on % 11 == 1, miss keys % 11 == 2 that
+# "arrived later"). One equi full-outer join on the key; row equality
+# via exact integer cents, never float compare.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_cdf",
+    oracle="""
+WITH cur AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+prev AS (
+  SELECT k, st,
+         price_c + CASE WHEN k % 11 = 1 THEN 500 ELSE 0 END AS price_c
+  FROM cur
+  WHERE k % 11 <> 2            -- rows that did not exist yet
+),
+cur2 AS (SELECT * FROM cur WHERE k % 11 <> 0),  -- rows deleted since
+d AS (
+  SELECT COALESCE(c.k, p.k) AS k,
+         CASE WHEN p.k IS NULL THEN 'added'
+              WHEN c.k IS NULL THEN 'removed'
+              WHEN c.st <> p.st OR c.price_c <> p.price_c THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM cur2 c FULL OUTER JOIN prev p ON c.k = p.k
+)
+SELECT change_type, count(*) AS n_keys FROM d GROUP BY change_type
+""",
+    doc="snapshot diff / change-data-feed between two table states: one "
+    "equi full-outer join on the key classifies added / removed / "
+    "changed / unchanged (exact integer-cent row equality). The "
+    "O(delta)-consumer alternative to re-reading the snapshot; pairs "
+    "with merge_upsert_cdc which APPLIES such a feed",
+    tags=["cdc", "diff", "warehouse"],
+)
+def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    prev = cur.filter(F.col("k") % 11 != 2).select(
+        "k",
+        F.col("st").alias("p_st"),
+        (
+            F.col("price_c")
+            + F.when(F.col("k") % 11 == 1, F.lit(500)).otherwise(F.lit(0))
+        ).alias("p_price_c"),
+    )
+    cur2 = cur.filter(F.col("k") % 11 != 0)
+    d = cur2.join(prev, "k", "full_outer").select(
+        F.when(F.col("p_st").isNull() & F.col("p_price_c").isNull(), F.lit("added"))
+        .when(F.col("st").isNull(), F.lit("removed"))
+        .when(
+            (F.col("st") != F.col("p_st"))
+            | (F.col("price_c") != F.col("p_price_c")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count("*").alias("n_keys"))

@@ -125,6 +125,35 @@ SHOWCASE = [
         "windows are partitioned by event_type, and the value lookups "
         "join the aggregate, not raw events.",
     ),
+    (
+        "zorder_cluster_key",
+        "The Morton key is 32 unrolled shift/mask terms in one projection "
+        "— whole-stage codegen, no join, no Python; the bucket histogram "
+        "is a partial-combinable agg and the top-50 is "
+        "TakeOrderedAndProject. The write path reuses the same key via "
+        "repartitionByRange.",
+    ),
+    (
+        "equidepth_histogram",
+        "Exact deciles with NO single-partition sort: ranking windows "
+        "partition by the price band (monotone in the sort key), band "
+        "offsets and the total count come back as broadcasts — the same "
+        "two-level trick as contiguous IDs, applied to ranking by value.",
+    ),
+    (
+        "record_linkage_score",
+        "Entity-resolution pair scoring survives scale in the blocking "
+        "key: the self-join is a hash equi-join on (nation, balance "
+        "band), so the pair space is sum(|block|^2), never |table|^2; "
+        "per-pair scoring is pure codegen'd integer arithmetic.",
+    ),
+    (
+        "kmv_set_intersection",
+        "Every sketch is k rows: per-side top-k are TakeOrdered merges, "
+        "the union/intersection arithmetic runs on k-row frames, and the "
+        "exact side is semi-join + distinct aggregates — nothing "
+        "driver-side, nothing quadratic, mergeable across partitions.",
+    ),
 ]
 
 
