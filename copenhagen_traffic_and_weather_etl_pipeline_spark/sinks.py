@@ -120,6 +120,29 @@ def zorder_key(c1, c2, bits: int = 16):
     return key
 
 
+def zorder_decode(zkey, bits: int = 16):
+    """Inverse of :func:`zorder_key`: split a Morton key back into its
+    two component columns ``(c1, c2)``.
+
+    Needed when debugging file layout (which (c1, c2) rectangle does
+    this file's [min_z, max_z] range cover?) and when building z-range
+    pushdown predicates for a rectangle query. Pure shift/or/and
+    expressions like the encoder; ``zorder_decode(zorder_key(a, b))``
+    is the identity for inputs in [0, 2**bits) — property-tested with
+    hypothesis in tests/test_layout_queries.py.
+    """
+    from pyspark.sql import functions as F
+
+    c1 = F.lit(0).cast("long")
+    c2 = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(zkey.cast("long"), 2 * i + 1).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(zkey.cast("long"), 2 * i).bitwiseAND(F.lit(1))
+        c1 = c1.bitwiseOR(F.shiftleft(b1, i))
+        c2 = c2.bitwiseOR(F.shiftleft(b2, i))
+    return c1, c2
+
+
 def compact_table_zorder(
     spark: SparkSession,
     path: str,

@@ -210,3 +210,57 @@ def test_kaplan_meier_windows_run_on_histogram_not_log(spark):
     plan = plan_of(spark, "kaplan_meier_retention")
     tree = plan.split("\n\n")[0]
     assert tree.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Write-path Z-order utilities: encode/decode bijection (hypothesis
+# generates the points; one Spark job checks the whole batch).
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_decode_roundtrip_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        zorder_decode,
+        zorder_key,
+    )
+
+    coords = st.tuples(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(coords, min_size=1, max_size=50, unique=True))
+    def check(points):
+        df = spark.createDataFrame(points, "a LONG, b LONG")
+        zk = zorder_key(F.col("a"), F.col("b")).alias("z")
+        d1, d2 = zorder_decode(F.col("z"))
+        out = df.select("a", "b", zk).select(
+            "a", "b", "z", d1.alias("a2"), d2.alias("b2")
+        )
+        bad = out.filter(
+            (F.col("a") != F.col("a2")) | (F.col("b") != F.col("b2"))
+        ).count()
+        assert bad == 0
+
+    check()
+
+
+def test_zorder_key_matches_layout_query_convention(spark):
+    # sinks.zorder_key puts c1 at odd bits; the layout query's morton
+    # expression puts x at even bits. Both are valid Morton codes; this
+    # test pins each convention so neither silently changes.
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import zorder_key
+
+    df = spark.createDataFrame([(3, 0)], "a LONG, b LONG")
+    (sink_z,) = df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    assert sink_z.z == 0b1010  # a=3 at odd bits
+    (query_z,) = (
+        df.selectExpr(_morton_expr("a", "b", "spark") + " AS z").collect()
+    )
+    assert query_z.z == 0b0101  # x=3 at even bits
