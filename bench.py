@@ -65,6 +65,12 @@ EXTENDED = [
     "bm25_retrieval",
     "triangle_count_coorder",
     "pq_ann_adc",
+    "zorder_cluster_key",
+    "equidepth_histogram",
+    "kmv_set_intersection",
+    "record_linkage_score",
+    "time_weighted_avg_value",
+    "snapshot_diff_cdf",
 ]
 
 
