@@ -1,0 +1,161 @@
+"""Physical-plan graph analysis for the scale lint.
+
+Parses Spark's ``formatted`` explain output into a node tree and
+classifies the scale-relevant structures:
+
+- which node CONSUMES each single-partition exchange (a final scalar
+  aggregate over partials is fine; a Sort+Window over fact rows is the
+  classic funnel),
+- whether a BroadcastNestedLoopJoin's broadcast side is a scalar
+  aggregate frame (the fold-the-max-in-as-a-1-row-broadcast pattern)
+  or something genuinely unbounded.
+
+Shared by ``tools/plan_audit.py`` (repo-wide lint) and
+``tests/test_plan_quality.py`` (hand gates).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PlanNode:
+    node_id: int
+    name: str
+    depth: int
+    parent: "PlanNode | None" = None
+    children: list["PlanNode"] = field(default_factory=list)
+    details: str = ""
+
+
+_TREE_RE = re.compile(r"([A-Za-z][A-Za-z0-9]*(?: [A-Za-z][A-Za-z0-9]*)*) \((\d+)\)\s*$")
+_DETAIL_RE = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*)", re.MULTILINE)
+
+
+def parse_formatted_plan(plan: str) -> dict[int, PlanNode]:
+    """Build the operator tree from ``explainString(..., 'formatted')``."""
+    sections = plan.split("\n\n")
+    tree_text = sections[0]
+    nodes: dict[int, PlanNode] = {}
+    stack: list[PlanNode] = []
+    for line in tree_text.splitlines():
+        m = _TREE_RE.search(line)
+        if not m:
+            continue
+        name = m.group(1).strip()
+        depth = line.index(m.group(1).split(" ")[0])
+        node = PlanNode(int(m.group(2)), name, depth)
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if stack:
+            node.parent = stack[-1]
+            stack[-1].children.append(node)
+        stack.append(node)
+        nodes[node.node_id] = node
+    # Attach details blocks ("(id) NodeName\nArguments: ...").
+    for sec in sections[1:]:
+        dm = _DETAIL_RE.match(sec.strip())
+        if dm:
+            nid = int(dm.group(1))
+            if nid in nodes:
+                nodes[nid].details += sec
+    return nodes
+
+
+def _subtree(node: PlanNode):
+    yield node
+    for c in node.children:
+        yield from _subtree(c)
+
+
+def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
+    """For each single-partition exchange: ``(consumer_name, verdict)``.
+
+    Verdicts:
+    - ``agg-final``   consumer merges partial aggregates (bounded input:
+      one row per upstream partition) — fine at any scale.
+    - ``limit``       consumer is a limit collect — bounded by the limit.
+    - ``window``      a Sort/Window consumes it: every row of the input
+      funnels through one task. Fine ONLY if the input frame is
+      manifest/histogram-sized — must be justified per query.
+    - ``other``       anything else — must be justified per query.
+    """
+    nodes = parse_formatted_plan(plan)
+    out: list[tuple[str, str]] = []
+    agg = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+    for n in nodes.values():
+        if "Exchange" not in n.name:
+            continue
+        if "Arguments: SinglePartition" not in n.details:
+            continue
+        p = n.parent
+        pname = p.name if p else "<root>"
+        if p is None:
+            verdict = "other"
+        elif p.name in agg:
+            verdict = "agg-final"
+        elif "Limit" in p.name:
+            verdict = "limit"
+        else:
+            chain = {p.name}
+            if p.parent is not None:
+                chain.add(p.parent.name)
+                if p.parent.parent is not None:
+                    chain.add(p.parent.parent.name)
+            if {"Window", "WindowGroupLimit", "Sort"} & chain:
+                verdict = "window"
+            else:
+                verdict = "other"
+        out.append((pname, verdict))
+    return out
+
+
+def nested_loop_joins(plan: str) -> list[str]:
+    """For each BroadcastNestedLoopJoin: a verdict string.
+
+    - ``scalar-broadcast``: the broadcast subtree contains a global
+      (no-keys) aggregate — a 1-row frame folded in; bounded by
+      construction.
+    - ``limit-bounded``: the broadcast subtree contains a limit
+      (TakeOrderedAndProject / GlobalLimit / CollectLimit) — at most
+      ``limit`` rows cross the join.
+    - ``small-literal``: the broadcast subtree is a LocalTableScan /
+      literal range — bounded by the literal's size.
+    - ``unbounded``: anything else — a real scale risk.
+    """
+    nodes = parse_formatted_plan(plan)
+    verdicts: list[str] = []
+    for n in nodes.values():
+        if "BroadcastNestedLoopJoin" not in n.name:
+            continue
+        verdict = "unbounded"
+        for child in n.children:
+            if "BroadcastExchange" not in child.name and not any(
+                "BroadcastExchange" in s.name for s in _subtree(child)
+            ):
+                continue
+            sub = list(_subtree(child))
+            if any(
+                ("HashAggregate" in s.name or "SortAggregate" in s.name)
+                and re.search(r"Keys: \[\]", s.details)
+                for s in sub
+            ):
+                verdict = "scalar-broadcast"
+                break
+            if any(
+                "TakeOrderedAndProject" in s.name
+                or "GlobalLimit" in s.name
+                or "CollectLimit" in s.name
+                for s in sub
+            ):
+                verdict = "limit-bounded"
+                break
+            if any(
+                "LocalTableScan" in s.name or "Range" == s.name for s in sub
+            ):
+                verdict = "small-literal"
+                break
+        verdicts.append(verdict)
+    return verdicts
