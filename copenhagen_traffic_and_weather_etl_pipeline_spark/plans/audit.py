@@ -35,27 +35,38 @@ _DETAIL_RE = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*)", re.MULTILINE)
 
 
 def parse_formatted_plan(plan: str) -> dict[int, PlanNode]:
-    """Build the operator tree from ``explainString(..., 'formatted')``."""
+    """Build the operator tree from ``explainString(..., 'formatted')``.
+
+    Parses EVERY tree-like section — the main physical plan AND each
+    subquery plan under ``===== Subqueries =====`` — so antipatterns
+    hiding inside scalar/IN subqueries are visible to the lint. Node
+    ids are globally unique across the formatted output (Spark
+    continues the numbering into subquery plans), so one id->node map
+    covers everything.
+    """
     sections = plan.split("\n\n")
-    tree_text = sections[0]
     nodes: dict[int, PlanNode] = {}
-    stack: list[PlanNode] = []
-    for line in tree_text.splitlines():
-        m = _TREE_RE.search(line)
-        if not m:
-            continue
-        name = m.group(1).strip()
-        depth = line.index(m.group(1).split(" ")[0])
-        node = PlanNode(int(m.group(2)), name, depth)
-        while stack and stack[-1].depth >= depth:
-            stack.pop()
-        if stack:
-            node.parent = stack[-1]
-            stack[-1].children.append(node)
-        stack.append(node)
-        nodes[node.node_id] = node
+    for sec in sections:
+        stripped = sec.strip()
+        if _DETAIL_RE.match(stripped):
+            continue  # details block, handled below
+        stack: list[PlanNode] = []
+        for line in sec.splitlines():
+            m = _TREE_RE.search(line)
+            if not m:
+                continue
+            name = m.group(1).strip()
+            depth = line.index(m.group(1).split(" ")[0])
+            node = PlanNode(int(m.group(2)), name, depth)
+            while stack and stack[-1].depth >= depth:
+                stack.pop()
+            if stack:
+                node.parent = stack[-1]
+                stack[-1].children.append(node)
+            stack.append(node)
+            nodes[node.node_id] = node
     # Attach details blocks ("(id) NodeName\nArguments: ...").
-    for sec in sections[1:]:
+    for sec in sections:
         dm = _DETAIL_RE.match(sec.strip())
         if dm:
             nid = int(dm.group(1))
@@ -131,11 +142,13 @@ def nested_loop_joins(plan: str) -> list[str]:
         if "BroadcastNestedLoopJoin" not in n.name:
             continue
         verdict = "unbounded"
-        for child in n.children:
-            if "BroadcastExchange" not in child.name and not any(
-                "BroadcastExchange" in s.name for s in _subtree(child)
-            ):
-                continue
+        # Only the child whose ROOT is the BroadcastExchange is the
+        # build side. Scanning any child subtree that merely CONTAINS a
+        # BroadcastExchange would let a bounded frame on the STREAMED
+        # side (e.g. an upstream folded-in scalar) clear a join whose
+        # actual broadcast side is unbounded.
+        build_sides = [c for c in n.children if "BroadcastExchange" in c.name]
+        for child in build_sides:
             sub = list(_subtree(child))
             if any(
                 ("HashAggregate" in s.name or "SortAggregate" in s.name)

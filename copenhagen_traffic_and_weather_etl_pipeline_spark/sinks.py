@@ -107,6 +107,13 @@ def zorder_key(c1, c2, bits: int = 16):
     per file shrink to ~sqrt(files) of the domain — predicates on either
     column skip files. Inputs must already be integers in
     [0, 2**bits); pure shift/or/and expressions, fully codegen'd.
+
+    Bit convention: ``c1`` occupies the EVEN bits, ``c2`` the odd bits —
+    the same layout as ``workload.layout_queries._morton_expr``, so
+    z-range predicates and bucket stats computed by
+    ``zorder_cluster_key`` apply directly to files written through
+    ``compact_table_zorder`` (pinned by
+    tests/test_layout_queries.py::test_zorder_key_matches_layout_query_convention).
     """
     from pyspark.sql import functions as F
 
@@ -114,8 +121,8 @@ def zorder_key(c1, c2, bits: int = 16):
     for i in range(bits):
         b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
         b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
-        key = key.bitwiseOR(F.shiftleft(b1, 2 * i + 1)).bitwiseOR(
-            F.shiftleft(b2, 2 * i)
+        key = key.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(
+            F.shiftleft(b2, 2 * i + 1)
         )
     return key
 
@@ -136,8 +143,8 @@ def zorder_decode(zkey, bits: int = 16):
     c1 = F.lit(0).cast("long")
     c2 = F.lit(0).cast("long")
     for i in range(bits):
-        b1 = F.shiftright(zkey.cast("long"), 2 * i + 1).bitwiseAND(F.lit(1))
-        b2 = F.shiftright(zkey.cast("long"), 2 * i).bitwiseAND(F.lit(1))
+        b1 = F.shiftright(zkey.cast("long"), 2 * i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(zkey.cast("long"), 2 * i + 1).bitwiseAND(F.lit(1))
         c1 = c1.bitwiseOR(F.shiftleft(b1, i))
         c2 = c2.bitwiseOR(F.shiftleft(b2, i))
     return c1, c2

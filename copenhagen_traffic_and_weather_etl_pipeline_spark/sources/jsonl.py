@@ -39,7 +39,12 @@ def read_jsonl(
     splitting because Spark disallows queries that project only the
     internal corrupt column from a lazily re-parsed source.
     """
-    full = schema.add(CORRUPT_COL, StringType())
+    # Copy the schema: StructType.add mutates in place, and silently
+    # growing the CALLER's schema by a _corrupt_record field (twice on
+    # a second call) is a nasty aliasing bug.
+    from pyspark.sql.types import StructField
+
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     raw = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -86,16 +86,25 @@ def test_zorder_buckets_cover_all_events(spark):
 
 
 def test_compaction_bins_are_contiguous_and_bounded(spark):
+    from pyspark.sql import functions as F
+
     rows = sorted(run(spark, "compaction_plan"), key=lambda r: r.bin_id)
     # Contiguous, gap-free bin ids and file ranges.
     assert [r.bin_id for r in rows] == list(range(len(rows)))
     for prev, cur in zip(rows, rows[1:]):
         assert prev.last_file < cur.first_file
-    max_file = max(r.total_bytes / r.n_files for r in rows)
+    # Rebuild the manifest to get the TRUE max single-file size, so the
+    # greedy invariant — a bin closes only once it crossed the target,
+    # hence never exceeds target + one file — is checked tightly.
+    (mf,) = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy(F.expr("l_orderkey div 400"))
+        .agg((F.count("*") * 120).alias("bytes"))
+        .agg(F.max("bytes").alias("m"))
+        .collect()
+    )
     for r in rows[:-1]:
-        # Greedy packing: a bin closes only once it crossed the target,
-        # so it never exceeds target + one file.
-        assert r.total_bytes < _COMPACT_TARGET + max_file * r.n_files
+        assert r.total_bytes < _COMPACT_TARGET + mf.m
     assert sum(r.n_files for r in rows) > 0
 
 
@@ -250,17 +259,21 @@ def test_zorder_key_decode_roundtrip_hypothesis(spark):
 
 
 def test_zorder_key_matches_layout_query_convention(spark):
-    # sinks.zorder_key puts c1 at odd bits; the layout query's morton
-    # expression puts x at even bits. Both are valid Morton codes; this
-    # test pins each convention so neither silently changes.
+    # sinks.zorder_key (the write path) and the layout query's morton
+    # expression (the stats/pruning path) MUST share one bit layout
+    # (c1/x at even bits): z-range predicates computed from
+    # zorder_cluster_key only apply to files written by
+    # compact_table_zorder if the keys are identical.
     from pyspark.sql import functions as F
 
     from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import zorder_key
 
-    df = spark.createDataFrame([(3, 0)], "a LONG, b LONG")
-    (sink_z,) = df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
-    assert sink_z.z == 0b1010  # a=3 at odd bits
-    (query_z,) = (
-        df.selectExpr(_morton_expr("a", "b", "spark") + " AS z").collect()
-    )
-    assert query_z.z == 0b0101  # x=3 at even bits
+    pts = [(3, 0), (0, 3), (12345, 54321), (65535, 1)]
+    df = spark.createDataFrame(pts, "a LONG, b LONG")
+    rows = df.select(
+        zorder_key(F.col("a"), F.col("b")).alias("z_sink"),
+        F.expr(_morton_expr("a", "b", "spark")).alias("z_query"),
+    ).collect()
+    for r in rows:
+        assert r.z_sink == r.z_query
+    assert rows[0].z_sink == 0b0101  # a=3 at even bits

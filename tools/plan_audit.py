@@ -62,7 +62,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "compaction_plan": {"single_part": _MANIFEST_WINDOW},
     "kaplan_meier_retention": {"single_part": _HISTOGRAM_WINDOW},
     "running_distinct_users": {"single_part": _SPINE_WINDOW},
-    "rolling_7d_active_users": {"single_part": _SPINE_WINDOW},
     "revenue_mom_growth": {"single_part": _SPINE_WINDOW},
     "skyline_orders": {
         "single_part": "global skyline window runs over per-day maxima "
