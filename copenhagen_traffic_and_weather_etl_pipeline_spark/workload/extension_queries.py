@@ -2080,3 +2080,89 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN (batch retrieval): every query vector gets its top-k
+# neighbours in one job — the many-queries sibling of the single-point
+# sim_topk / ivf_ann_search paths. Query set = vec_id % 50 == 0;
+# corpus = the rest. Candidates come from the shared hyperplane bucket
+# (equi-join on bucket_id — the same blocking key as
+# dedup_embedding_lsh), per-query ranking is a window PARTITIONED BY
+# the query id (never global), and cosine is rounded before ranking so
+# tie order (cosine desc, corpus id asc) matches across engines. At
+# 100 TB this is the retrieval shape for building eval sets / RAG
+# indices: shuffle keys are (bucket, query), both bounded.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+@register(
+    "knn_join_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST({{bits}} AS BIGINT) AS bucket_id,
+         {{nrm}} AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round({{dot}} / (q.nrm * c.nrm), 4) AS cosine
+  FROM q JOIN c ON q.bucket_id = c.bucket_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+           AS rnk
+  FROM scored
+)
+SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= {_KNN_K}
+""".format(
+        bits=_duck_bucket_bits(),
+        nrm=_DUCK_NORM.format(a="embedding"),
+        dot=_DUCK_DOT.format(a="q.embedding", b="c.embedding"),
+    ),
+    doc=f"k-NN JOIN (top-{_KNN_K} per query over LSH bucket candidates): "
+    "query set (vec_id % 50 == 0) equi-joins the corpus on the shared "
+    "hyperplane bucket, per-query ranking is a window partitioned by "
+    "q_id with cosine rounded before ordering (tie-break c_id). The "
+    "batch-retrieval sibling of the single-point ANN paths — "
+    "sum(|bucket| x |queries-in-bucket|) candidates, never "
+    "|corpus| x |queries|",
+    tags=["similarity", "knn", "lsh"],
+)
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket_id"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket_id",
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket_id",
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
+    )
+    scored = q.join(c, "bucket_id").select(
+        "q_id", "c_id", cos.alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("q_id", "rnk", "c_id", "cosine")
+    )
