@@ -380,3 +380,165 @@ def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type")
     )
     return d.groupBy("change_type").agg(F.count("*").alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: keep a materialized join view
+# (orders x customer revenue rollup) fresh under base-table deltas
+# WITHOUT recomputing the join. Algebra: for view V = A join B with
+# delta dA,  V' = V  union  (dA join B') where B' is B after its own
+# (here: empty) delta — the delta join touches |dA| x matched keys,
+# never |A|. Deltas are derived deterministically: orders with
+# o_orderkey % 13 == 0 arrive "late" (excluded from the base view,
+# joined in incrementally). The oracle recomputes the full join from
+# scratch; equality proves the incremental algebra. All money in
+# integer cents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+full_view AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         count(*) AS n_orders, sum(o.price_c) AS revenue_c
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT * FROM full_view
+""",
+    doc="incremental maintenance of a materialized join view: base view "
+    "excludes the late-arriving delta (o_orderkey % 13 == 0), the "
+    "delta joins the dimension alone (|delta| x matched keys, never a "
+    "re-join of the base fact table), and partial aggregates merge by "
+    "key. The oracle recomputes the full join from scratch — equality "
+    "proves the delta algebra. The join sibling of "
+    "incremental_agg_merge",
+    tags=["ivm", "cdc", "warehouse"],
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    is_delta = F.col("o_orderkey") % 13 == 0
+
+    def rollup(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("price_c").alias("revenue_c"),
+            )
+        )
+
+    base_view = rollup(o.filter(~is_delta))     # materialized yesterday
+    delta_view = rollup(o.filter(is_delta))     # |delta|-sized join today
+    # Merge partials by key: counts and sums are both self-mergeable.
+    return (
+        base_view.unionByName(delta_view)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_c").alias("revenue_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key / FK discovery profiling: for candidate column pairs,
+# measure containment (|distinct child values found in parent| /
+# |distinct child values|) and parent uniqueness — the two numbers
+# that decide whether a join key is safe. One distinct-agg per column
+# plus a semi-join per candidate pair (keyed shuffles; the candidate
+# list is schema-sized, not data-sized). Ratios in exact micro-units.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fk_containment_profile",
+    oracle="""
+WITH pairs AS (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS child_distinct,
+         (SELECT count(DISTINCT o_custkey) FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS contained,
+         (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS parent_dupes
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders)),
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT l_partkey) FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part)),
+         (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+  UNION ALL
+  SELECT 'events.user_id->customer.c_custkey',
+         (SELECT count(DISTINCT user_id) FROM events),
+         (SELECT count(DISTINCT user_id) FROM events
+           WHERE user_id IN (SELECT c_custkey FROM customer)),
+         (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+)
+SELECT candidate, child_distinct, contained,
+       contained * 1000000 // child_distinct AS containment_micro,
+       parent_dupes
+FROM pairs
+""",
+    doc="FK / join-key discovery profile over 4 candidate pairs: "
+    "containment ratio (distinct child values found in the parent, "
+    "exact micro-units) + parent-key duplicate count — the numbers "
+    "that decide if a join key is safe. Semi-join + distinct agg per "
+    "candidate; the candidate list is schema-sized. Flags "
+    "events.user_id->customer as a NON-key (containment < 1) by "
+    "construction",
+    tags=["profiling", "governance", "fk"],
+)
+def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(candidate, child, ccol, parent, pcol):
+        ch = load(spark, sf_dir, child).select(F.col(ccol).alias("k"))
+        pa = load(spark, sf_dir, parent).select(F.col(pcol).alias("pk"))
+        child_distinct = ch.agg(F.countDistinct("k").alias("child_distinct"))
+        contained = (
+            ch.select("k").distinct()
+            .join(pa, F.col("k") == F.col("pk"), "semi")
+            .agg(F.count("*").alias("contained"))
+        )
+        dupes = pa.agg(
+            (F.count("*") - F.countDistinct("pk")).alias("parent_dupes")
+        )
+        return (
+            child_distinct.crossJoin(F.broadcast(contained))
+            .crossJoin(F.broadcast(dupes))
+            .select(
+                F.lit(candidate).alias("candidate"),
+                "child_distinct",
+                "contained",
+                F.expr("contained * 1000000 div child_distinct").alias(
+                    "containment_micro"
+                ),
+                "parent_dupes",
+            )
+        )
+
+    return (
+        profile("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+                "customer", "c_custkey")
+        .unionByName(profile("lineitem.l_orderkey->orders.o_orderkey",
+                             "lineitem", "l_orderkey", "orders", "o_orderkey"))
+        .unionByName(profile("lineitem.l_partkey->part.p_partkey",
+                             "lineitem", "l_partkey", "part", "p_partkey"))
+        .unionByName(profile("events.user_id->customer.c_custkey",
+                             "events", "user_id", "customer", "c_custkey"))
+    )
