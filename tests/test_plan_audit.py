@@ -78,3 +78,19 @@ def test_full_registry_plan_audit_has_no_violations(spark):
         if f not in hits.get(n, {})
     ]
     assert not stale, f"stale ALLOW entries (no longer flagged): {stale}"
+
+
+def test_no_registry_query_outputs_nonscalar_columns(spark):
+    # The driver's canonicalizer (pandas sort_values over stringified
+    # cells) cannot hash list/map/struct cells — round 2 lost two
+    # queries to exactly this. Every registry output column must be
+    # scalar; serialize arrays as ordered strings on BOTH engines.
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"non-scalar output columns: {offenders}"
