@@ -150,3 +150,121 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates from a d x w counter
+# grid. Each token increments one counter per hash row; a point query
+# reads the MINIMUM of its d counters — always >= the true count, with
+# the overestimate bounded by collisions (N/w per row in expectation).
+# The grid is (d*w) integers regardless of vocabulary size and merges
+# by cell-wise addition — the mergeable-sketch answer when even the
+# Misra-Gries candidate set is too wide. Both engines build the exact
+# same grid (md5-derived row hashes), so the oracle replays the sketch
+# bit-for-bit; exact counts ride along to expose the overestimate.
+# The final probe joins the 10 most frequent tokens (exact
+# TakeOrdered) against the d relevant cells — grid-sized work.
+# ---------------------------------------------------------------------------
+
+_CM_D = 3    # hash rows
+_CM_W = 256  # counters per row
+
+
+def _cm_bucket_duck(row: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('r{row}:' || w), 1, 8)) AS BIGINT) % {_CM_W}"
+    )
+
+
+@register(
+    "countmin_token_counts",
+    oracle=f"""
+WITH {_DUCK_WORDS_CTE},
+tok AS (SELECT UNNEST(w) AS w FROM words),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS row_id, {_cm_bucket_duck(r)} AS bucket, count(*) AS cnt "
+      "FROM tok GROUP BY 2" for r in range(_CM_D)
+  )}
+),
+top AS (
+  SELECT w, count(*) AS exact_n FROM tok GROUP BY w
+  ORDER BY exact_n DESC, w LIMIT 10
+),
+probed AS (
+  SELECT t.w, t.exact_n,
+         min(c.cnt) AS cm_estimate
+  FROM top t
+  JOIN cells c
+    ON (c.row_id = 0 AND c.bucket = CAST(('0x' || substr(md5('r0:' || t.w), 1, 8)) AS BIGINT) % {_CM_W})
+    OR (c.row_id = 1 AND c.bucket = CAST(('0x' || substr(md5('r1:' || t.w), 1, 8)) AS BIGINT) % {_CM_W})
+    OR (c.row_id = 2 AND c.bucket = CAST(('0x' || substr(md5('r2:' || t.w), 1, 8)) AS BIGINT) % {_CM_W})
+  GROUP BY t.w, t.exact_n
+)
+SELECT w AS token, exact_n, cm_estimate FROM probed
+""",
+    doc=f"Count-Min sketch ({_CM_D} md5 hash rows x {_CM_W} counters): "
+    "point-frequency estimate = min over rows of the token's counter, "
+    "always >= exact (overestimate from collisions only). Grid is "
+    "(d*w) integers however large the vocabulary, merges cell-wise; "
+    "probe joins the exact top-10 tokens against d cells each. Oracle "
+    "replays the identical grid",
+    tags=["sketch", "countmin", "approx"],
+)
+def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_words_col()).alias("w"))
+
+    def bucket(row: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"r{row}:"), F.col("w")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    cells = None
+    for r in range(_CM_D):
+        c = tok.groupBy(bucket(r).alias("bucket")).agg(
+            F.count("*").alias("cnt")
+        ).select(F.lit(r).alias("row_id"), "bucket", "cnt")
+        cells = c if cells is None else cells.unionByName(c)
+
+    top = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "w")
+        .limit(10)
+        .withColumnRenamed("w", "token")
+    )
+    probe = None
+    for r in range(_CM_D):
+        p = top.withColumn("row_id", F.lit(r)).withColumn(
+            "bucket",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"r{r}:"), F.col("token")).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ),
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    return (
+        probe.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
