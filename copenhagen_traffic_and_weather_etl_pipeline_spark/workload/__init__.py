@@ -93,68 +93,18 @@ from . import layout_queries  # noqa: E402,F401
 # registry entries in insertion order per round, so each round the 50
 # slots go to the queries without a green CORRECTNESS row yet; proven
 # queries keep their row from the round that checked them and move to
-# the back. Round 2 proved registry positions 1-50 of that round's order
-# (CORRECTNESS_r02.json); round 3's window below holds everything that
-# was unchecked (positions 51-104), the three fixed entries
-# (text_token_encode, array_agg_orderkeys, mm_byte_features), and the
-# new dedup_incremental. _NEXT_WINDOW queues the overlap-family entries
-# deferred to round 4's rotation.
+# the back. Round 2 proved 48 queries (CORRECTNESS_r02.json), round 3
+# proved 48 more (CORRECTNESS_r03.json, 48/50). Round 4's window below
+# holds the two round-3 hash FAILs — re-fixed this round with
+# integer-micro-unit / explicit-BIGINT outputs — plus 48 of the 66
+# still-unproven entries (ROUND3_NOTES.md "Round-4 rotation plan").
+# _NEXT_WINDOW queues the round-5 head: the two entries bumped to make
+# room for the re-fixed pair, then the planned round-5 tail.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "dedup_prefix_filter_jaccard",
-    "dedup_method_eval",
-    "text_token_encode",
-    "mm_byte_features",
-    "dedup_incremental",
-    "pack_sequences",
-    "shuffle_shards_deterministic",
-    "decontaminate_ngram_overlap",
-    "text_repetition_quality",
-    "split_train_val_test",
     "source_mixture_weights",
     "sample_token_budget",
-    "window_running_total",
-    "window_lead_lag",
-    "window_rank_suite",
-    "window_time_range_sum",
-    "sliding_window_counts",
-    "sessionize_events",
-    "cube_revenue",
-    "grouping_sets_revenue",
-    "unpivot_lineitem_metrics",
-    "conditional_agg_priorities",
-    "multi_distinct_aggs",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "sample_weighted_docs",
-    "salted_group_count",
-    "salted_join_segments",
-    "percentile_prices",
-    "approx_distinct_users",
-    "ivf_ann_search",
-    "kmeans_clusters",
-    "chain_components_recursive",
-    "scd2_intervals",
-    "topn_orders_per_customer",
-    "array_agg_orderkeys",
-    "daily_counts_gapfilled",
-    "set_intersect_all_keys",
-    "funnel_view_click_purchase",
-    "null_safe_join_brands",
-    "ratio_to_report",
-    "zscore_by_user",
-    "corr_value_props",
-    "stats_moments_orders",
-    "profile_customer",
-    "regexp_extract_types",
-    "anomaly_mad_events",
-    "ewma_user_value",
-    "pagerank_event_transitions",
-    "dedup_canonical_pick",
-]
-
-_NEXT_WINDOW = [
     "window_moving_avg",
     "window_first_last",
     "percentile_by_priority",
@@ -162,6 +112,74 @@ _NEXT_WINDOW = [
     "set_except_all_keys",
     "text_normalize",
     "histogram_prices",
+    "embedding_norm_stats",
+    "embedding_centroid_outliers",
+    "ann_recall_eval",
+    "bm25_retrieval",
+    "dedup_semantic_kmeans",
+    "approx_quantile_value",
+    "decontaminate_bloom",
+    "quality_filter_cascade",
+    "chunk_documents_overlap",
+    "bpe_pair_merges",
+    "trend_regression_events",
+    "winsorize_values",
+    "interpolate_hourly_values",
+    "triangle_count_coorder",
+    "cohort_retention",
+    "ab_test_lift",
+    "attribution_first_touch",
+    "pmi_token_pairs",
+    "funnel_latency_percentiles",
+    "time_weighted_avg_value",
+    "gaps_islands_activity",
+    "exists_over_balance",
+    "skyline_orders",
+    "text_entropy",
+    "map_agg_event_counts",
+    "mode_return_priority",
+    "web_url_canonicalize",
+    "web_domain_caps",
+    "web_blocklist_filter",
+    "pq_ann_adc",
+    "curriculum_buckets",
+    "hashed_feature_buckets",
+    "dq_expectations",
+    "time_rollup_multigrain",
+    "running_distinct_users",
+    "local_supply_revenue",
+    "ship_delay_by_priority",
+    "revenue_mom_growth",
+    "rolling_7d_active_users",
+    "window_distribution_funcs",
+    "skew_profile",
+]
+
+_NEXT_WINDOW = [
+    "incremental_agg_merge",
+    "benford_price_digits",
+    "k_anonymity_customers",
+    "heavy_hitters_tokens",
+    "ngram_lm_perplexity",
+    "merge_upsert_cdc",
+    "assign_contiguous_ids",
+    "geo_cell_density",
+    "nearest_station_events",
+    "snapshot_diff_cdf",
+    "zorder_cluster_key",
+    "compaction_plan",
+    "zonemap_prune_estimate",
+    "kmv_set_intersection",
+    "kaplan_meier_retention",
+    "record_linkage_score",
+    "equidepth_histogram",
+    "mutual_information_event_value",
+    "knn_join_lsh",
+    "incremental_join_view",
+    "fk_containment_profile",
+    "countmin_token_counts",
+    "mm_image_decode",
+    "dedup_incremental_replay",
 ]
 
 

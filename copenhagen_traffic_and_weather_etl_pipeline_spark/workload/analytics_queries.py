@@ -1169,7 +1169,8 @@ WITH s AS (
   SELECT user_id, value,
          epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
          lead(epoch_us(CAST(ts AS TIMESTAMP)))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_eu
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_eu
   FROM events
 ),
 w AS (
@@ -1178,7 +1179,7 @@ w AS (
   FROM s
 )
 SELECT user_id,
-       sum(w) AS observed_us,
+       CAST(sum(w) AS BIGINT) AS observed_us,
        round(sum(w * value) / sum(w), 6) AS twap_r6
 FROM w GROUP BY user_id
 HAVING sum(w) > 0

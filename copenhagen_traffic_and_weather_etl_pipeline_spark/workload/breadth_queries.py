@@ -884,8 +884,8 @@ WITH f AS (
 d AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY first_day),
 days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events)
 SELECT days.day, coalesce(d.new_users, 0) AS new_users,
-       sum(coalesce(d.new_users, 0)) OVER (ORDER BY days.day
-           ROWS UNBOUNDED PRECEDING) AS cum_distinct_users
+       CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY days.day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
 FROM days LEFT JOIN d USING (day)
 """,
     doc="running distinct users per day via first-day attribution + "
@@ -1171,7 +1171,8 @@ WITH e AS (
 ),
 c AS (SELECT keyspace, k, count(*) AS c FROM e GROUP BY keyspace, k),
 s AS (
-  SELECT keyspace, count(*) AS n_keys, sum(c) AS total, max(c) AS max_rows
+  SELECT keyspace, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total,
+         max(c) AS max_rows
   FROM c GROUP BY keyspace
 )
 SELECT c.keyspace,
@@ -1243,7 +1244,7 @@ WITH e AS (
          CAST(round(value * 1e6) AS BIGINT) AS v6
   FROM events WHERE value IS NOT NULL
 )
-SELECT event_type, count(*) AS n, sum(v6) AS sum_v6,
+SELECT event_type, count(*) AS n, CAST(sum(v6) AS BIGINT) AS sum_v6,
        ((2 * sum(v6) + count(*)) // (2 * count(*))) / 1e6 AS avg_value
 FROM e GROUP BY event_type
 """,
@@ -1370,10 +1371,11 @@ g AS (
 SELECT min(grp_n) AS k_anonymity,
        min(l_div) AS l_diversity,
        count(*) AS n_classes,
-       sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS rows_below_k5,
-       sum(grp_n) AS total_rows,
-       sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000 // sum(grp_n)
-         AS reident_risk_micro
+       CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       CAST(sum(grp_n) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000
+            // sum(grp_n) AS BIGINT) AS reident_risk_micro
 FROM g
 """,
     doc="k-anonymity + l-diversity privacy screen: quasi-identifier "

@@ -363,9 +363,11 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _duck_incremental_sql() -> str:
+def _duck_bands_prefix() -> str:
     # Mirrors operators/dedup.py: m_i = min((hh*(2i+1) + i) % p) over the
     # doc's md5-hashed shingles; band key = md5 of ':'-joined band values.
+    # CTE chain ends in ``bands`` (doc_id, band_idx, band_key); shared by
+    # the one-tick and two-tick incremental-dedup oracles.
     p = 2_147_483_647  # operators.dedup._MH_PRIME
     n_hashes, n_bands = 16, 4
     rpb = n_hashes // n_bands
@@ -381,8 +383,7 @@ def _duck_incremental_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH RECURSIVE {_DUCK_WORDS_CTE},
+    return f"""{_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
 shh AS (
   SELECT doc_id,
@@ -390,7 +391,12 @@ shh AS (
   FROM sh
 ),
 sigs AS (SELECT doc_id, {sig_cols} FROM shh GROUP BY doc_id),
-bands AS ({band_selects}),
+bands AS ({band_selects})"""
+
+
+def _duck_incremental_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_bands_prefix()},
 idx AS (SELECT band_idx, band_key FROM bands WHERE doc_id % 2 = 0),
 probe AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
 corpus_dups AS (
@@ -435,6 +441,96 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = band_buckets(minhash_signature(corpus, portable=True), portable=True)
     accepted, _new_index_rows = incremental_dedup(index, batch, portable=True)
     return accepted.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3d: TWO-tick incremental replay — the batch-visible twin of
+# streaming/dedup_stream.py. Tick 1 dedups its batch against the corpus
+# index, then its accepted docs' bucket rows are APPENDED to the index
+# (exactly what dedup_ingest_stream's foreachBatch does between ticks —
+# the restart-safe persistent-index semantics); tick 2 dedups against
+# the grown index. A tick-2 doc colliding only with a tick-1 ACCEPTED
+# doc proves the append happened; one colliding with a tick-1 REJECTED
+# doc must survive (rejected docs never enter the index). The oracle
+# replays both ticks with two recursive-CTE component resolutions.
+# ---------------------------------------------------------------------------
+
+
+def _duck_incremental_replay_sql() -> str:
+    def tick(n: int, idx: str, probe_filter: str) -> str:
+        return f"""
+probe{n} AS (SELECT * FROM bands WHERE {probe_filter}),
+cdup{n} AS (
+  SELECT DISTINCT p.doc_id
+  FROM probe{n} p JOIN {idx} i
+    ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+),
+surv{n} AS (
+  SELECT * FROM probe{n}
+  WHERE doc_id NOT IN (SELECT doc_id FROM cdup{n})
+),
+cand{n} AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM surv{n} a JOIN surv{n} b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges{n} AS (
+  SELECT d1 AS src, d2 AS dst FROM cand{n} UNION SELECT d2, d1 FROM cand{n}
+),
+reach{n}(node, root) AS (
+  SELECT DISTINCT doc_id, doc_id FROM surv{n}
+  UNION
+  SELECT e.dst, r.root FROM reach{n} r JOIN edges{n} e ON e.src = r.node
+),
+acc{n} AS (
+  SELECT node AS doc_id FROM reach{n} GROUP BY node HAVING node = min(root)
+)"""
+
+    return f"""
+WITH RECURSIVE {_duck_bands_prefix()},
+idx0 AS (SELECT band_idx, band_key FROM bands WHERE doc_id % 3 = 0),
+{tick(1, "idx0", "doc_id % 3 = 1").lstrip()},
+idx1 AS (
+  SELECT band_idx, band_key FROM idx0
+  UNION ALL
+  SELECT band_idx, band_key FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM acc1)
+),
+{tick(2, "idx1", "doc_id % 3 = 2").lstrip()}
+SELECT 1 AS tick, doc_id FROM acc1
+UNION ALL
+SELECT 2 AS tick, doc_id FROM acc2
+"""
+
+
+@register(
+    "dedup_incremental_replay",
+    oracle=_duck_incremental_replay_sql(),
+    doc="two-tick incremental MinHash-LSH replay of the streaming dedup "
+    "path (streaming/dedup_stream.py): tick-1 batch dedups against the "
+    "corpus index, its ACCEPTED docs' bucket rows append to the index, "
+    "tick-2 dedups against the grown index — the persistent band-bucket "
+    "index semantics that keep per-tick work O(batch + collisions) at "
+    "100 TB. Oracle replays both ticks (two recursive-CTE resolutions)",
+    tags=["dedup", "minhash", "incremental", "streaming"],
+)
+def dedup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_buckets, incremental_dedup, minhash_signature
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    tick1 = d.filter(F.col("doc_id") % 3 == 1)
+    tick2 = d.filter(F.col("doc_id") % 3 == 2)
+    idx0 = band_buckets(minhash_signature(corpus, portable=True), portable=True)
+    acc1, new1 = incremental_dedup(idx0, tick1, portable=True)
+    idx1 = idx0.select("doc_id", "band_idx", "band_key").unionByName(
+        new1.select("doc_id", "band_idx", "band_key")
+    )
+    acc2, _new2 = incremental_dedup(idx1, tick2, portable=True)
+    return acc1.select(F.lit(1).alias("tick"), "doc_id").unionByName(
+        acc2.select(F.lit(2).alias("tick"), "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1196,6 +1292,83 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
     return feats.withColumn("mean_byte", F.round("mean_byte", 6))
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (operators/multimodal.py decode_images): PPM P6 and
+# 24-bit BMP are parsed by the dependency-free decoder inside an
+# Arrow-batched mapInPandas. Payloads are synthesized JVM-side — a real
+# PPM header + pixel bytes (doc_id*7+i) % 256 for even doc_ids, a real
+# BMP (file+info header, bottom-up rows, 4-byte row padding) for odd —
+# and the oracle recomputes the pixel statistics in closed form from the
+# same ramp formula, so a header-parse or stride bug on the Spark side
+# hash-mismatches. Stats are exact integer micro-units (no float).
+# ---------------------------------------------------------------------------
+
+# "P6\n4 2\n255\n" and the 54-byte BMP header pair (70-byte file, 2x2,
+# 24bpp, BI_RGB, pixel array at offset 54).
+_PPM_HEADER_HEX = "50360A3420320A3235350A"
+_BMP_HEADER_HEX = (
+    "424D46000000000000003600000028000000020000000200000001001800"
+    + "00" * 24
+)
+
+
+def _img_px_byte(i: int):
+    return F.unhex(
+        F.lpad(F.hex(F.pmod(F.col("doc_id") * 7 + F.lit(i), F.lit(256))), 2, "0")
+    )
+
+
+@register(
+    "mm_image_decode",
+    oracle="""
+WITH vals AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0 THEN 24 ELSE 12 END AS n,
+         (d.doc_id * 7 + t.i) % 256 AS v
+  FROM documents d,
+       UNNEST(range(0, CASE WHEN d.doc_id % 2 = 0 THEN 24 ELSE 12 END)) t(i)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_px_bytes,
+       CAST(sum(v) * 1000000 // n AS BIGINT) AS mean_px_micro,
+       CAST(max(v) AS BIGINT) AS max_px,
+       CAST(NULL AS VARCHAR) AS error
+FROM vals GROUP BY doc_id, n
+""",
+    doc="dependency-free image decode through the Arrow mapInPandas "
+    "plumbing: real PPM-P6 and 24bpp-BMP payloads built JVM-side, parsed "
+    "by operators/multimodal.py decode_images (header fields, BMP row "
+    "stride/padding, pixel moments in exact integer micro-units); the "
+    "oracle recomputes the expected stats in closed form. Scale: decode "
+    "is the classic Python hot path — Arrow batches, narrow input "
+    "projection, per-row error channel instead of job failure",
+    tags=["multimodal", "pandas-udf"],
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_images
+
+    d = load(spark, sf_dir, "documents")
+    ppm = F.concat(
+        F.unhex(F.lit(_PPM_HEADER_HEX)), *[_img_px_byte(i) for i in range(24)]
+    )
+    bmp = F.concat(
+        F.unhex(F.lit(_BMP_HEADER_HEX)),
+        *[_img_px_byte(i) for i in range(6)],
+        F.unhex(F.lit("0000")),
+        *[_img_px_byte(i) for i in range(6, 12)],
+        F.unhex(F.lit("0000")),
+    )
+    payloads = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
+    )
+    return decode_images(payloads)
 
 
 # ---------------------------------------------------------------------------

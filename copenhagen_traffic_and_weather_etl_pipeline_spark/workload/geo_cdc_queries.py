@@ -276,7 +276,7 @@ best AS (
 )
 SELECT s.geo_key, s.geo_name,
        count(*) AS n_events,
-       sum(b.enc // 100) AS sum_d2
+       CAST(sum(b.enc // 100) AS BIGINT) AS sum_d2
 FROM best b JOIN stations s ON b.enc % 100 = s.geo_key
 GROUP BY s.geo_key, s.geo_name
 """,
@@ -406,7 +406,7 @@ WITH o AS (
 ),
 full_view AS (
   SELECT c.c_custkey, c.c_mktsegment,
-         count(*) AS n_orders, sum(o.price_c) AS revenue_c
+         count(*) AS n_orders, CAST(sum(o.price_c) AS BIGINT) AS revenue_c
   FROM o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_custkey, c.c_mktsegment
 )

@@ -148,13 +148,14 @@ WITH files AS (
 ),
 planned AS (
   SELECT file_id, bytes,
-         COALESCE(sum(bytes) OVER (ORDER BY file_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         CAST(COALESCE(sum(bytes) OVER (ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prior
   FROM files
 )
 SELECT prior // {_COMPACT_TARGET} AS bin_id,
        count(*) AS n_files,
-       sum(bytes) AS total_bytes,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
        min(file_id) AS first_file, max(file_id) AS last_file
 FROM planned GROUP BY 1
 """,
@@ -245,23 +246,24 @@ date_zones AS (
   FROM orders GROUP BY 1
 )
 SELECT 'key_clustered' AS layout, count(*) AS total_zones,
-       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
-                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END) AS BIGINT)
          AS scanned_zones,
-       sum(rows_z) AS total_rows,
-       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+       CAST(sum(rows_z) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
                  AND max_d >= TIMESTAMP '{_ZM_LO}' THEN rows_z ELSE 0 END)
-         AS rows_scanned,
-       sum(matched_z) AS rows_matched
+            AS BIGINT) AS rows_scanned,
+       CAST(sum(matched_z) AS BIGINT) AS rows_matched
 FROM key_zones
 UNION ALL
 SELECT 'date_clustered', count(*),
-       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
-                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END),
-       sum(rows_z),
-       sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
-                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN rows_z ELSE 0 END),
-       sum(matched_z)
+       CAST(sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(rows_z) AS BIGINT),
+       CAST(sum(CASE WHEN min_d < TIMESTAMP '{_ZM_HI}'
+                 AND max_d >= TIMESTAMP '{_ZM_LO}' THEN rows_z ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(matched_z) AS BIGINT)
 FROM date_zones
 """,
     doc="min/max zone-map pruning effectiveness for one date predicate "
@@ -304,8 +306,8 @@ ph AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM pu ORDER BY h LIMIT {_KMV_
 ut AS (SELECT h FROM (SELECT h FROM vh UNION SELECT h FROM ph) u
        ORDER BY h LIMIT {_KMV_K}),
 m AS (SELECT count(*) AS union_size,
-             sum(CASE WHEN h IN (SELECT h FROM vh)
-                       AND h IN (SELECT h FROM ph) THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN h IN (SELECT h FROM vh)
+                       AND h IN (SELECT h FROM ph) THEN 1 ELSE 0 END) AS BIGINT)
                AS kmv_matches
       FROM ut),
 ex AS (SELECT
@@ -314,7 +316,8 @@ ex AS (SELECT
          (SELECT count(*) FROM (SELECT user_id FROM vu UNION
                                 SELECT user_id FROM pu) q) AS exact_union)
 SELECT {_KMV_K} AS k, m.union_size, m.kmv_matches,
-       m.kmv_matches * 1000000 // m.union_size AS jaccard_micro_est,
+       CAST(m.kmv_matches * 1000000 // m.union_size AS BIGINT)
+         AS jaccard_micro_est,
        ex.exact_inter, ex.exact_union,
        ex.exact_inter * 1000000 // ex.exact_union AS jaccard_micro_exact
 FROM m, ex
@@ -397,8 +400,8 @@ WITH life AS (
 hist AS (SELECT t, count(*) AS d FROM life GROUP BY t),
 risk AS (
   SELECT t, d,
-         sum(d) OVER (ORDER BY t DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+         CAST(sum(d) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
   FROM hist
 ),
 km AS (

@@ -341,23 +341,28 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_DUCK_WORDS_CTE},
 toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
 per_src AS (
-  SELECT d.source, count(*) AS n_docs, sum(t.n_tokens) AS n_tokens
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
   GROUP BY d.source
 ),
-tot AS (SELECT sum(n_tokens) AS total_tokens,
-               count(*) AS n_sources FROM per_src)
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources FROM per_src)
 SELECT s.source, s.n_docs, s.n_tokens,
-       round(s.n_tokens * 1.0 / t.total_tokens, 6) AS actual_frac,
-       round((t.total_tokens * 1.0 / t.n_sources) / s.n_tokens, 6)
-         AS uniform_weight
+       CAST((s.n_tokens * 1000000) // t.total_tokens AS BIGINT)
+         AS actual_frac_micro,
+       CAST((t.total_tokens * 1000000) // (t.n_sources * s.n_tokens) AS BIGINT)
+         AS uniform_weight_micro
 FROM per_src s CROSS JOIN tot t
 """,
     doc="data-mixing weights: per-source token share vs a uniform target "
-    "mixture; uniform_weight is the resampling factor that equalizes "
-    "sources. One hash agg keyed by source + a 1-row total broadcast "
-    "cross-join (the scalar-subquery pattern) — nothing here grows with "
-    "corpus size except the first agg",
+    "mixture; uniform_weight_micro is the resampling factor (in exact "
+    "integer micro-units: x1e6, floor) that equalizes sources. All "
+    "arithmetic is BIGINT integer division on BOTH engines — no float in "
+    "the output, so the result is hash-stable cross-engine. One hash agg "
+    "keyed by source + a 1-row total broadcast cross-join (the "
+    "scalar-subquery pattern) — nothing here grows with corpus size "
+    "except the first agg",
     tags=["training", "agg"],
 )
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,10 +370,13 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = (
         d.select("source", F.size(_words_col()).alias("n_tokens"))
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
     tot = per_src.agg(
-        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.count("*").alias("n_sources"),
     )
     j = per_src.crossJoin(F.broadcast(tot))
@@ -376,13 +384,12 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
-            "actual_frac"
+        F.expr("CAST((n_tokens * 1000000) div total_tokens AS BIGINT)").alias(
+            "actual_frac_micro"
         ),
-        F.round(
-            (F.col("total_tokens") * 1.0 / F.col("n_sources")) / F.col("n_tokens"),
-            6,
-        ).alias("uniform_weight"),
+        F.expr(
+            "CAST((total_tokens * 1000000) div (n_sources * n_tokens) AS BIGINT)"
+        ).alias("uniform_weight_micro"),
     )
 
 
@@ -400,7 +407,7 @@ _BUDGET_SEED = "budget0"
     "sample_token_budget",
     oracle=f"""
 WITH {_DUCK_WORDS_CTE},
-toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words),
 h AS (
   SELECT d.doc_id, d.source, t.n_tokens,
          md5('{_BUDGET_SEED}:' || CAST(d.doc_id AS VARCHAR)) AS hk
@@ -408,8 +415,9 @@ h AS (
 ),
 c AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
   FROM h
 )
 SELECT doc_id, source, n_tokens, cum_tokens
@@ -429,13 +437,18 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "binary"
         )
     ).alias("hk")
-    base = d.select("doc_id", "source", F.size(_words_col()).alias("n_tokens"), hk)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(_words_col()).cast("bigint").alias("n_tokens"),
+        hk,
+    )
     win = (
         W.partitionBy("source")
         .orderBy("hk", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = base.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    c = base.withColumn("cum_tokens", F.sum("n_tokens").over(win).cast("bigint"))
     return c.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
@@ -707,7 +720,7 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_PAIRS_SQL = """
   SELECT split_part(p, '~', 1) AS l, split_part(p, '~', 2) AS r,
-         sum(f) AS cnt
+         CAST(sum(f) AS BIGINT) AS cnt
   FROM (
     SELECT UNNEST(list_transform(range(1, len(a)),
                                  i -> a[i] || '~' || a[i+1])) AS p, f

@@ -80,6 +80,96 @@ def test_frame_sample_drops_short_payloads(spark):
     assert frame_sample(synthesize_binary_docs(docs)).count() == 0
 
 
-def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
-        next(decode_image_batch(iter([])))
+def _ppm_bytes(px: bytes, w: int, h: int) -> bytes:
+    assert len(px) == w * h * 3
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+def _bmp_bytes(px_rows: list[bytes], w: int) -> bytes:
+    """24bpp bottom-up BMP with 4-byte row padding."""
+    stride = (w * 3 + 3) // 4 * 4
+    body = b"".join(r + b"\x00" * (stride - len(r)) for r in px_rows)
+    h = len(px_rows)
+    file_size = 54 + len(body)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return header + body
+
+
+def _decode_pdf(payloads: dict[int, bytes]):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "payload": list(payloads.values())}
+    )
+    out = pd.concat(decode_image_batch(iter([pdf])))
+    return {int(r.doc_id): r for r in out.itertuples(index=False)}
+
+
+def test_decode_ppm_exact():
+    px = bytes(range(24))  # 4x2 RGB ramp: 0..23
+    rows = _decode_pdf({1: _ppm_bytes(px, 4, 2)})
+    r = rows[1]
+    assert (r.format, r.width, r.height, r.n_channels) == ("ppm", 4, 2, 3)
+    assert r.n_px_bytes == 24
+    assert r.mean_px_micro == sum(px) * 1_000_000 // 24
+    assert r.max_px == 23
+    assert r.error is None
+
+
+def test_decode_ppm_comment_header():
+    px = bytes([7] * 3)
+    b = b"P6\n# a comment\n1 1\n255\n" + px
+    r = _decode_pdf({1: b})[1]
+    assert (r.format, r.width, r.height) == ("ppm", 1, 1)
+    assert r.max_px == 7
+
+
+def test_decode_bmp_excludes_row_padding():
+    # 2x2: bottom row then top row in file order; stride pads 6 -> 8
+    # bytes per row with 0xFF-free zeros that must NOT enter the stats.
+    bottom, top = bytes([10, 20, 30, 40, 50, 60]), bytes([1, 2, 3, 4, 5, 6])
+    r = _decode_pdf({5: _bmp_bytes([bottom, top], 2)})[5]
+    px = bottom + top
+    assert (r.format, r.width, r.height, r.n_channels) == ("bmp", 2, 2, 3)
+    assert r.n_px_bytes == 12
+    assert r.mean_px_micro == sum(px) * 1_000_000 // 12
+    assert r.max_px == 60
+    assert r.error is None
+
+
+def test_decode_unsupported_and_truncated_are_row_errors():
+    rows = _decode_pdf(
+        {
+            1: bytes.fromhex("89504E47") + b"not a real png",
+            2: b"P6\n4 2\n255\n" + b"\x00" * 5,  # truncated pixel data
+            3: _ppm_bytes(bytes(3), 1, 1),  # valid row rides along
+        }
+    )
+    assert rows[1].error is not None and "unsupported" in rows[1].error
+    assert rows[2].error is not None and "truncated" in rows[2].error
+    assert rows[3].error is None and rows[3].format == "ppm"
+
+
+def test_decode_images_dataframe(spark):
+    docs = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(bytes(range(12)), 2, 2)))],
+        "doc_id long, payload binary",
+    )
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    r = decode_images(docs).collect()[0]
+    assert r["format"] == "ppm" and r["n_px_bytes"] == 12
+    assert r["mean_px_micro"] == sum(range(12)) * 1_000_000 // 12

@@ -10,12 +10,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import datetime
 import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -26,19 +28,67 @@ TABLES = [
 ]
 
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, stringify values, sort rows — mirrors an
-    order-insensitive value compare."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_dtype(s: pd.Series) -> str:
+    """Dtype family label, calibrated against observed driver behavior:
+    int WIDTH mismatches passed the driver (pack_sequences r3: Spark
+    int32 vs DuckDB int64 -> green), and Spark DATE (pandas object of
+    datetime.date) vs DuckDB datetime64 passed (daily_counts_gapfilled
+    r3) — both collapse to one family here. int-vs-FLOAT drift (DuckDB
+    sum(BIGINT) -> HUGEINT -> pandas float64, which stringifies '5.0'
+    vs '5') is exactly what failed sample_token_budget r3 — kept as a
+    hard mismatch."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    nonnull = s.dropna()
+    if len(nonnull) and all(
+        isinstance(v, (datetime.date, datetime.datetime)) for v in nonnull
+    ):
+        return "datetime"
+    return "object"
+
+
+def frame_normalize(pdf: pd.DataFrame):
+    """Sort columns by name, canonicalize dtypes + stringify values, sort
+    rows — a dtype-sensitive replica of an order-insensitive typed
+    compare (the previous stringify-only version let int-width and
+    int-vs-float divergence through; the driver's hasher does not)."""
+    pdf = pdf[sorted(pdf.columns)]
+    dtypes = {c: canon_dtype(pdf[c]) for c in pdf.columns}
 
     def norm_val(v):
+        if v is None:
+            return "null"
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return repr(v)
+            return repr(float(v))
+        if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            # midnight timestamps compare equal to plain dates (Spark
+            # DATE arrives as datetime.date, DuckDB DATE as datetime64)
+            if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+                return v.date().isoformat()
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        try:
+            if pd.isna(v):
+                return "null"
+        except (TypeError, ValueError):
+            pass
         return str(v)
 
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+    rows = sorted(
+        tuple(norm_val(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return dtypes, rows
 
 
 def main() -> int:
@@ -72,40 +122,49 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"[{name}] SPARK ERROR: {e}")
             failures += 1
             continue
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"[{name}] rows={len(srows)} ({spark_s:.1f}s) no-oracle (rows-only check)")
+            print(
+                f"[{name}] rows={len(spdf)} ({spark_s:.1f}s) "
+                "no-oracle (rows-only check)"
+            )
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"[{name}] ORACLE ERROR: {e}")
             failures += 1
             continue
         ok = True
         msgs = []
-        if sorted(scols) != sorted(dcols):
+        if sorted(spdf.columns) != sorted(dpdf.columns):
             ok = False
-            msgs.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+            msgs.append(
+                f"schema: spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+            )
+        if len(spdf) != len(dpdf):
             ok = False
-            msgs.append(f"rows: spark={len(srows)} duck={len(drows)}")
+            msgs.append(f"rows: spark={len(spdf)} duck={len(dpdf)}")
         if ok:
-            ns, nd = normalize(srows, scols), normalize(drows, dcols)
-            if ns != nd:
+            sdts, ns = frame_normalize(spdf)
+            ddts, nd = frame_normalize(dpdf)
+            if sdts != ddts:
+                ok = False
+                diff = {
+                    c: (sdts[c], ddts[c]) for c in sdts if sdts[c] != ddts[c]
+                }
+                msgs.append(f"dtypes differ: {diff}")
+            elif ns != nd:
                 ok = False
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 msgs.append(f"values differ; first diffs: {diff}")
         status = "OK " if ok else "FAIL"
-        print(f"[{name}] {status} rows={len(srows)} ({spark_s:.1f}s)"
+        print(f"[{name}] {status} rows={len(spdf)} ({spark_s:.1f}s)"
               + ("" if ok else " | " + " | ".join(msgs)))
         failures += 0 if ok else 1
 
