@@ -8,8 +8,10 @@ exactly ONE JSON line:
 Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
 collect-to-driver or disk cost), best of 2 runs so one GC pause or
-compile hiccup can't skew a round-over-round comparison. Session
-startup is excluded.
+compile hiccup can't skew a round-over-round comparison; when the two
+runs disagree by more than 1.5x (the signature of ambient load, which
+back-to-back runs don't defend against) a third attempt is taken and
+the minimum kept. Session startup is excluded.
 
 Usage: python bench.py [query ...]
 """
@@ -93,16 +95,21 @@ def main() -> int:
     # one-time session costs (codegen compile, filesystem metadata).
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def time_one(name: str) -> float:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def time_set(qnames: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in qnames:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = REGISTRY[name].fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+            runs = [time_one(name), time_one(name)]
+            # Two runs >1.5x apart means one was measured under ambient
+            # load — take a tie-breaking third before keeping the min.
+            if max(runs) > 1.5 * min(runs) and max(runs) - min(runs) > 0.2:
+                runs.append(time_one(name))
+            out[name] = round(min(runs), 3)
         return out
 
     timings = time_set(names)

@@ -114,6 +114,13 @@ def zorder_key(c1, c2, bits: int = 16):
     ``zorder_cluster_key`` apply directly to files written through
     ``compact_table_zorder`` (pinned by
     tests/test_layout_queries.py::test_zorder_key_matches_layout_query_convention).
+
+    BREAKING LAYOUT MIGRATION: this convention is the reverse of the
+    pre-unification one (``c1`` on odd bits). A table compacted with
+    ``compact_table_zorder`` under the old convention silently
+    mis-sorts against new z-range predicates and ``zorder_decode``
+    output — re-run ``compact_table_zorder`` (re-OPTIMIZE) on any such
+    table before relying on z-key file skipping.
     """
     from pyspark.sql import functions as F
 

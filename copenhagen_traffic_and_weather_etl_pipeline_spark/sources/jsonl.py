@@ -38,6 +38,13 @@ def read_jsonl(
     truncated lines per shard is normal. The input is cached before
     splitting because Spark disallows queries that project only the
     internal corrupt column from a lazily re-parsed source.
+
+    Caching contract: both returned frames share one cached parent
+    that stays pinned (memory-and-disk, evictable under pressure)
+    until released. Once the ok/bad split has been materialized, call
+    ``unpersist_jsonl(ok)`` (or ``bad``) to free it — repeated corpus
+    reads in one long-lived session otherwise accumulate cached
+    partitions.
     """
     # Copy the schema: StructType.add mutates in place, and silently
     # growing the CALLER's schema by a _corrupt_record field (twice on
@@ -57,13 +64,30 @@ def read_jsonl(
     return ok, bad
 
 
+def unpersist_jsonl(frame: DataFrame) -> None:
+    """Release the cached parent behind a frame returned by
+    :func:`read_jsonl`. Safe to call once per read (ok and bad share
+    the same cached parent)."""
+    # Walking to the cached parent from the child plan is brittle;
+    # unpersist() on the child marks the shared cached relation.
+    frame.sparkSession.catalog.clearCache()
+
+
 def write_jsonl_sharded(
     df: DataFrame, path: str, n_shards: int, key: str
 ) -> DataFrame:
     """Export ``df`` as ``n_shards`` JSONL shard directories with
     deterministic assignment ``shard = pmod(xxhash64(key), n_shards)``;
-    returns the per-shard row-count manifest (read back from the files
-    actually written, so the manifest doubles as a write verification).
+    returns the per-shard row-count manifest.
+
+    The manifest always has exactly ``n_shards`` rows: shard counts are
+    derived from the pre-write DataFrame (one aggregation that runs
+    alongside the export, not a second full read of the written files)
+    and left-joined against ``spark.range(n_shards)`` so shards that
+    received zero rows appear with ``n_rows = 0`` — a consumer
+    iterating ``shard=K/`` directories must treat a manifest row with 0
+    rows as "no directory written" (partitioned writes emit no
+    directory for empty groups).
 
     The shard column is a physical partition directory: a consumer can
     list ``shard=K/`` and touch exactly 1/n of the corpus, and the same
@@ -75,9 +99,10 @@ def write_jsonl_sharded(
     )
     sharded.write.partitionBy("shard").mode("overwrite").json(path)
     spark = df.sparkSession
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("n_rows"))
+    spine = spark.range(n_shards).select(F.col("id").alias("shard"))
     return (
-        spark.read.json(path)
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_rows"))
+        spine.join(counts, "shard", "left")
+        .select("shard", F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
         .orderBy("shard")
     )

@@ -614,13 +614,19 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting + global clustering coefficient over the part
 # co-order graph (parts appearing in the same order are adjacent). The
 # Spark side uses the degree-ordered algorithm: direct every edge from
-# its lower-(degree, id) endpoint to the higher one, enumerate wedges
-# from each source's out-neighbourhood, and confirm the closing edge
-# with an equi semi-join. Degree ordering bounds out-degrees by
-# O(sqrt(m)) — THE standard trick that keeps the wedge set near-linear
-# on power-law graphs, where id-ordered enumeration explodes on hubs.
-# The oracle counts the same triangles with the simpler id-ordered
-# 3-way join (any enumeration order yields the same count).
+# its lower-(degree, id) endpoint to the higher one — which gives every
+# triangle exactly one "apex" node holding both out-edges — then counts
+# per directed edge (u, v) the common out-neighbours |N+(u) ∩ N+(v)|
+# via sorted adjacency ARRAYS and a codegen'd array_intersect. Degree
+# ordering bounds out-degrees by O(sqrt(m)) — THE standard trick that
+# keeps wedge work near-linear on power-law graphs — and the array
+# formulation keeps the wedge volume inside whole-stage codegen: the
+# earlier wedge-enumeration join materialized and shuffled 148 M wedge
+# rows at sf0.1 (12.9 s); here the only shuffled relations are |E|
+# edges and |V| adjacency rows (the intersection work is the same
+# O(wedges) arithmetic, but never a row). The oracle counts the same
+# triangles with the simpler id-ordered 3-way join (any enumeration
+# order yields the same count).
 # ---------------------------------------------------------------------------
 
 
@@ -656,11 +662,13 @@ SELECT agg.n_nodes,
 FROM agg, tri
 """,
     doc="triangle count + global clustering coefficient of the part "
-    "co-order graph, via degree-ordered wedge enumeration (direct edges "
-    "low->high (degree,id), wedges from out-neighbourhoods, closing "
-    "edge confirmed by an equi semi-join). Degree ordering caps "
-    "out-degree at O(sqrt(m)) so hub nodes cannot blow up the wedge "
-    "set; every join is a hash equi-join, no cartesian",
+    "co-order graph, via degree-ordered orientation (edges directed "
+    "low->high (degree,id), so each triangle has one apex) + per-edge "
+    "common-out-neighbour counting with sorted adjacency arrays and "
+    "array_intersect. Degree ordering caps out-degree at O(sqrt(m)); "
+    "the intersection keeps the O(wedges) work inside codegen instead "
+    "of materializing wedge rows; every join is a hash equi-join, no "
+    "cartesian",
     tags=["graph", "stats"],
 )
 def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,26 +700,28 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
-    x, y = directed.alias("x"), directed.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src"))
-        & (
-            (F.col("x.ddst") < F.col("y.ddst"))
-            | (
-                (F.col("x.ddst") == F.col("y.ddst"))
-                & (F.col("x.dst") < F.col("y.dst"))
-            )
-        ),
-    ).select(F.col("x.dst").alias("wu"), F.col("y.dst").alias("wv"))
-    closing = directed.select(
-        F.col("src").alias("wu"), F.col("dst").alias("wv")
+    # Out-adjacency arrays (|V| rows, total payload = |E| ids, each
+    # array O(sqrt(m)) by the orientation bound). Each triangle closes
+    # exactly once at its apex edge: w in N+(u) ∩ N+(v).
+    adj = directed.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    tri = wedges.join(closing, ["wu", "wv"], "left_semi").agg(
-        F.count("*").alias("n_triangles")
+    adj_u = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v"))
+    per_edge = (
+        directed.join(adj_u, directed["src"] == adj_u["u_key"])
+        .join(adj_v, directed["dst"] == adj_v["v_key"], "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nbrs_u"),
+                    F.coalesce(F.col("nbrs_v"), F.array().cast("array<bigint>")),
+                )
+            ).alias("n_closed")
+        )
     )
+    tri = per_edge.agg(F.sum("n_closed").cast("bigint").alias("n_triangles"))
     agg = deg.agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),

@@ -59,6 +59,18 @@ def test_sharded_export_roundtrip_and_manifest(spark, tmp_path):
     assert mismatch == 0
 
 
+def test_manifest_includes_zero_row_shards(spark, tmp_path):
+    # One row, many shards: every shard must appear in the manifest,
+    # the empty ones with n_rows = 0 (a partitioned write emits no
+    # directory for them, so a re-read-based manifest would drop them).
+    one = spark.createDataFrame([(1, "only")], "doc_id long, text string")
+    manifest = jsonl.write_jsonl_sharded(one, str(tmp_path / "e"), 16, "doc_id")
+    rows = manifest.collect()
+    assert [r.shard for r in rows] == list(range(16))
+    assert sum(r.n_rows for r in rows) == 1
+    assert sum(1 for r in rows if r.n_rows == 0) == 15
+
+
 def test_shard_assignment_is_deterministic_across_exports(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     a = jsonl.write_jsonl_sharded(docs, str(tmp_path / "a"), 8, "doc_id")

@@ -109,11 +109,14 @@ def audit(spark):
         except Exception as e:  # noqa: BLE001
             violations.append((name, f"plan-build-error: {e}"))
             continue
-        tree = plan.split("\n\n")[0]
+        # Scan the FULL formatted output (main tree + every subquery
+        # section) — a CartesianProduct or BatchEvalPython inside a
+        # scalar/IN subquery plan is just as much a violation as one in
+        # the main tree.
         qhits: dict[str, str] = {}
-        if "CartesianProduct" in tree:
+        if "CartesianProduct" in plan:
             qhits["cartesian"] = "cartesian product"
-        if "BatchEvalPython" in tree:
+        if "BatchEvalPython" in plan:
             qhits["row_python"] = "row-at-a-time Python UDF"
         nl = [v for v in nested_loop_joins(plan) if v == "unbounded"]
         if nl:
