@@ -9,9 +9,10 @@ Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
 collect-to-driver or disk cost), best of 2 runs so one GC pause or
 compile hiccup can't skew a round-over-round comparison; when the two
-runs disagree by more than 1.5x (the signature of ambient load, which
-back-to-back runs don't defend against) a third attempt is taken and
-the minimum kept. Session startup is excluded.
+runs disagree by more than 1.5x AND more than 0.2 s absolute (the
+signature of ambient load on a query big enough for it to matter,
+which back-to-back runs don't defend against) a third attempt is taken
+and the minimum kept. Session startup is excluded.
 
 Usage: python bench.py [query ...]
 """

@@ -283,8 +283,10 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             "n_px_bytes", "mean_px_micro", "max_px", "error",
         )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            out["doc_id"].append(int(doc_id))
+            out["doc_id"].append(None if doc_id is None else int(doc_id))
             try:
+                if payload is None:
+                    raise ValueError("null payload")
                 fmt, w, h, nch, px = _decode_one(bytes(payload))
                 out["format"].append(fmt)
                 out["width"].append(w)
@@ -298,7 +300,7 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 )
                 out["max_px"].append(int(px.max()) if len(px) else 0)
                 out["error"].append(None)
-            except (ValueError, IndexError) as e:
+            except (ValueError, IndexError, TypeError) as e:
                 out["format"].append(None)
                 out["width"].append(None)
                 out["height"].append(None)

@@ -61,16 +61,21 @@ def read_jsonl(
     )
     ok = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    # Pin the cached parent on both children so unpersist_jsonl can
+    # release exactly this read (not the whole session cache).
+    ok._jsonl_cached_parent = raw
+    bad._jsonl_cached_parent = raw
     return ok, bad
 
 
 def unpersist_jsonl(frame: DataFrame) -> None:
     """Release the cached parent behind a frame returned by
     :func:`read_jsonl`. Safe to call once per read (ok and bad share
-    the same cached parent)."""
-    # Walking to the cached parent from the child plan is brittle;
-    # unpersist() on the child marks the shared cached relation.
-    frame.sparkSession.catalog.clearCache()
+    the same cached parent); other cached relations in the session are
+    untouched. No-op on frames that did not come from read_jsonl."""
+    parent = getattr(frame, "_jsonl_cached_parent", None)
+    if parent is not None:
+        parent.unpersist()
 
 
 def write_jsonl_sharded(
@@ -80,14 +85,15 @@ def write_jsonl_sharded(
     deterministic assignment ``shard = pmod(xxhash64(key), n_shards)``;
     returns the per-shard row-count manifest.
 
-    The manifest always has exactly ``n_shards`` rows: shard counts are
-    derived from the pre-write DataFrame (one aggregation that runs
-    alongside the export, not a second full read of the written files)
-    and left-joined against ``spark.range(n_shards)`` so shards that
-    received zero rows appear with ``n_rows = 0`` — a consumer
-    iterating ``shard=K/`` directories must treat a manifest row with 0
-    rows as "no directory written" (partitioned writes emit no
-    directory for empty groups).
+    The manifest always has exactly ``n_shards`` rows: the sharded
+    input is persisted across the write and the count aggregation (one
+    materialization feeds both, so a non-deterministic upstream plan
+    cannot make the manifest disagree with the files written, and there
+    is no second full read of the export), then left-joined against
+    ``spark.range(n_shards)`` so shards that received zero rows appear
+    with ``n_rows = 0`` — a consumer iterating ``shard=K/`` directories
+    must treat a manifest row with 0 rows as "no directory written"
+    (partitioned writes emit no directory for empty groups).
 
     The shard column is a physical partition directory: a consumer can
     list ``shard=K/`` and touch exactly 1/n of the corpus, and the same
@@ -96,10 +102,19 @@ def write_jsonl_sharded(
     """
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_shards))
-    )
-    sharded.write.partitionBy("shard").mode("overwrite").json(path)
+    ).persist()
+    try:
+        sharded.write.partitionBy("shard").mode("overwrite").json(path)
+        # n_shards rows; eagerly materialized so unpersist below cannot
+        # trigger a recomputation when the caller reads the manifest.
+        counts = (
+            sharded.groupBy("shard")
+            .agg(F.count("*").alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sharded.unpersist()
     spark = df.sparkSession
-    counts = sharded.groupBy("shard").agg(F.count("*").alias("n_rows"))
     spine = spark.range(n_shards).select(F.col("id").alias("shard"))
     return (
         spine.join(counts, "shard", "left")

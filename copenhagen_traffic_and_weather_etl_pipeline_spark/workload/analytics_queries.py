@@ -721,7 +721,11 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_closed")
         )
     )
-    tri = per_edge.agg(F.sum("n_closed").cast("bigint").alias("n_triangles"))
+    # coalesce: sum over an empty edge set is NULL, but the oracle's
+    # count(*) (and the pre-array formulation) returns 0.
+    tri = per_edge.agg(
+        F.coalesce(F.sum("n_closed"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
     agg = deg.agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),

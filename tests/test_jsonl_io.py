@@ -59,6 +59,19 @@ def test_sharded_export_roundtrip_and_manifest(spark, tmp_path):
     assert mismatch == 0
 
 
+def test_unpersist_releases_only_this_reads_cache(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a", "lang": "en"}\n')
+    other = spark.range(10).cache()
+    other.count()
+    ok, bad = jsonl.read_jsonl(spark, str(p), DOC_SCHEMA)
+    assert ok.count() == 1 and bad.count() == 0
+    jsonl.unpersist_jsonl(ok)
+    # The unrelated cached frame must still be cached.
+    assert other.storageLevel.useMemory
+    other.unpersist()
+
+
 def test_manifest_includes_zero_row_shards(spark, tmp_path):
     # One row, many shards: every shard must appear in the manifest,
     # the empty ones with n_rows = 0 (a partitioned write emits no

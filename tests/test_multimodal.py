@@ -161,6 +161,12 @@ def test_decode_unsupported_and_truncated_are_row_errors():
     assert rows[3].error is None and rows[3].format == "ppm"
 
 
+def test_decode_null_payload_is_row_error_not_crash():
+    rows = _decode_pdf({7: None, 8: _ppm_bytes(bytes(3), 1, 1)})
+    assert rows[7].error is not None and "null payload" in rows[7].error
+    assert rows[8].error is None
+
+
 def test_decode_images_dataframe(spark):
     docs = spark.createDataFrame(
         [(1, bytearray(_ppm_bytes(bytes(range(12)), 2, 2)))],

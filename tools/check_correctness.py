@@ -37,6 +37,8 @@ def canon_dtype(s: pd.Series) -> str:
     sum(BIGINT) -> HUGEINT -> pandas float64, which stringifies '5.0'
     vs '5') is exactly what failed sample_token_budget r3 — kept as a
     hard mismatch."""
+    if len(s) and s.isna().all():
+        return "null"
     dt = s.dtype
     if pd.api.types.is_bool_dtype(dt):
         return "bool"
@@ -54,6 +56,15 @@ def canon_dtype(s: pd.Series) -> str:
     return "object"
 
 
+def equalize_null_columns(sdts: dict, ddts: dict) -> None:
+    """A column with no non-null values carries no dtype signal (pandas
+    renders it object/float/datetime64 depending on the conversion
+    path); collapse both sides to 'null' so it can't false-FAIL."""
+    for c in sdts:
+        if "null" in (sdts[c], ddts.get(c)):
+            sdts[c] = ddts[c] = "null"
+
+
 def frame_normalize(pdf: pd.DataFrame):
     """Sort columns by name, canonicalize dtypes + stringify values, sort
     rows — a dtype-sensitive replica of an order-insensitive typed
@@ -63,8 +74,15 @@ def frame_normalize(pdf: pd.DataFrame):
     dtypes = {c: canon_dtype(pdf[c]) for c in pdf.columns}
 
     def norm_val(v):
+        # Null check FIRST: pd.NaT is an instance of datetime.datetime
+        # and would otherwise take the isoformat branch as 'NaT'.
         if v is None:
             return "null"
+        try:
+            if pd.isna(v):
+                return "null" if not isinstance(v, float) else "nan"
+        except (TypeError, ValueError):
+            pass
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
@@ -77,11 +95,6 @@ def frame_normalize(pdf: pd.DataFrame):
             return v.isoformat()
         if isinstance(v, datetime.date):
             return v.isoformat()
-        try:
-            if pd.isna(v):
-                return "null"
-        except (TypeError, ValueError):
-            pass
         return str(v)
 
     rows = sorted(
@@ -153,6 +166,7 @@ def main() -> int:
         if ok:
             sdts, ns = frame_normalize(spdf)
             ddts, nd = frame_normalize(dpdf)
+            equalize_null_columns(sdts, ddts)
             if sdts != ddts:
                 ok = False
                 diff = {
