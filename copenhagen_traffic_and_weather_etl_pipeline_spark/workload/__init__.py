@@ -180,6 +180,7 @@ _NEXT_WINDOW = [
     "countmin_token_counts",
     "mm_image_decode",
     "dedup_incremental_replay",
+    "triangle_count_doulion",
 ]
 
 

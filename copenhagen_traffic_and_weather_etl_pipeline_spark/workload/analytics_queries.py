@@ -672,9 +672,34 @@ FROM agg, tri
     tags=["graph", "stats"],
 )
 def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _coorder_edges(spark, sf_dir)
+    deg = _edge_degrees(e)
+    tri = _triangle_close_count(e, deg)
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-order edge set (u < v), distinct."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -683,12 +708,21 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
+
+
+def _edge_degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Exact triangle count of the undirected edge set ``e`` (1 row):
+    degree-ordered orientation + per-edge |N+(u) ∩ N+(v)| over sorted
+    adjacency arrays (see triangle_count_coorder's header comment)."""
     # Orient each edge from the lower (degree, id) endpoint to the
     # higher; deg is |V|-sized, so both lookups broadcast.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
@@ -723,24 +757,94 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # coalesce: sum over an empty edge set is NULL, but the oracle's
     # count(*) (and the pre-array formulation) returns 0.
-    tri = per_edge.agg(
+    return per_edge.agg(
         F.coalesce(F.sum("n_closed"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
-    agg = deg.agg(
-        F.count("*").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+
+
+# ---------------------------------------------------------------------------
+# DOULION sampled triangle estimate (Tsourakakis et al., KDD 2009): keep
+# each edge independently with probability p, count triangles EXACTLY on
+# the sparsified graph, scale by 1/p^3 — an unbiased estimator whose
+# triangle-counting cost drops by ~p^2..p^3 while the estimate
+# concentrates on graphs with many triangles. The approximate sibling of
+# triangle_count_coorder for when even the array-intersect pass is too
+# expensive (the wedge work shrinks by ~p^2). Sampling is DETERMINISTIC
+# (md5 of "u~v" mod 100 < p*100), so the oracle replays the identical
+# sparsified graph and the estimate is exact-integer-checkable — no
+# rows-only hole for a randomized algorithm.
+# ---------------------------------------------------------------------------
+
+_DOULION_PCT = 25  # keep probability p = 0.25 (must divide 100)
+_DOULION_SCALE = (100 // _DOULION_PCT) ** 3  # 1/p^3 = 64, exact integer
+
+
+@register(
+    "triangle_count_doulion",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+s AS (
+  SELECT u, v FROM e
+  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR) || '~' || CAST(v AS VARCHAR)),
+                            1, 15) AS BIGINT) % 100 < {_DOULION_PCT}
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM s e1
+  JOIN s e2 ON e2.u = e1.v
+  JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM s) AS n_sampled_edges,
+       t AS sampled_triangles,
+       CAST(t * {_DOULION_SCALE} AS BIGINT) AS est_triangles
+FROM tri
+""",
+    doc="DOULION sampled triangle estimate: deterministic md5-hash edge "
+    f"sampling at p={_DOULION_PCT / 100} (oracle replays the identical "
+    "sparsified graph), exact degree-ordered count on the sample, "
+    "estimate = count / p^3 in exact integers. Unbiased; wedge work "
+    "shrinks ~p^2 vs the exact path — the knob to turn when the exact "
+    "count stops fitting the tick budget at 100 TB",
+    tags=["graph", "approx", "sampling"],
+)
+def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _coorder_edges(spark, sf_dir)
+    pair_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit("~"),
+                        F.col("v").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
     )
+    s = e.filter(pair_hash < _DOULION_PCT)
+    tri = _triangle_close_count(s, _edge_degrees(s))
     edges_n = e.agg(F.count("*").alias("n_edges"))
+    sampled_n = s.agg(F.count("*").alias("n_sampled_edges"))
     return (
-        agg.crossJoin(F.broadcast(edges_n))
+        edges_n.crossJoin(F.broadcast(sampled_n))
         .crossJoin(F.broadcast(tri))
         .select(
-            "n_nodes",
             "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
-                "clustering_coeff"
+            "n_sampled_edges",
+            F.col("n_triangles").alias("sampled_triangles"),
+            (F.col("n_triangles") * F.lit(_DOULION_SCALE)).cast("bigint").alias(
+                "est_triangles"
             ),
         )
     )
