@@ -5,8 +5,10 @@ byte-feature plumbing with exact expected values."""
 from __future__ import annotations
 
 import hashlib
+import random
 
-import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.multimodal import (
@@ -159,6 +161,57 @@ def test_decode_unsupported_and_truncated_are_row_errors():
     assert rows[1].error is not None and "unsupported" in rows[1].error
     assert rows[2].error is not None and "truncated" in rows[2].error
     assert rows[3].error is None and rows[3].format == "ppm"
+
+
+def _px_stats(px: bytes):
+    return (len(px), sum(px) * 1_000_000 // len(px), max(px))
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_decode_ppm_property_roundtrip(w, h, seed):
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    r = _decode_pdf({1: _ppm_bytes(px, w, h)})[1]
+    assert (r.format, r.width, r.height, r.error) == ("ppm", w, h, None)
+    assert (r.n_px_bytes, r.mean_px_micro, r.max_px) == _px_stats(px)
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_decode_bmp_property_roundtrip(w, h, seed):
+    # Covers all stride paddings (w mod 4) since w ranges over 1..8.
+    rnd = random.Random(seed)
+    rows = [bytes(rnd.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    r = _decode_pdf({1: _bmp_bytes(rows, w)})[1]
+    px = b"".join(rows)
+    assert (r.format, r.width, r.height, r.error) == ("bmp", w, h, None)
+    assert (r.n_px_bytes, r.mean_px_micro, r.max_px) == _px_stats(px)
+
+
+def test_decode_bmp_top_down_negative_height():
+    # Negative height = top-down row order; stats must be identical to
+    # the bottom-up layout of the same rows.
+    rows = [bytes([9, 8, 7, 6, 5, 4]), bytes([1, 2, 3, 4, 5, 6])]
+    up = _bmp_bytes(rows, 2)
+    # Rewrite the height field (offset 22) to -2 little-endian signed.
+    down = up[:22] + (-2).to_bytes(4, "little", signed=True) + up[26:]
+    r_up = _decode_pdf({1: up})[1]
+    r_down = _decode_pdf({1: down})[1]
+    assert r_down.error is None and r_down.height == 2
+    assert (r_down.n_px_bytes, r_down.mean_px_micro, r_down.max_px) == (
+        r_up.n_px_bytes,
+        r_up.mean_px_micro,
+        r_up.max_px,
+    )
 
 
 def test_decode_null_payload_is_row_error_not_crash():
