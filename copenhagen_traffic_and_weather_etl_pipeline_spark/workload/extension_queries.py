@@ -1804,6 +1804,16 @@ WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.8
     tags=["dedup", "jaccard"],
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan notes (same semantics as the oracle, fewer shuffles): the
+    # rarest-first per-doc ordering is an array_sort of (df, shh)
+    # structs inside one per-doc aggregation — identical ordering to
+    # the oracle's row_number() OVER (ORDER BY df, shh) but no window
+    # sort and no separate sizes join. Candidate verification
+    # intersects the two docs' shingle ARRAYS in codegen
+    # (array_intersect over |cands| rows) instead of exploding
+    # cands x shingles through a 3-way join — the shc multiset is
+    # DISTINCT shingles per doc, so |array_intersect| == the exact
+    # intersection count.
     d = load(spark, sf_dir, "documents")
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
@@ -1811,21 +1821,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shh")
     )
     shc = shingles(d).select("doc_id", hh)
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = shc.groupBy("shh").agg(F.count("*").alias("df"))
-    ranked = (
+    per_doc = (
         shc.join(dfreq, "shh")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "shh")
-            ),
-        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.expr("(8 * n + 9) div 10") + 1
-    ).select("doc_id", "shh")
+    n = F.size("toks")
+    pref_len = (n - F.expr("(8 * size(toks) + 9) div 10") + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), pref_len), lambda t: t["shh"])
+        ).alias("shh"),
+    )
     cands = (
         prefix.alias("a")
         .join(
@@ -1838,27 +1847,32 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        cands.join(shc.alias("x"), F.col("x.doc_id") == F.col("d1"))
-        .join(
-            shc.alias("y"),
-            (F.col("y.doc_id") == F.col("d2"))
-            & (F.col("y.shh") == F.col("x.shh")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("i"))
+    arr = per_doc.select(
+        "doc_id",
+        F.transform("toks", lambda t: t["shh"]).alias("shs"),
+        F.size("toks").alias("n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    arr1 = arr.select(
+        F.col("doc_id").alias("d1"), F.col("shs").alias("s1"), F.col("n").alias("na")
+    )
+    arr2 = arr.select(
+        F.col("doc_id").alias("d2"), F.col("shs").alias("s2"), F.col("n").alias("nb")
+    )
+    inter = (
+        cands.join(arr1, "d1")
+        .join(arr2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "na",
+            "nb",
+            F.size(F.array_intersect("s1", "s2")).alias("i"),
+        )
+    )
     jac = F.round(
         F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6
     ).alias("jaccard")
-    return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .select("d1", "d2", jac)
-        .filter(F.col("jaccard") >= 0.8)
-    )
+    return inter.select("d1", "d2", jac).filter(F.col("jaccard") >= 0.8)
 
 
 # ---------------------------------------------------------------------------
