@@ -5,6 +5,7 @@ values.
 
 Usage:
     python tools/check_correctness.py [query ...] [--sf /root/testdata/sf0.01]
+    python tools/check_correctness.py --window      # first 50 = driver window
 """
 
 from __future__ import annotations
@@ -108,13 +109,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check only the first 50 registry entries (the slice the "
+        "driver's per-round correctness gate sees)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.queries or list(qs)
+    names = args.queries or (list(qs)[:50] if args.window else list(qs))
 
     from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
 
