@@ -74,6 +74,8 @@ EXTENDED = [
     "record_linkage_score",
     "time_weighted_avg_value",
     "snapshot_diff_cdf",
+    "triangle_count_doulion",
+    "mm_image_decode",
 ]
 
 

@@ -798,8 +798,7 @@ tri AS (
   JOIN s e2 ON e2.u = e1.v
   JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v
 )
-SELECT (SELECT count(*) FROM e) AS n_edges,
-       (SELECT count(*) FROM s) AS n_sampled_edges,
+SELECT (SELECT count(*) FROM s) AS n_sampled_edges,
        t AS sampled_triangles,
        CAST(t * {_DOULION_SCALE} AS BIGINT) AS est_triangles
 FROM tri
@@ -832,21 +831,20 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
+    # The full edge count is deliberately NOT reported: counting |E|
+    # exactly would force materializing the unsampled distinct edge
+    # set, the very work sampling avoids. The deterministic hash filter
+    # sits on the distinct's grouping keys, so Catalyst pushes it BELOW
+    # the dedup — the sampled path shuffles ~p of the raw pairs.
     s = e.filter(pair_hash < _DOULION_PCT)
     tri = _triangle_close_count(s, _edge_degrees(s))
-    edges_n = e.agg(F.count("*").alias("n_edges"))
     sampled_n = s.agg(F.count("*").alias("n_sampled_edges"))
-    return (
-        edges_n.crossJoin(F.broadcast(sampled_n))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_edges",
-            "n_sampled_edges",
-            F.col("n_triangles").alias("sampled_triangles"),
-            (F.col("n_triangles") * F.lit(_DOULION_SCALE)).cast("bigint").alias(
-                "est_triangles"
-            ),
-        )
+    return sampled_n.crossJoin(F.broadcast(tri)).select(
+        "n_sampled_edges",
+        F.col("n_triangles").alias("sampled_triangles"),
+        (F.col("n_triangles") * F.lit(_DOULION_SCALE)).cast("bigint").alias(
+            "est_triangles"
+        ),
     )
 
 
