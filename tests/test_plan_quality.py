@@ -483,3 +483,32 @@ def test_approx_quantile_is_single_two_phase_agg(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_has_no_window_sort(spark):
+    # The rarest-first per-doc ordering runs as array_sort inside the
+    # per-doc aggregation; a Window/Sort regression would reintroduce
+    # the per-doc window sort the rewrite removed. Verification must be
+    # array-intersect (codegen), not a cands x shingles explode.
+    plan = plan_of(spark, "dedup_prefix_filter_jaccard")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doulion_samples_before_the_edge_distinct(spark):
+    # The deterministic md5 sampling predicate must run at pair
+    # GENERATION time — Catalyst folds it into the lineitem self-join
+    # condition (raw l_partkey columns), below every aggregate — so the
+    # full unsampled edge set is never deduplicated or shuffled. A
+    # regression would surface as the md5 expression appearing only in
+    # a Filter above a HashAggregate instead of inside a join
+    # condition over the raw scan columns.
+    plan = plan_of(spark, "triangle_count_doulion")
+    assert "CartesianProduct" not in plan
+    sampled_join = any(
+        "Join condition" in block and "md5" in block and "l_partkey" in block
+        for block in plan.split("\n\n")
+    )
+    assert sampled_join, "sampling predicate not folded into the edge join"
