@@ -13,22 +13,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def append_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def append_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    format: str = "parquet",
+) -> None:
     """S5: append-mode fact-table sink (deployment_function.py:188).
 
     Unlike the reference's 40 one-row load jobs per tick, a single
     distributed write lands the whole batch; ``partition_by=['date']``
-    keeps per-day files together so time filters prune.
+    keeps per-day files together so time filters prune. ``format``
+    takes any Spark-built-in table format (parquet default; orc keeps
+    identical pruning/pushdown behavior, json/csv for interchange —
+    columnar stats-based skipping is lost outside parquet/orc).
     """
-    writer = df.write.mode("append")
+    writer = df.write.mode("append").format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
+def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:
     """S6: WRITE_TRUNCATE-style snapshot refresh (README.md:84)."""
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").format(format).save(path)
 
 
 def write_bucketed(

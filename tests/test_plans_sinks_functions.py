@@ -215,3 +215,31 @@ def test_schema_evolution_across_appends(spark, tmp_path):
     # Pinning the merged schema reads the same data without footer merge.
     pinned = spark.read.schema(out.schema).parquet(path)
     assert pinned.count() == 4
+
+
+def test_sinks_roundtrip_orc_and_parquet(spark, tmp_path):
+    # The sinks take any Spark-built-in format; ORC must round-trip with
+    # identical content and honor partition pruning like parquet does.
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        overwrite_table,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 2.5).alias("val"),
+    )
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"t_{fmt}")
+        append_table(df, p, partition_by=["part"], format=fmt)
+        back = spark.read.format(fmt).load(p)
+        assert back.count() == 100
+        assert sorted(back.columns) == ["id", "part", "val"]
+        # Partition pruning: one partition dir read for part=1.
+        one = back.filter(F.col("part") == "1")
+        assert one.count() == 33
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or "part#" in plan
+        s = str(tmp_path / f"s_{fmt}")
+        overwrite_table(df.limit(10), s, format=fmt)
+        assert spark.read.format(fmt).load(s).count() == 10
