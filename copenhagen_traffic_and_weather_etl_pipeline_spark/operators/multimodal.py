@@ -225,6 +225,11 @@ def _parse_ppm(b: bytes):
     w, h, maxval = vals
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    if w <= 0 or h <= 0:
+        # A negative dimension would make `need` negative: the
+        # truncation check below passes vacuously and np.frombuffer
+        # would see a negative count.
+        raise ValueError("non-positive PPM dimensions")
     need = w * h * 3
     if len(b) - pos < need:
         raise ValueError("truncated PPM pixel data")
@@ -248,6 +253,11 @@ def _parse_bmp(b: bytes):
     if bpp != 24 or comp != 0:
         raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
     h_abs = abs(h)
+    if w <= 0 or h_abs <= 0:
+        # Negative width flips the stride/truncation arithmetic the
+        # same way as in _parse_ppm (height may legitimately be
+        # negative = top-down, hence the abs above).
+        raise ValueError("non-positive BMP dimensions")
     row_bytes = w * 3
     stride = (row_bytes + 3) // 4 * 4
     if len(b) < data_off + stride * h_abs - (stride - row_bytes):
@@ -283,7 +293,10 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             "n_px_bytes", "mean_px_micro", "max_px", "error",
         )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            out["doc_id"].append(None if doc_id is None else int(doc_id))
+            # pd.isna, not `is None`: a null in a nullable int64 column
+            # surfaces as float NaN through Arrow, and int(NaN) here —
+            # outside the per-row try — would fail the whole batch.
+            out["doc_id"].append(None if pd.isna(doc_id) else int(doc_id))
             try:
                 if payload is None:
                     raise ValueError("null payload")

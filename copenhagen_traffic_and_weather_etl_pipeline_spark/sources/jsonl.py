@@ -79,7 +79,7 @@ def unpersist_jsonl(frame: DataFrame) -> None:
 
 
 def write_jsonl_sharded(
-    df: DataFrame, path: str, n_shards: int, key: str
+    df: DataFrame, path: str, n_shards: int, key: str, verify: bool = False
 ) -> DataFrame:
     """Export ``df`` as ``n_shards`` JSONL shard directories with
     deterministic assignment ``shard = pmod(xxhash64(key), n_shards)``;
@@ -94,6 +94,13 @@ def write_jsonl_sharded(
     with ``n_rows = 0`` — a consumer iterating ``shard=K/`` directories
     must treat a manifest row with 0 rows as "no directory written"
     (partitioned writes emit no directory for empty groups).
+
+    Because the manifest comes from the persisted in-memory frame, it
+    does NOT by itself prove the files landed intact. Pass
+    ``verify=True`` to re-read the export and cross-check per-shard
+    counts against the manifest (raises ``ValueError`` on any
+    mismatch) — that costs a second full scan of the export, which is
+    why it is opt-in rather than the default.
 
     The shard column is a physical partition directory: a consumer can
     list ``shard=K/`` and touch exactly 1/n of the corpus, and the same
@@ -116,8 +123,32 @@ def write_jsonl_sharded(
         sharded.unpersist()
     spark = df.sparkSession
     spine = spark.range(n_shards).select(F.col("id").alias("shard"))
-    return (
+    manifest = (
         spine.join(counts, "shard", "left")
         .select("shard", F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
         .orderBy("shard")
     )
+    if verify:
+        verify_jsonl_manifest(spark, path, manifest)
+    return manifest
+
+
+def verify_jsonl_manifest(spark, path: str, manifest: DataFrame) -> None:
+    """Cross-check a :func:`write_jsonl_sharded` manifest against the
+    files actually on disk at ``path`` (one full re-read); raises
+    ``ValueError`` on the first per-shard count mismatch. Also usable
+    standalone to audit an old export against its saved manifest."""
+    reread = {
+        r["shard"]: r["n"]
+        for r in spark.read.json(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for row in manifest.collect():
+        if reread.get(row["shard"], 0) != row["n_rows"]:
+            raise ValueError(
+                f"shard {row['shard']}: manifest says {row['n_rows']} "
+                f"rows but the written files contain "
+                f"{reread.get(row['shard'], 0)}"
+            )

@@ -93,69 +93,19 @@ from . import layout_queries  # noqa: E402,F401
 # registry entries in insertion order per round, so each round the 50
 # slots go to the queries without a green CORRECTNESS row yet; proven
 # queries keep their row from the round that checked them and move to
-# the back. Round 2 proved 48 queries (CORRECTNESS_r02.json), round 3
-# proved 48 more (CORRECTNESS_r03.json, 48/50). Round 4's window below
-# holds the two round-3 hash FAILs — re-fixed this round with
-# integer-micro-unit / explicit-BIGINT outputs — plus 48 of the 66
-# still-unproven entries (ROUND3_NOTES.md "Round-4 rotation plan").
-# _NEXT_WINDOW queues the round-5 head: the two entries bumped to make
-# room for the re-fixed pair, then the planned round-5 tail.
+# the back. Rounds 2–4 proved 146/171 (r2: 48, r3: 48/50, r4: 50/50).
+# Round 5's window below holds the final 25 still-unproven entries
+# (round 4's planned _NEXT_WINDOW, executed) — a green round takes the
+# driver-proven union to 171/171. Slots 26–50 re-confirm the 25 most
+# important already-proven queries under the current code: the 20
+# bench-headline queries plus the flagship SQL family and
+# triangle_count_coorder (whose close helpers are shared with the
+# rewritten triangle_count_doulion this round) — their standing
+# evidence dates to rounds 1–2, the oldest in the ledger.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "source_mixture_weights",
-    "sample_token_budget",
-    "window_moving_avg",
-    "window_first_last",
-    "percentile_by_priority",
-    "hash_sample_orders",
-    "set_except_all_keys",
-    "text_normalize",
-    "histogram_prices",
-    "embedding_norm_stats",
-    "embedding_centroid_outliers",
-    "ann_recall_eval",
-    "bm25_retrieval",
-    "dedup_semantic_kmeans",
-    "approx_quantile_value",
-    "decontaminate_bloom",
-    "quality_filter_cascade",
-    "chunk_documents_overlap",
-    "bpe_pair_merges",
-    "trend_regression_events",
-    "winsorize_values",
-    "interpolate_hourly_values",
-    "triangle_count_coorder",
-    "cohort_retention",
-    "ab_test_lift",
-    "attribution_first_touch",
-    "pmi_token_pairs",
-    "funnel_latency_percentiles",
-    "time_weighted_avg_value",
-    "gaps_islands_activity",
-    "exists_over_balance",
-    "skyline_orders",
-    "text_entropy",
-    "map_agg_event_counts",
-    "mode_return_priority",
-    "web_url_canonicalize",
-    "web_domain_caps",
-    "web_blocklist_filter",
-    "pq_ann_adc",
-    "curriculum_buckets",
-    "hashed_feature_buckets",
-    "dq_expectations",
-    "time_rollup_multigrain",
-    "running_distinct_users",
-    "local_supply_revenue",
-    "ship_delay_by_priority",
-    "revenue_mom_growth",
-    "rolling_7d_active_users",
-    "window_distribution_funcs",
-    "skew_profile",
-]
-
-_NEXT_WINDOW = [
+    # -- the 25 entries without a driver row yet (round-4 _NEXT_WINDOW) --
     "incremental_agg_merge",
     "benford_price_digits",
     "k_anonymity_customers",
@@ -181,7 +131,38 @@ _NEXT_WINDOW = [
     "mm_image_decode",
     "dedup_incremental_replay",
     "triangle_count_doulion",
+    # -- re-confirmation fill: oldest-evidence headline/flagship set --
+    "flagship_latest_snapshot",
+    "using_join_enriched",
+    "pricing_summary",
+    "outer_join_order_counts",
+    "latest_per_key",
+    "hourly_tumbling",
+    "above_customer_avg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_buckets",
+    "ivf_ann_search",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "tfidf_top_terms",
+    "window_running_total",
+    "sessionize_events",
+    "cube_revenue",
+    "triangle_count_coorder",
+    "json_extract",
+    "scalar_subquery_latest",
+    "dedup_prefix_filter_jaccard",
+    "variant_open_schema_agg",
 ]
+
+# All 171 entries will then carry a driver row; no further rotation is
+# queued — keep _NEXT_WINDOW empty unless a future round changes query
+# semantics and needs a re-proof slot.
+_NEXT_WINDOW: list[str] = []
 
 
 def _rotate_registry() -> None:

@@ -95,3 +95,23 @@ def test_shard_assignment_is_deterministic_across_exports(spark, tmp_path):
     )
     moved = ra.join(rb, "doc_id").filter(F.col("shard") != F.col("shard_b")).count()
     assert moved == 0
+
+
+def test_verify_flag_cross_checks_written_files(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "v")
+    # Intact export: verify=True passes and returns the manifest.
+    manifest = jsonl.write_jsonl_sharded(docs, out, 4, "doc_id", verify=True)
+    assert sum(r.n_rows for r in manifest.collect()) == docs.count()
+    # Corrupt the export (drop one shard directory wholesale): the
+    # verifying variant must notice the manifest/file mismatch.
+    victim = next(p for p in (tmp_path / "v").iterdir() if p.name.startswith("shard="))
+    shutil.rmtree(victim)
+    with pytest.raises(ValueError, match="manifest says"):
+        jsonl.verify_jsonl_manifest(spark, out, manifest)

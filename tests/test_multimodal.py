@@ -232,3 +232,36 @@ def test_decode_images_dataframe(spark):
     r = decode_images(docs).collect()[0]
     assert r["format"] == "ppm" and r["n_px_bytes"] == 12
     assert r["mean_px_micro"] == sum(range(12)) * 1_000_000 // 12
+
+
+def test_decode_nan_doc_id_does_not_fail_the_batch():
+    # A null in a nullable int64 doc_id column surfaces as float NaN
+    # through Arrow/pandas; int(NaN) outside the per-row try would fail
+    # the whole batch (ADVICE r4). The NaN row must come back with a
+    # null doc_id and the good row must still decode.
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.array([np.nan, 8.0], dtype="float64"),
+            "payload": [_ppm_bytes(bytes(3), 1, 1)] * 2,
+        }
+    )
+    out = pd.concat(decode_image_batch(iter([pdf])))
+    assert out["doc_id"].isna().iloc[0]
+    assert out["doc_id"].iloc[1] == 8
+    assert out["error"].isna().all() or (out["error"].iloc[1] is None)
+
+
+def test_decode_negative_dimensions_are_row_errors():
+    # Negative width/height would make the truncation check vacuous and
+    # hand np.frombuffer a negative count (ADVICE r4): both parsers must
+    # reject non-positive dimensions as per-row errors.
+    bad_ppm = b"P6\n-4 2\n255\n" + b"\x00" * 24
+    bmp = _bmp_bytes([bytes(9)], 3)
+    bad_bmp = bmp[:18] + (-3).to_bytes(4, "little", signed=True) + bmp[22:]
+    rows = _decode_pdf({1: bad_ppm, 2: bad_bmp, 3: _ppm_bytes(bytes(3), 1, 1)})
+    assert rows[1].error is not None and "non-positive" in rows[1].error
+    assert rows[2].error is not None and "non-positive" in rows[2].error
+    assert rows[3].error is None

@@ -497,18 +497,23 @@ def test_prefix_filter_has_no_window_sort(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_doulion_samples_before_the_edge_distinct(spark):
-    # The deterministic md5 sampling predicate must run at pair
-    # GENERATION time — Catalyst folds it into the lineitem self-join
-    # condition (raw l_partkey columns), below every aggregate — so the
-    # full unsampled edge set is never deduplicated or shuffled. A
-    # regression would surface as the md5 expression appearing only in
-    # a Filter above a HashAggregate instead of inside a join
-    # condition over the raw scan columns.
+def test_doulion_samples_below_the_edge_join(spark):
+    # Vertex sampling's whole point (vs the round-4 edge sampling this
+    # replaced) is that the predicate is single-column, so Catalyst
+    # runs it as a Filter directly over the lineitem SCANS — below the
+    # pair-generating self-join — shrinking the join INPUT ~1/c per
+    # side, not just the emitted pair stream. A regression would
+    # surface as the md5 expression migrating up into the join
+    # condition or above an aggregate.
     plan = plan_of(spark, "triangle_count_doulion")
     assert "CartesianProduct" not in plan
-    sampled_join = any(
-        "Join condition" in block and "md5" in block and "l_partkey" in block
-        for block in plan.split("\n\n")
+    blocks = plan.split("\n\n")
+    scan_filter = any(
+        ") Filter" in block and "md5" in block and "l_partkey" in block
+        for block in blocks
     )
-    assert sampled_join, "sampling predicate not folded into the edge join"
+    assert scan_filter, "sampling predicate not a scan-level Filter"
+    in_join_cond = any(
+        "Join condition" in block and "md5" in block for block in blocks
+    )
+    assert not in_join_cond, "sampling predicate regressed into the join condition"
