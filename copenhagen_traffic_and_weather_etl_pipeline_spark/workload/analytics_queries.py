@@ -672,7 +672,7 @@ FROM agg, tri
     tags=["graph", "stats"],
 )
 def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _coorder_edges(spark, sf_dir)
+    e = _materialized_edges(_coorder_edges(spark, sf_dir))
     deg = _edge_degrees(e)
     tri = _triangle_close_count(e, deg)
     agg = deg.agg(
@@ -693,6 +693,25 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _materialized_edges(e: DataFrame) -> DataFrame:
+    """Materialize a multiply-referenced edge set once (lazy
+    ``localCheckpoint``). The degree pass, the orientation join, the
+    adjacency build and the edge-count aggregate each reference the
+    edge set, and Spark does NOT reuse the pair-generating self-join's
+    exchange across those subtrees (the projections differ, so the
+    canonicalized plans differ) — without this, the dominant self-join
+    re-runs up to four times per query. Measured at sf0.1: exact count
+    5.6 s -> 2.5 s. ``persist()`` was tried and is SLOWER than no
+    materialization at all (7.9 s; cached plans forgo AQE shuffle
+    coalescing and pay the columnar round-trip). Lineage truncation
+    trades recompute-on-executor-loss for not re-running the join —
+    the same call the connected-components loop already makes
+    (operators/dedup.py). Plan gates cover the pre-checkpoint edge
+    plan separately (tests/test_plan_quality.py), since the final
+    plan sees the checkpointed set as an RDD scan."""
+    return e.localCheckpoint(eager=False)
 
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +818,33 @@ _VSAMPLE_C = 4  # keep 1/c of vertices; triangles survive with 1/c^3
 _VSAMPLE_SCALE = _VSAMPLE_C**3  # estimate multiplier, exact integer
 
 
+def _vsample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-order edges of the vertex-sampled induced subgraph.
+    The sampling predicate is a single-column scan filter: rows whose
+    part falls outside the sample class never reach the self-join's
+    shuffle (plan-gated in tests/test_plan_quality.py)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    kept = li.filter(
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _VSAMPLE_C
+        == 0
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
 @register(
     "triangle_count_doulion",
     oracle=f"""
@@ -838,28 +884,7 @@ FROM tri
     tags=["graph", "approx", "sampling"],
 )
 def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Single-column predicate at the scan: rows whose part falls
-    # outside the sample class never reach the self-join's shuffle.
-    kept = li.filter(
-        F.conv(
-            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % _VSAMPLE_C
-        == 0
-    )
-    a, b = kept.alias("a"), kept.alias("b")
-    s = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    s = _materialized_edges(_vsample_edges(spark, sf_dir))
     tri = _triangle_close_count(s, _edge_degrees(s))
     sampled_n = s.agg(F.count("*").alias("n_sampled_edges"))
     return sampled_n.crossJoin(F.broadcast(tri)).select(

@@ -14,11 +14,14 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
+def explain_df(spark, df) -> str:
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_df(spark, REGISTRY[name].fn(spark, SF_DIR))
 
 
 def test_flagship_broadcasts_the_dimension_join(spark):
@@ -370,13 +373,29 @@ def test_triangle_count_is_all_equi_hash_joins(spark):
     # Degree-ordered triangle counting must compile to hash equi-joins
     # (the non-equi (degree,id) tiebreaks ride as post-join filters on
     # the src equi-key) — a CartesianProduct or BroadcastNestedLoopJoin
-    # on the wedge join would be quadratic in edges at scale.
+    # on the wedge join would be quadratic in edges at scale. The edge
+    # set is materialized once (lazy localCheckpoint) so the final
+    # plan sees it as an RDD scan; the pair-generating join is gated
+    # on the pre-checkpoint edge plan below.
     plan = plan_of(spark, "triangle_count_coorder")
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     # the scalar 1-row assemblies at the end are the only nested-loop
-    # joins allowed; the wedge/closing joins must be hash equi-joins
+    # joins allowed; the closing joins must be hash equi-joins
     assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or tree.count("BroadcastHashJoin") >= 2
+    # Pair generation (what the checkpoint materializes): an equi-hash
+    # self-join on the order key, never cartesian.
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
+        analytics_queries as aq,
+    )
+
+    edge_plan = explain_df(spark, aq._coorder_edges(spark, SF_DIR))
+    assert "CartesianProduct" not in edge_plan
+    assert (
+        "SortMergeJoin" in edge_plan
+        or "ShuffledHashJoin" in edge_plan
+        or "BroadcastHashJoin" in edge_plan
+    )
 
 
 def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
@@ -504,10 +523,18 @@ def test_doulion_samples_below_the_edge_join(spark):
     # pair-generating self-join — shrinking the join INPUT ~1/c per
     # side, not just the emitted pair stream. A regression would
     # surface as the md5 expression migrating up into the join
-    # condition or above an aggregate.
+    # condition or above an aggregate. The edge set is checkpointed in
+    # the registered query, so the sampling gate inspects the
+    # pre-checkpoint edge plan (what the checkpoint materializes).
     plan = plan_of(spark, "triangle_count_doulion")
     assert "CartesianProduct" not in plan
-    blocks = plan.split("\n\n")
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
+        analytics_queries as aq,
+    )
+
+    edge_plan = explain_df(spark, aq._vsample_edges(spark, SF_DIR))
+    assert "CartesianProduct" not in edge_plan
+    blocks = edge_plan.split("\n\n")
     scan_filter = any(
         ") Filter" in block and "md5" in block and "l_partkey" in block
         for block in blocks
