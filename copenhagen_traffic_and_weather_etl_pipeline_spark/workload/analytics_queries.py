@@ -696,22 +696,16 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _materialized_edges(e: DataFrame) -> DataFrame:
-    """Materialize a multiply-referenced edge set once (lazy
-    ``localCheckpoint``). The degree pass, the orientation join, the
-    adjacency build and the edge-count aggregate each reference the
-    edge set, and Spark does NOT reuse the pair-generating self-join's
-    exchange across those subtrees (the projections differ, so the
-    canonicalized plans differ) — without this, the dominant self-join
-    re-runs up to four times per query. Measured at sf0.1: exact count
-    5.6 s -> 2.5 s. ``persist()`` was tried and is SLOWER than no
-    materialization at all (7.9 s; cached plans forgo AQE shuffle
-    coalescing and pay the columnar round-trip). Lineage truncation
-    trades recompute-on-executor-loss for not re-running the join —
-    the same call the connected-components loop already makes
-    (operators/dedup.py). Plan gates cover the pre-checkpoint edge
-    plan separately (tests/test_plan_quality.py), since the final
-    plan sees the checkpointed set as an RDD scan."""
-    return e.localCheckpoint(eager=False)
+    """Materialize a multiply-referenced edge set once: the degree
+    pass, the orientation join, the adjacency build and the edge-count
+    aggregate each reference it with different projections, so Spark
+    never reuses the pair-generating self-join's exchange — without
+    this the dominant join re-runs up to four times per query (5.6 s
+    -> 2.3 s exact at sf0.1). Full rationale incl. the persist()
+    comparison: plans.materialize_once."""
+    from ..plans import materialize_once
+
+    return materialize_once(e)
 
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

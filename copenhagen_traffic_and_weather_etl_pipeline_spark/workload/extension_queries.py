@@ -147,12 +147,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ints instead of ~20-byte text. A hash collision would merge two
     # shingles identically in both engines — the metric definition is
     # "jaccard over hashed shingles" on both sides.
+    from ..plans import materialize_once
+
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("shh")
     )
-    posts = (
+    # posts feeds both the sizes pass and pair generation (and sizes is
+    # consumed by both join sides) — materialize each once instead of
+    # re-running the shingle scan+aggregation per consumer
+    # (2.1 s -> 1.4 s at sf0.1; see plans.materialize_once).
+    posts = materialize_once(
         sh.select("doc_id", hh)
         .groupBy("shh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -160,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Per-doc shingle count after the cap, derived from the posting lists
     # (no second pass over the documents scan).
-    sizes = (
+    sizes = materialize_once(
         posts.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
@@ -1814,6 +1820,8 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cands x shingles through a 3-way join — the shc multiset is
     # DISTINCT shingles per doc, so |array_intersect| == the exact
     # intersection count.
+    from ..plans import materialize_once
+
     d = load(spark, sf_dir, "documents")
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
@@ -1822,7 +1830,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shc = shingles(d).select("doc_id", hh)
     dfreq = shc.groupBy("shh").agg(F.count("*").alias("df"))
-    per_doc = (
+    # The ranked-tokens frame feeds three consumers (prefix explode,
+    # both verification sides) whose projections differ — materialize
+    # the shingle+df-rank aggregation once instead of re-running it
+    # per consumer (2.9 s -> 1.4 s at sf0.1; see plans.materialize_once).
+    per_doc = materialize_once(
         shc.join(dfreq, "shh")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
@@ -2231,9 +2243,14 @@ LIMIT {_BM25_TOPK}
     tags=["text", "retrieval", "bm25"],
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import materialize_once
+
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_words_col()).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tok feeds the doc-length and term-frequency passes, and dl feeds
+    # the corpus stats and the scoring join — materialize each once
+    # (0.45 s -> 0.28 s at sf0.1; see plans.materialize_once).
+    tok = materialize_once(d.select("doc_id", F.explode(_words_col()).alias("w")))
+    dl = materialize_once(tok.groupBy("doc_id").agg(F.count("*").alias("dl")))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
