@@ -511,3 +511,145 @@ def test_contiguous_ids_are_exact_global_rank(spark, tmp_path_factory, keys):
     }
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_filter_jaccard vs brute force: the query's central claim
+# is EXACTNESS ("no recall loss" — every pair with jaccard >= 0.8 must
+# surface, prefix filtering only prunes candidate generation). Verify
+# against an all-pairs Python reference over random corpora drawn from
+# a tiny vocabulary (so shingle overlap, boundary-jaccard values, and
+# docs with < 3 words all occur).
+# ---------------------------------------------------------------------------
+
+
+def _prefix_filter_reference(docs):
+    """All-pairs jaccard >= 0.8 over hashed distinct 3-gram shingle
+    sets — same hash (15-hex md5 prefix) and same HALF_UP 6-dp rounding
+    as the Spark/DuckDB implementations, so collision and boundary
+    semantics match by construction."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sets = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < 3:
+            continue
+        grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        sets[i] = {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        }
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d1, d2 = ids[x], ids[y]
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1]) + len(sets[d2]) - inter
+            if union == 0:
+                continue
+            jac = float(
+                (Decimal(inter) / Decimal(union)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if jac >= 0.8:
+                out.append((d1, d2, jac))
+    return sorted(out)
+
+
+_pf_word = st.sampled_from(["aa", "bb", "cc"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(_pf_word, min_size=1, max_size=10), min_size=2, max_size=8
+    )
+)
+def test_prefix_filter_jaccard_is_exact(spark, tmp_path_factory, docs):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    sf_dir = tmp_path_factory.mktemp("pf_sf")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "documents.parquet"))
+
+    got = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in REGISTRY["dedup_prefix_filter_jaccard"].fn(spark, str(sf_dir)).collect()
+    )
+    assert got == _prefix_filter_reference(docs)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_doulion vs brute force: the vertex-sampled estimator
+# must equal (exact triangle count of the hash-sampled induced
+# subgraph) * c^3 on arbitrary order/part incidence — including orders
+# with one part (no edges), repeated (order, part) rows (dedup by
+# DISTINCT), and graphs where no sampled vertex survives.
+# ---------------------------------------------------------------------------
+
+
+def _vsample_triangle_reference(rows, c=4, scale=64):
+    import hashlib
+    from itertools import combinations
+
+    kept_rows = [
+        (o, p)
+        for o, p in set(rows)
+        if int(hashlib.md5(str(p).encode()).hexdigest()[:15], 16) % c == 0
+    ]
+    by_order = {}
+    for o, p in kept_rows:
+        by_order.setdefault(o, set()).add(p)
+    edges = set()
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if v < w  # count each triangle once: u < v < w
+    )
+    return len(edges), tri, tri * scale
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # order key
+            st.integers(min_value=1, max_value=12),  # part key
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_vertex_sampled_triangle_estimate_matches_reference(
+    spark, tmp_path_factory, rows
+):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    sf_dir = tmp_path_factory.mktemp("tri_sf")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "lineitem.parquet"))
+
+    r = REGISTRY["triangle_count_doulion"].fn(spark, str(sf_dir)).collect()[0]
+    got = (r.n_sampled_edges, r.sampled_triangles, r.est_triangles)
+    assert got == _vsample_triangle_reference(rows)
