@@ -91,9 +91,14 @@ def materialize_once(df: DataFrame) -> DataFrame:
     and pay a columnar serialization round-trip — measured SLOWER than
     no materialization at all (7.9 s for the triangle count). The
     trade localCheckpoint makes is lineage truncation: recompute-on-
-    executor-loss is gone (storage falls back to disk replicas on the
-    executor), acceptable for intra-query intermediates that are
-    orders of magnitude smaller than their producing scan. Plan gates
+    executor-loss is gone (blocks live only on their executor),
+    acceptable for intra-query intermediates that are orders of
+    magnitude smaller than their producing scan — a lost block fails
+    the job and the retry starts clean. On a long-running 1000-executor
+    job where executor churn is routine, swap in reliable
+    ``df.checkpoint()`` (same lineage cut, blocks on replicated
+    storage via ``sparkContext.setCheckpointDir``) — the call site
+    stays identical, only the durability/cost point moves. Plan gates
     that need the upstream subtree must inspect the pre-checkpoint
     frame (the final plan sees an RDD scan).
     """

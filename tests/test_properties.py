@@ -653,3 +653,83 @@ def test_vertex_sampled_triangle_estimate_matches_reference(
     r = REGISTRY["triangle_count_doulion"].fn(spark, str(sf_dir)).collect()[0]
     got = (r.n_sampled_edges, r.sampled_triangles, r.est_triangles)
     assert got == _vsample_triangle_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard vs brute force: the capped posting-list join must
+# equal "jaccard over hashed shingles whose document frequency <= cap".
+# The cap is shrunk to 3 (monkeypatched on the module global the query
+# reads at build time) so corpora of <= 8 docs actually exercise the
+# stop-shingle drop path, not just the happy path.
+# ---------------------------------------------------------------------------
+
+
+def _ngram_capped_reference(docs, cap):
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    doc_sets = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < 3:
+            continue
+        grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        doc_sets[i] = {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        }
+    posting = {}
+    for i, hs in doc_sets.items():
+        for h in hs:
+            posting.setdefault(h, set()).add(i)
+    surviving = {h for h, ds in posting.items() if len(ds) <= cap}
+    capped = {i: hs & surviving for i, hs in doc_sets.items()}
+    out = []
+    ids = sorted(capped)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d1, d2 = ids[x], ids[y]
+            inter = len(capped[d1] & capped[d2])
+            if inter == 0:
+                continue  # the pair never meets in any posting list
+            union = len(capped[d1]) + len(capped[d2]) - inter
+            jac = float(
+                (Decimal(inter) / Decimal(union)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if jac >= 0.8:
+                out.append((d1, d2, jac))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_capped_reference(
+    spark, tmp_path_factory, monkeypatch, docs
+):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
+        REGISTRY,
+        extension_queries,
+    )
+
+    monkeypatch.setattr(extension_queries, "_SHINGLE_DF_CAP", 3)
+    sf_dir = tmp_path_factory.mktemp("ng_sf")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "documents.parquet"))
+
+    got = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, str(sf_dir)).collect()
+    )
+    assert got == _ngram_capped_reference(docs, cap=3)

@@ -113,10 +113,15 @@ SHOWCASE = [
     ),
     (
         "triangle_count_coorder",
-        "Degree-ordered wedge enumeration: edges orient via two broadcast "
-        "degree lookups, the wedge join and the closing-edge semi-join "
-        "are hash equi-joins on src / (wu, wv) — no cartesian, wedge "
-        "volume capped by the O(sqrt(m)) out-degree bound.",
+        "Degree-ordered orientation with the O(wedges) arithmetic inside "
+        "codegen: per-edge |N+(u) ∩ N+(v)| over sorted adjacency arrays "
+        "(array_intersect), so wedges are never materialized as rows — "
+        "the out-degree bound O(sqrt(m)) caps the intersection work. The "
+        "multiply-referenced edge set shows as a 'Scan ExistingRDD': it "
+        "is materialized ONCE via plans.materialize_once (lazy "
+        "localCheckpoint) instead of re-running the pair-generating "
+        "self-join per consumer; the edge plan itself is gated "
+        "separately in tests/test_plan_quality.py.",
     ),
     (
         "interpolate_hourly_values",
