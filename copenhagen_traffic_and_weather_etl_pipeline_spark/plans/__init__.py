@@ -11,6 +11,7 @@ rather than per-endpoint-loop-iteration.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -78,14 +79,20 @@ def materialize_once(df: DataFrame) -> DataFrame:
     (lazy ``localCheckpoint``).
 
     Spark reuses an exchange across subtrees only when their
-    canonicalized plans are byte-identical; sibling consumers that
-    project or aggregate the shared frame differently (a degree pass
-    vs an orientation join, a prefix explode vs a verification array)
-    each re-run the whole upstream plan. For a frame whose producer
-    dominates the query (a pair-generating self-join, a
-    shingle+df-rank aggregation), that recompute IS the bottleneck:
-    measured at sf0.1, the exact triangle count drops 5.6 s -> 2.3 s
-    and prefix-filter Jaccard 2.9 s -> 1.4 s.
+    canonicalized plans are byte-identical BELOW the exchange. When
+    every consumer sits on the same scan->agg subtree (one shared
+    shuffle, projections differ only above it), ReusedExchange already
+    serves them all and a checkpoint is pure overhead — paired A/B at
+    sf0.1 measured it SLOWER on exactly those shapes (prefix-filter
+    Jaccard 3.1 s -> 3.7 s, BM25 0.49 s -> 0.59 s). It pays when the
+    consumers' plans diverge below or at the shared frame so the
+    exchange can't be reused — a window sort above a crossJoin (IVF
+    assignment 0.81 s -> 0.74 s), filter-split consumers
+    (decontaminate 1.22 s -> 1.12 s), or the triangle queries'
+    pair-generating self-join referenced by degree/orientation/
+    adjacency/count subtrees with different projections (exact count
+    3.50 s -> 3.34 s, sampled 1.98 s -> 1.79 s). Measure per call
+    site with SPARK_GRAFT_NO_MATERIALIZE=1 before adopting.
 
     Why not ``persist()``: cached plans forgo AQE shuffle coalescing
     and pay a columnar serialization round-trip — measured SLOWER than
@@ -101,5 +108,11 @@ def materialize_once(df: DataFrame) -> DataFrame:
     stays identical, only the durability/cost point moves. Plan gates
     that need the upstream subtree must inspect the pre-checkpoint
     frame (the final plan sees an RDD scan).
+
+    ``SPARK_GRAFT_NO_MATERIALIZE=1`` turns this into the identity — the
+    A/B knob for measuring what the materialization buys on a given
+    query/scale without editing call sites.
     """
+    if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
+        return df
     return df.localCheckpoint(eager=False)

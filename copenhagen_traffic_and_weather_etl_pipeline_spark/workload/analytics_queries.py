@@ -700,9 +700,10 @@ def _materialized_edges(e: DataFrame) -> DataFrame:
     pass, the orientation join, the adjacency build and the edge-count
     aggregate each reference it with different projections, so Spark
     never reuses the pair-generating self-join's exchange — without
-    this the dominant join re-runs up to four times per query (5.6 s
-    -> 2.3 s exact at sf0.1). Full rationale incl. the persist()
-    comparison: plans.materialize_once."""
+    this the dominant join re-runs up to four times per query
+    (paired medians at sf0.1: exact 3.50 s -> 3.34 s, sampled 1.98 s
+    -> 1.79 s). Full rationale incl. the persist() comparison:
+    plans.materialize_once."""
     from ..plans import materialize_once
 
     return materialize_once(e)

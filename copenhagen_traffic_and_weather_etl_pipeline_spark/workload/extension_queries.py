@@ -147,18 +147,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ints instead of ~20-byte text. A hash collision would merge two
     # shingles identically in both engines — the metric definition is
     # "jaccard over hashed shingles" on both sides.
-    from ..plans import materialize_once
-
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("shh")
     )
     # posts feeds both the sizes pass and pair generation (and sizes is
-    # consumed by both join sides) — materialize each once instead of
-    # re-running the shingle scan+aggregation per consumer
-    # (2.1 s -> 1.4 s at sf0.1; see plans.materialize_once).
-    posts = materialize_once(
+    # consumed by both join sides), but all consumers share one
+    # identical agg subtree, so ReusedExchange serves them from a
+    # single shuffle — a localCheckpoint measured neutral-to-slower
+    # here (2.35 s vs 2.30 s median at sf0.1) and was dropped; see
+    # plans.materialize_once for the divergent-consumer case it's for.
+    posts = (
         sh.select("doc_id", hh)
         .groupBy("shh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -166,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Per-doc shingle count after the cap, derived from the posting lists
     # (no second pass over the documents scan).
-    sizes = materialize_once(
+    sizes = (
         posts.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
@@ -1820,8 +1820,6 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cands x shingles through a 3-way join — the shc multiset is
     # DISTINCT shingles per doc, so |array_intersect| == the exact
     # intersection count.
-    from ..plans import materialize_once
-
     d = load(spark, sf_dir, "documents")
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
@@ -1830,22 +1828,29 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shc = shingles(d).select("doc_id", hh)
     dfreq = shc.groupBy("shh").agg(F.count("*").alias("df"))
-    # The ranked-tokens frame feeds three consumers (prefix explode,
-    # both verification sides) whose projections differ — materialize
-    # the shingle+df-rank aggregation once instead of re-running it
-    # per consumer (2.9 s -> 1.4 s at sf0.1; see plans.materialize_once).
-    per_doc = materialize_once(
+    per_doc = (
         shc.join(dfreq, "shh")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
     )
-    n = F.size("toks")
-    pref_len = (n - F.expr("(8 * size(toks) + 9) div 10") + 1).cast("int")
-    prefix = per_doc.select(
+    # The rarest-first token arrays feed three consumers (prefix
+    # explode, both verification sides) — but do NOT checkpoint them:
+    # the consumers sit on one identical agg subtree, so Spark's
+    # ReusedExchange already serves all three from a single shuffle,
+    # and a localCheckpoint only adds a block write + three reads of
+    # the array column (measured 3.7 s vs 3.0 s at sf0.1, struct and
+    # shh-only variants alike). materialize_once pays off only where
+    # consumers diverge BELOW the shared frame's exchange (see the
+    # triangle queries). The prefix is a slice of the same sorted
+    # array, so dropping the (df, shh) rank structs here loses nothing.
+    arr_all = per_doc.select(
+        "doc_id", F.transform("toks", lambda t: t["shh"]).alias("shs")
+    )
+    n = F.size("shs")
+    pref_len = (n - F.expr("(8 * size(shs) + 9) div 10") + 1).cast("int")
+    prefix = arr_all.select(
         "doc_id",
-        F.explode(
-            F.transform(F.slice("toks", F.lit(1), pref_len), lambda t: t["shh"])
-        ).alias("shh"),
+        F.explode(F.slice("shs", F.lit(1), pref_len)).alias("shh"),
     )
     cands = (
         prefix.alias("a")
@@ -1859,11 +1864,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    arr = per_doc.select(
-        "doc_id",
-        F.transform("toks", lambda t: t["shh"]).alias("shs"),
-        F.size("toks").alias("n"),
-    )
+    arr = arr_all.select("doc_id", "shs", F.size("shs").alias("n"))
     arr1 = arr.select(
         F.col("doc_id").alias("d1"), F.col("shs").alias("s1"), F.col("n").alias("na")
     )
@@ -2243,14 +2244,15 @@ LIMIT {_BM25_TOPK}
     tags=["text", "retrieval", "bm25"],
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans import materialize_once
-
     d = load(spark, sf_dir, "documents")
     # tok feeds the doc-length and term-frequency passes, and dl feeds
-    # the corpus stats and the scoring join — materialize each once
-    # (0.45 s -> 0.28 s at sf0.1; see plans.materialize_once).
-    tok = materialize_once(d.select("doc_id", F.explode(_words_col()).alias("w")))
-    dl = materialize_once(tok.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    # the corpus stats and the scoring join — but every consumer sits
+    # on an identical subtree, so ReusedExchange already shares the
+    # shuffles; a localCheckpoint here measured SLOWER (0.59 s vs
+    # 0.49 s median at sf0.1 — block write/read overhead with no
+    # recompute avoided; see plans.materialize_once for when it pays).
+    tok = d.select("doc_id", F.explode(_words_col()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )

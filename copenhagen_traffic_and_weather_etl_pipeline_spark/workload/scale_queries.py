@@ -229,11 +229,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     # tf feeds both the document-frequency aggregate and the scoring
-    # join — materialize the tokenize+count pass once instead of twice
-    # (0.7 s -> 0.45 s at sf0.1; see plans.materialize_once).
-    from ..plans import materialize_once
-
-    tf = materialize_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    # join from one identical subtree — ReusedExchange shares the
+    # shuffle, and a localCheckpoint measured slower (0.73 s vs 0.65 s
+    # median at sf0.1), so the frame is left plain; see
+    # plans.materialize_once for the divergent-consumer case it's for.
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
@@ -459,9 +459,11 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cent_id"))
     # The assignment pass (corpus x broadcast centroids + per-vector
-    # rank) feeds both the probe-cell select and the candidate filter —
-    # materialize it once instead of scoring the corpus twice
-    # (0.55 s -> 0.16 s at sf0.1; see plans.materialize_once).
+    # rank) feeds both the probe-cell select and the candidate filter,
+    # and its consumers diverge above a window sort that defeats
+    # exchange reuse — materialize it once instead of scoring the
+    # corpus twice (0.81 s -> 0.74 s median at sf0.1; see
+    # plans.materialize_once).
     from ..plans import materialize_once
 
     assign = materialize_once(

@@ -506,9 +506,10 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     # sh feeds the bench and train splits, and bench feeds both the
-    # bit-position build and the exact confirm — without materializing
-    # each once, the shingle scan re-runs ~4x per query
-    # (1.1 s -> 0.3 s at sf0.1; see plans.materialize_once).
+    # bit-position build and the exact confirm with consumers that
+    # diverge right above the shared frame — materializing each once
+    # beats the recompute (1.22 s -> 1.12 s median at sf0.1; see
+    # plans.materialize_once).
     sh = materialize_once(shingles(d).join(d.select("doc_id", "source"), "doc_id"))
     bench = materialize_once(
         sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
