@@ -699,8 +699,8 @@ def _materialized_edges(e: DataFrame) -> DataFrame:
     """Materialize a multiply-referenced edge set once: the degree
     pass, the orientation join, the adjacency build and the edge-count
     aggregate each reference it with different projections, so Spark
-    never reuses the pair-generating self-join's exchange — without
-    this the dominant join re-runs up to four times per query
+    never reuses the pair-generating aggregation's exchange — without
+    this the dominant edge build re-runs up to four times per query
     (paired medians at sf0.1: exact 3.50 s -> 3.34 s, sampled 1.98 s
     -> 1.79 s). Full rationale incl. the persist() comparison:
     plans.materialize_once."""
@@ -709,19 +709,44 @@ def _materialized_edges(e: DataFrame) -> DataFrame:
     return materialize_once(e)
 
 
+# Ordered pairs (u < v) within one order's sorted part array, expanded
+# map-side in codegen — the same slice/transform expansion the capped
+# ngram posting lists use.
+_ORDER_PAIRS = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+)
+
+
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """Distinct undirected co-order edges (u < v) from a
+    (l_orderkey, l_partkey) frame, via per-order posting lists.
+
+    One groupBy(orderkey) shuffle builds each order's sorted distinct
+    part array (ObjectHashAggregate with map-side partials), pair
+    expansion is a map-side explode, and one more shuffle dedups the
+    edges — versus the equivalent self-join formulation, which
+    shuffles the lineitem stream TWICE into the join and once more for
+    the distinct (measured at sf0.1: exact triangle query 3.25 s ->
+    2.83 s, sampled 1.93 s -> 1.64 s, identical edge sets). Group
+    size = parts per order, bounded by order line count (<= 7 in
+    TPC-H-shaped data, never corpus-scale), so the arrays stay tiny
+    and skew-free — the same boundedness the self-join's per-order
+    pair blow-up already assumed."""
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        parts.select(F.explode(F.expr(_ORDER_PAIRS)).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part co-order edge set (u < v), distinct."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    return _order_part_pairs(li)
 
 
 def _edge_degrees(e: DataFrame) -> DataFrame:
@@ -790,15 +815,16 @@ def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
 # continuity — but edge sampling was measurably SLOWER than the exact
 # count here (BENCH_r04: 4.61 s vs 3.40 s at sf0.1), because an edge
 # filter references BOTH endpoints and therefore cannot be pushed below
-# the pair-GENERATING lineitem self-join, which is the dominant cost
-# (profiled this round: edge generation alone is ~60% of the exact
-# query; a monochromatic-edge colorful variant that only adds the color
-# to the join key was also tried and bought <10% — the join INPUT, not
-# the emitted pair stream, is what costs). Vertex sampling is the form
-# whose filter is a single-column predicate on the scan: lineitem rows
-# whose part is outside the sample class drop BEFORE the self-join, so
-# join input shrinks ~1/c, emitted pairs and the dedup shuffle ~1/c^2,
-# and the close phase ~1/c^2..c^3 — the costs that actually dominate.
+# pair GENERATION, which is the dominant cost (profiled round 5: edge
+# generation alone is ~60% of the exact query; a monochromatic-edge
+# colorful variant that only adds the color to the pair-build key was
+# also tried and bought <10% — the pair-build INPUT, not the emitted
+# pair stream, is what costs). Vertex sampling is the form whose
+# filter is a single-column predicate on the scan: lineitem rows whose
+# part is outside the sample class drop BEFORE the pair-building
+# groupBy, so its shuffle input shrinks ~1/c, emitted pairs and the
+# dedup shuffle ~1/c^2, and the close phase ~1/c^2..c^3 — the costs
+# that actually dominate.
 #
 # The estimator is unbiased under uniformly random vertex sampling; the
 # sample here is FROZEN to a deterministic hash (md5 of the part key
@@ -816,8 +842,9 @@ _VSAMPLE_SCALE = _VSAMPLE_C**3  # estimate multiplier, exact integer
 def _vsample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct co-order edges of the vertex-sampled induced subgraph.
     The sampling predicate is a single-column scan filter: rows whose
-    part falls outside the sample class never reach the self-join's
-    shuffle (plan-gated in tests/test_plan_quality.py)."""
+    part falls outside the sample class never reach the pair-building
+    groupBy's shuffle (plan-gated in tests/test_plan_quality.py), so
+    shuffle input shrinks ~1/c and emitted pairs ~1/c^2."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     kept = li.filter(
         F.conv(
@@ -828,16 +855,7 @@ def _vsample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _VSAMPLE_C
         == 0
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    return _order_part_pairs(kept)
 
 
 @register(
@@ -872,8 +890,8 @@ FROM tri
     "exact integers. Unbiased under random vertex sampling; the sample "
     "is frozen to a deterministic hash so the oracle replays the "
     "identical subgraph. The filter is a single-column scan predicate "
-    "applied BEFORE the pair-generating self-join, so the dominant "
-    "edge-generation cost shrinks ~1/c^2 (input 1/c per side) — the "
+    "applied BEFORE the pair-building per-order aggregation, so the "
+    "dominant edge-generation cost shrinks ~1/c..1/c^2 — the "
     "knob to turn when the exact count stops fitting the tick budget "
     "at 100 TB",
     tags=["graph", "approx", "sampling"],

@@ -383,19 +383,18 @@ def test_triangle_count_is_all_equi_hash_joins(spark):
     # the scalar 1-row assemblies at the end are the only nested-loop
     # joins allowed; the closing joins must be hash equi-joins
     assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or tree.count("BroadcastHashJoin") >= 2
-    # Pair generation (what the checkpoint materializes): an equi-hash
-    # self-join on the order key, never cartesian.
+    # Pair generation (what the checkpoint materializes): per-order
+    # posting lists — ONE groupBy(orderkey) aggregation plus a map-side
+    # explode — never a lineitem self-join (which shuffles the stream
+    # twice) and never cartesian.
     from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
         analytics_queries as aq,
     )
 
     edge_plan = explain_df(spark, aq._coorder_edges(spark, SF_DIR))
     assert "CartesianProduct" not in edge_plan
-    assert (
-        "SortMergeJoin" in edge_plan
-        or "ShuffledHashJoin" in edge_plan
-        or "BroadcastHashJoin" in edge_plan
-    )
+    assert "Join" not in edge_plan, "edge build regressed to a self-join"
+    assert "Generate" in edge_plan and "collect_set" in edge_plan
 
 
 def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
@@ -519,11 +518,12 @@ def test_prefix_filter_has_no_window_sort(spark):
 def test_doulion_samples_below_the_edge_join(spark):
     # Vertex sampling's whole point (vs the round-4 edge sampling this
     # replaced) is that the predicate is single-column, so Catalyst
-    # runs it as a Filter directly over the lineitem SCANS — below the
-    # pair-generating self-join — shrinking the join INPUT ~1/c per
-    # side, not just the emitted pair stream. A regression would
-    # surface as the md5 expression migrating up into the join
-    # condition or above an aggregate. The edge set is checkpointed in
+    # runs it as a Filter directly over the lineitem SCAN — below the
+    # pair-building groupBy(orderkey) aggregation — shrinking the
+    # shuffle INPUT ~1/c, not just the emitted pair stream. A
+    # regression would surface as the md5 expression migrating above
+    # the aggregate (or the pair build regressing to a self-join with
+    # the predicate in its condition). The edge set is checkpointed in
     # the registered query, so the sampling gate inspects the
     # pre-checkpoint edge plan (what the checkpoint materializes).
     plan = plan_of(spark, "triangle_count_doulion")
@@ -534,13 +534,15 @@ def test_doulion_samples_below_the_edge_join(spark):
 
     edge_plan = explain_df(spark, aq._vsample_edges(spark, SF_DIR))
     assert "CartesianProduct" not in edge_plan
+    assert "Join" not in edge_plan, "edge build regressed to a self-join"
     blocks = edge_plan.split("\n\n")
     scan_filter = any(
         ") Filter" in block and "md5" in block and "l_partkey" in block
         for block in blocks
     )
     assert scan_filter, "sampling predicate not a scan-level Filter"
-    in_join_cond = any(
-        "Join condition" in block and "md5" in block for block in blocks
-    )
-    assert not in_join_cond, "sampling predicate regressed into the join condition"
+    agg_blocks = [b for b in blocks if "Aggregate" in b and "collect_set" in b]
+    assert agg_blocks, "pair build lost its per-order aggregation"
+    assert not any(
+        "md5" in b for b in agg_blocks
+    ), "sampling predicate regressed above the pair-building aggregate"
