@@ -763,7 +763,15 @@ def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
     degree-ordered orientation + per-edge |N+(u) ∩ N+(v)| over sorted
     adjacency arrays (see triangle_count_coorder's header comment)."""
     # Orient each edge from the lower (degree, id) endpoint to the
-    # higher; deg is |V|-sized, so both lookups broadcast.
+    # higher. deg is |V|-sized (two bigints per node) and the hint is
+    # deliberate: the edge set behind it is a checkpointed RDD with no
+    # statistics, so an unhinted plan compiles to sort-merge and AQE's
+    # runtime conversion arrives too late to skip the big side's
+    # shuffle (measured +1 s at sf0.1). The |V|-fits-memory assumption
+    # is the same one every vertex-lookup graph system makes (GraphX
+    # routing tables); when |V| itself outgrows executor memory, drop
+    # the two hints — the SAME plan degrades to keyed shuffle joins on
+    # u/v with no other change.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -1208,6 +1216,11 @@ CROSS JOIN nd
     f"{_PMI_MIN_SUPPORT}): per-doc DISTINCT-word self-join blocked on "
     "doc_id (posting-list candidate shape), document frequencies and "
     "the doc count broadcast, log only after the support filter. "
+    "The dfreq broadcast is vocab-sized — sublinear in corpus size "
+    "(Heaps' law) and two columns wide, so it outlives many orders of "
+    "magnitude of data growth; if the vocabulary itself stops fitting, "
+    "drop the two hints and the joins degrade to keyed shuffles on "
+    "word with no other change. "
     "ln() applied to the identical double ratio on both engines",
     tags=["text", "stats"],
 )

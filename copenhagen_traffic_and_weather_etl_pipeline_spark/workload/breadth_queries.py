@@ -936,10 +936,15 @@ WHERE c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """,
     doc="TPC-H-Q5-style local-supply revenue: 5-way join with the "
-    "customer-nation == supplier-nation constraint; customer/supplier/"
-    "nation broadcast, the fact chain shuffles once on its keys, "
-    "aggregation is partial-combinable on n_name. First query to "
-    "exercise the supplier dimension",
+    "customer-nation == supplier-nation constraint; the fact chain "
+    "shuffles once on its keys, aggregation is partial-combinable on "
+    "n_name. Only nation (25 rows, fixed) carries a broadcast HINT; "
+    "customer and supplier are left unhinted on purpose — they scale "
+    "linearly with the data (SF x 150k / SF x 10k rows), so Catalyst "
+    "broadcasts them from parquet statistics while they fit the "
+    "threshold and falls back to keyed shuffle joins when they don't "
+    "— a forced hint would OOM the build side at 100 TB. First query "
+    "to exercise the supplier dimension",
     tags=["join", "tpch"],
 )
 def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,8 +955,8 @@ def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")

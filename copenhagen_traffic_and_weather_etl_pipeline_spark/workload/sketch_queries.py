@@ -131,7 +131,10 @@ GROUP BY t.doc_id
     "model (vocab-sized, broadcast), each doc scored by "
     "exp(-mean log p(w)) — the statistical ancestor of model-based "
     "quality filters; outlier docs surface with high perplexity. One "
-    "count agg + broadcast lookup + one keyed agg",
+    "count agg + broadcast lookup + one keyed agg. The model broadcast "
+    "is vocab-sized — sublinear in corpus size (Heaps' law); if the "
+    "vocabulary stops fitting executor memory, drop the hint and the "
+    "lookup degrades to a keyed shuffle join on word unchanged",
     tags=["text", "quality", "sketch"],
 )
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -423,7 +423,12 @@ def test_heavy_hitters_confirm_is_broadcast_semi(spark):
 
 def test_local_supply_star_join_broadcasts_all_dims(spark):
     # customer, supplier, nation must all arrive as broadcast hash
-    # joins; only the lineitem-orders fact chain may shuffle.
+    # joins; only the lineitem-orders fact chain may shuffle. Only
+    # nation carries an explicit hint — customer/supplier broadcast
+    # from parquet STATISTICS (they scale with the data, so a forced
+    # hint would be wrong at 100 TB; at test SFs Catalyst picks
+    # broadcast on its own, which is exactly the adaptive behavior
+    # this gate locks in).
     plan = plan_of(spark, "local_supply_revenue")
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") >= 3
