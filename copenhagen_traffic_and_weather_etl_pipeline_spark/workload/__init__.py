@@ -87,81 +87,81 @@ from . import breadth_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401
 from . import geo_cdc_queries  # noqa: E402,F401
 from . import layout_queries  # noqa: E402,F401
+from . import streaming_replay_queries  # noqa: E402,F401
+from . import decorrelation_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registry entries in insertion order per round, so each round the 50
-# slots go to the queries without a green CORRECTNESS row yet; proven
-# queries keep their row from the round that checked them and move to
-# the back. Rounds 2–4 proved 146/171 (r2: 48, r3: 48/50, r4: 50/50).
-# Round 5's window below holds the final 25 still-unproven entries
-# (round 4's planned _NEXT_WINDOW, executed) — a green round takes the
-# driver-proven union to 171/171. Slots 26–50 re-confirm the 25 most
-# important already-proven queries under the current code: the 20
-# bench-headline queries plus the flagship SQL family and
-# triangle_count_coorder (whose close helpers are shared with the
-# rewritten triangle_count_doulion this round) — their standing
-# evidence dates to rounds 1–2, the oldest in the ledger.
+# slots go first to queries without a green CORRECTNESS row, then to the
+# ones whose standing evidence is oldest. Rounds 2–5 proved the full
+# union: 171/171 entries carry at least one all-green driver row.
+# Round 6's window: the 4 NEW entries (two Structured-Streaming replay
+# proofs and two Q17/Q20 decorrelation shapes — the round-5 verdict's
+# items 1 and 4), then the 46 entries whose newest green row is oldest
+# (the 30 remaining r2-era proofs and the 16 oldest r3-era ones) —
+# freshness rotation per verdict item 3.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # -- the 25 entries without a driver row yet (round-4 _NEXT_WINDOW) --
-    "incremental_agg_merge",
-    "benford_price_digits",
-    "k_anonymity_customers",
-    "heavy_hitters_tokens",
-    "ngram_lm_perplexity",
-    "merge_upsert_cdc",
-    "assign_contiguous_ids",
-    "geo_cell_density",
-    "nearest_station_events",
-    "snapshot_diff_cdf",
-    "zorder_cluster_key",
-    "compaction_plan",
-    "zonemap_prune_estimate",
-    "kmv_set_intersection",
-    "kaplan_meier_retention",
-    "record_linkage_score",
-    "equidepth_histogram",
-    "mutual_information_event_value",
-    "knn_join_lsh",
-    "incremental_join_view",
-    "fk_containment_profile",
-    "countmin_token_counts",
-    "mm_image_decode",
-    "dedup_incremental_replay",
-    "triangle_count_doulion",
-    # -- re-confirmation fill: oldest-evidence headline/flagship set --
-    "flagship_latest_snapshot",
-    "using_join_enriched",
-    "pricing_summary",
-    "outer_join_order_counts",
-    "latest_per_key",
-    "hourly_tumbling",
-    "above_customer_avg",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_buckets",
-    "ivf_ann_search",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "tfidf_top_terms",
-    "window_running_total",
-    "sessionize_events",
-    "cube_revenue",
-    "triangle_count_coorder",
-    "json_extract",
-    "scalar_subquery_latest",
-    "dedup_prefix_filter_jaccard",
-    "variant_open_schema_agg",
+    # -- new this round: streaming replays + decorrelation shapes --
+    "sessionize_stream_replay",
+    "stream_join_replay",
+    "small_qty_revenue_q17",
+    "top_supplier_share_q20",
+    # -- freshness rotation: the 30 entries whose evidence dates to r2 --
+    "global_max_agg",
+    "date_roundtrip",
+    "kelvin_to_celsius",
+    "coord_concat",
+    "json_typed_agg",
+    "array_first_last",
+    "top_orders",
+    "semi_join_customers",
+    "anti_join_customers",
+    "set_except_status",
+    "set_intersect_status",
+    "rollup_lineitem",
+    "pivot_event_counts",
+    "distinct_flags",
+    "dedup_resolve_clusters",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_embedding_cosine",
+    "sim_topk_vectorized",
+    "dedup_embedding_lsh",
+    "text_fingerprint",
+    "mm_binary_meta",
+    "mm_magic_sniff",
+    "mm_binary_dedup",
+    "mm_frame_sample",
+    "asof_join_last_purchase",
+    "range_join_value_bands",
+    "dedup_levenshtein",
+    "text_pii_scrub",
+    "text_strip_hotwords",
+    # -- ...and the 16 oldest r3-era proofs --
+    "dedup_incremental",
+    "mm_byte_features",
+    "text_token_encode",
+    "dedup_method_eval",
+    "window_lead_lag",
+    "stratified_sample",
+    "salted_group_count",
+    "salted_join_segments",
+    "percentile_prices",
+    "approx_distinct_users",
+    "window_rank_suite",
+    "grouping_sets_revenue",
+    "unpivot_lineitem_metrics",
+    "conditional_agg_priorities",
+    "regexp_extract_types",
+    "stats_moments_orders",
 ]
 
-# All 171 entries will then carry a driver row; no further rotation is
-# queued — keep _NEXT_WINDOW empty unless a future round changes query
-# semantics and needs a re-proof slot.
+# Round-7 rotation candidates: the remaining r3-era proofs
+# (profile_customer, kmeans_clusters, scd2_intervals, ... see
+# CORRECTNESS_r03.json) — rotate the next-oldest 50 forward.
 _NEXT_WINDOW: list[str] = []
 
 

@@ -1,0 +1,246 @@
+"""Batch-replay driver proofs for the Structured Streaming surface
+(SURVEY.md §2.8 / O4).
+
+The reference's own architecture IS micro-batch streaming (an hourly
+ingestion tick plus a +5-minute snapshot refresh, README.md:79-84);
+`streaming/` re-expresses it as Structured Streaming jobs. Those jobs
+have pytest evidence but the correctness driver's oracle is batch
+DuckDB — so these two entries run the REAL streaming engine end-to-end
+(file source -> watermark -> stateful operator -> parquet sink, drained
+with Trigger.AvailableNow over multiple micro-batches) and return the
+sink as a batch DataFrame the driver can hash against a DuckDB oracle.
+The pattern follows extension_queries.dedup_incremental_replay, upgraded
+from batch-simulated ticks to the actual streaming runtime.
+
+Why the final frame is deterministic and equal to the batch closure:
+
+- Ticks are a TIME split (first half / second half of the event-time
+  span), matching real arrival order, so no tick-2 row is ever below
+  the watermark left by tick 1.
+- Session windows: watermark delay (24 h) >= session gap (12 h), so a
+  session emitted by an earlier batch can never be extended by a later
+  tick (any tick-2 event is > gap away from every already-closed
+  session); a far-future sentinel row plus AvailableNow's final no-data
+  micro-batch pushes the watermark past every real session and flushes
+  the state store, making the emitted set exactly the batch gap
+  sessionization. (Verified empirically: an event at exactly
+  ``last_ts + gap`` EXTENDS the session — split is strictly ``> gap`` —
+  and ``session_end = last_ts + gap``.)
+- Stream-stream inner joins emit a pair in the micro-batch where its
+  second side arrives, so the drained output is split-independent; the
+  watermark delay (2 h) >= join tolerance (1 h) keeps straddling state
+  alive across the tick boundary.
+
+At 100 TB the same topology holds: the staged JSON files become Kafka
+partitions, the parquet sink a date-partitioned table, and the
+watermark — not the corpus — sizes the state store. The replay knobs
+(12 h gap, 1 h tolerance) are scaled to the driver testdata's density
+(~1 event/user/10 h); production gap/tolerance in streaming/sessions.py
+stays 30 min.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_US = 1_000_000
+_GAP = "12 hours"
+_GAP_US = 12 * 3600 * _US
+_SESS_WM = "24 hours"  # must stay >= _GAP (see module docstring)
+_TOL = "1 hour"
+_JOIN_WM = "2 hours"  # must stay >= _TOL
+
+# Ticks serialize event time as unix micros (long) — an exact JSON
+# round-trip; ISO strings would truncate to millis.
+_TICK_SCHEMA = "event_id long, ts_us long, user_id long, event_type string, value double"
+
+
+def _stage_ticks(spark: SparkSession, sf_dir: str, sentinel: bool) -> tuple[str, str, str]:
+    """Write the events table as two time-split JSON ticks (plus an
+    optional far-future sentinel tick) into a fresh temp dir; returns
+    (input_dir, output_dir, checkpoint_dir).
+
+    The split/write runs distributed (coalesce(1) only binds the final
+    JSON serialization of each half); the sole driver-side collect is
+    the 1-row min/max bounds — model-sized, like the k-means centroids.
+    File mtimes are stamped in tick order because the file source
+    processes oldest-first; the final result is split-order-independent
+    anyway (module docstring), this just keeps the replay faithful.
+    """
+    base = tempfile.mkdtemp(prefix="cph_stream_replay_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cutoff = (lo + hi) // 2
+
+    now = time.time()
+    ticks = [ev.filter(F.col("ts_us") < cutoff), ev.filter(F.col("ts_us") >= cutoff)]
+    for i, tick in enumerate(ticks, start=1):
+        stage = os.path.join(base, f"stage{i}")
+        tick.coalesce(1).write.json(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(in_dir, f"{i:02d}.json")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (now - 60 + i * 10, now - 60 + i * 10))
+    if sentinel:
+        # One fake far-future row (user_id -1, filtered out of the
+        # result) advances the watermark past every real session so the
+        # final no-data micro-batch flushes the state store.
+        dst = os.path.join(in_dir, "99.json")
+        with open(dst, "w") as f:
+            f.write(
+                '{"event_id": -1, "ts_us": %d, "user_id": -1, '
+                '"event_type": "sentinel", "value": 0.0}' % (hi + 60 * 86400 * _US)
+            )
+        os.utime(dst, (now - 60 + 40, now - 60 + 40))
+    return in_dir, os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+
+def _read_tick_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_TICK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # one micro-batch per tick
+        .json(in_dir)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+
+
+def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming replay did not drain within 600s")
+
+
+@register(
+    "sessionize_stream_replay",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), f AS (
+  SELECT user_id, event_id, tsm,
+         CASE WHEN us - lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), s AS (
+  SELECT user_id, tsm,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+  FROM f
+)
+SELECT user_id, min(tsm) AS session_start,
+       max(tsm) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sidx
+""",
+    doc="REAL Structured Streaming session_window run (streaming/"
+    "sessions.py semantics): events stream in as two time-split "
+    "micro-batches + a sentinel flush tick; native gap sessionization "
+    "merges cross-batch state in the state store; the drained parquet "
+    "sink must equal DuckDB's batch gaps-and-islands closure "
+    "(session_end = last event + gap; an event at exactly the gap "
+    "boundary extends the session)",
+    tags=["streaming", "session", "replay"],
+)
+def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=True)
+    sess = (
+        _read_tick_stream(spark, in_dir)
+        .withWatermark("ts", _SESS_WM)
+        .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _drain(sess, out_dir, ckpt)
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_join_replay",
+    oracle="""
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       CAST(a.ts AS TIMESTAMP) AS view_ts,
+       CAST(b.ts AS TIMESTAMP) AS purchase_ts,
+       round(b.value, 6) AS purchase_value
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+""",
+    doc="REAL stream-stream interval join (streaming/__init__.py "
+    "join_traffic_weather_streams shape): views and purchases from the "
+    "same event stream pair up per user when the purchase lands within "
+    "1 h of the view; both sides watermarked, event-time range bound in "
+    "the join condition expires state; inner-join emission is "
+    "per-match, so the drained sink equals the batch interval join",
+    tags=["streaming", "join", "replay"],
+)
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=False)
+    raw = _read_tick_stream(spark, in_dir)
+    views = (
+        raw.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", _JOIN_WM)
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 6).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", _JOIN_WM)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"view_ts + INTERVAL {_TOL}")),
+        "inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    _drain(joined, out_dir, ckpt)
+    return spark.read.parquet(out_dir)

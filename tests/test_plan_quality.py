@@ -428,10 +428,18 @@ def test_local_supply_star_join_broadcasts_all_dims(spark):
     # from parquet STATISTICS (they scale with the data, so a forced
     # hint would be wrong at 100 TB; at test SFs Catalyst picks
     # broadcast on its own, which is exactly the adaptive behavior
-    # this gate locks in).
+    # this gate locks in). Asserted per join KEY, not by node count:
+    # a bare count could be satisfied by some other small side (e.g.
+    # orders) auto-broadcasting while a dimension regressed to a
+    # shuffle join.
     plan = plan_of(spark, "local_supply_revenue")
-    tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") >= 3
+    bhj_blocks = [
+        b for b in plan.split("\n\n") if "BroadcastHashJoin" in b and "keys" in b
+    ]
+    for key in ("c_custkey", "s_suppkey", "n_nationkey"):
+        assert any(key in b for b in bhj_blocks), (
+            f"{key} dimension no longer joins via BroadcastHashJoin"
+        )
     assert "CartesianProduct" not in plan
 
 
@@ -551,3 +559,42 @@ def test_doulion_samples_below_the_edge_join(spark):
     assert not any(
         "md5" in b for b in agg_blocks
     ), "sampling predicate regressed above the pair-building aggregate"
+
+
+def test_q17_threshold_is_aggregate_then_join(spark):
+    # The correlated per-part avg must compile to ONE two-phase
+    # aggregate joined back on the part key — never an aggregate per
+    # outer row (nested loop). The part filter prunes both consumers
+    # of lineitem before any shuffle.
+    plan = plan_of(spark, "small_qty_revenue_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # threshold partial+final and outer-sum partial+final
+    assert plan.count("HashAggregate") >= 4
+    # the threshold comes back via an equi join keyed on the part key
+    join_blocks = [
+        b
+        for b in plan.split("\n\n")
+        if ("BroadcastHashJoin" in b or "SortMergeJoin" in b) and "keys" in b
+    ]
+    assert any("t_partkey" in b for b in join_blocks), (
+        "per-part threshold no longer joins on the correlation key"
+    )
+
+
+def test_q20_decorrelates_without_rescanning_the_fact(spark):
+    # The per-part total is a window over the already-aggregated
+    # (part, supplier) frame: lineitem is scanned and shuffled exactly
+    # once (a second aggregate branch would rescan it — the differing
+    # pushed filters defeat exchange reuse), and the window partitions
+    # by the part key (never a global sort).
+    import re
+
+    plan = plan_of(spark, "top_supplier_share_q20")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # lineitem once + supplier once
+    assert tree.count("HashAggregate") == 2  # one partial+final pair
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("l_partkey" in s for s in specs)
