@@ -101,13 +101,18 @@ def materialize_once(df: DataFrame) -> DataFrame:
     executor-loss is gone (blocks live only on their executor),
     acceptable for intra-query intermediates that are orders of
     magnitude smaller than their producing scan — a lost block fails
-    the job and the retry starts clean. On a long-running 1000-executor
-    job where executor churn is routine, swap in reliable
-    ``df.checkpoint()`` (same lineage cut, blocks on replicated
-    storage via ``sparkContext.setCheckpointDir``) — the call site
-    stays identical, only the durability/cost point moves. Plan gates
-    that need the upstream subtree must inspect the pre-checkpoint
-    frame (the final plan sees an RDD scan).
+    the job and the retry starts clean.
+
+    **Durability switch**: on a long-running 1000-executor job where
+    executor churn is routine, set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``
+    (env) or ``spark.cph_etl.reliableCheckpoint=true`` (spark.conf) to
+    swap in reliable ``df.checkpoint()`` — same lineage cut, blocks on
+    replicated storage. Requires a checkpoint dir: set it via
+    ``sparkContext.setCheckpointDir`` or ``spark.cph_etl.checkpointDir``
+    (the conf is applied on first use here). Call sites stay identical;
+    only the durability/cost point moves. Plan gates that need the
+    upstream subtree must inspect the pre-checkpoint frame (the final
+    plan sees an RDD scan).
 
     ``SPARK_GRAFT_NO_MATERIALIZE=1`` turns this into the identity — the
     A/B knob for measuring what the materialization buys on a given
@@ -115,4 +120,41 @@ def materialize_once(df: DataFrame) -> DataFrame:
     """
     if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
         return df
+    if _reliable_checkpoint_enabled(df):
+        # Reliable checkpoints write eagerly through the RDD API; the
+        # lazy flavor only applies to localCheckpoint. Eager is the
+        # right cost model here anyway: a cluster opting into durability
+        # is exactly the one that cannot afford silent lineage loss.
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=False)
+
+
+def _reliable_checkpoint_enabled(df: DataFrame) -> bool:
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"):
+        return True
+    try:
+        return (
+            df.sparkSession.conf.get("spark.cph_etl.reliableCheckpoint", "false")
+            .lower()
+            == "true"
+        )
+    except Exception:  # noqa: BLE001 - conf lookup never blocks the plan
+        return False
+
+
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    """Point the SparkContext at a checkpoint dir if the caller supplied
+    one via conf and none is set yet. On a real cluster this should be
+    replicated storage (HDFS/object store), not local disk."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return
+    conf_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if conf_dir is None:
+        try:
+            conf_dir = df.sparkSession.conf.get("spark.cph_etl.checkpointDir", None)
+        except Exception:  # noqa: BLE001
+            conf_dir = None
+    if conf_dir:
+        sc.setCheckpointDir(conf_dir)

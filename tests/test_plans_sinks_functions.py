@@ -243,3 +243,49 @@ def test_sinks_roundtrip_orc_and_parquet(spark, tmp_path):
         s = str(tmp_path / f"s_{fmt}")
         overwrite_table(df.limit(10), s, format=fmt)
         assert spark.read.format(fmt).load(s).count() == 10
+
+
+def test_materialize_once_local_and_reliable_paths(spark, tmp_path):
+    """materialize_once defaults to executor-local blocks; the
+    durability switch (spark.cph_etl.reliableCheckpoint + checkpointDir)
+    swaps in a reliable df.checkpoint() writing to the configured dir.
+    Both paths must preserve the frame's contents."""
+    import os
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.plans import (
+        materialize_once,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    expected = sorted(r["id"] for r in df.collect())
+
+    # Default: lazy localCheckpoint — same rows, lineage truncated.
+    local = materialize_once(df)
+    assert sorted(r["id"] for r in local.collect()) == expected
+
+    # Reliable: conf-driven checkpoint into the configured directory.
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    spark.conf.set("spark.cph_etl.reliableCheckpoint", "true")
+    spark.conf.set("spark.cph_etl.checkpointDir", ckpt_dir)
+    try:
+        reliable = materialize_once(df)
+        assert sorted(r["id"] for r in reliable.collect()) == expected
+        # The reliable path must actually have written checkpoint data.
+        written = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(ckpt_dir)
+            for f in files
+        ]
+        assert written, "reliable checkpoint wrote nothing to the dir"
+    finally:
+        spark.conf.unset("spark.cph_etl.reliableCheckpoint")
+        spark.conf.unset("spark.cph_etl.checkpointDir")
+
+    # A/B identity knob.
+    os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
+    try:
+        assert materialize_once(df) is df
+    finally:
+        del os.environ["SPARK_GRAFT_NO_MATERIALIZE"]
