@@ -121,7 +121,10 @@ def _read_tick_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str):
+    """Run the stream to completion; returns the (terminated) query
+    handle so tests can assert engine-level evidence (micro-batch count,
+    state-store row counts) from ``recentProgress``."""
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)
@@ -133,6 +136,61 @@ def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("streaming replay did not drain within 600s")
+    return q
+
+
+def _session_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """The session-window streaming topology the replay drains."""
+    return (
+        _read_tick_stream(spark, in_dir)
+        .withWatermark("ts", _SESS_WM)
+        .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _join_streams(spark: SparkSession, in_dir: str) -> DataFrame:
+    """The stream-stream interval-join topology the replay drains."""
+    raw = _read_tick_stream(spark, in_dir)
+    views = (
+        raw.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", _JOIN_WM)
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 6).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", _JOIN_WM)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"view_ts + INTERVAL {_TOL}")),
+        "inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
 
 
 @register(
@@ -170,19 +228,7 @@ FROM s GROUP BY user_id, sidx
 )
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=True)
-    sess = (
-        _read_tick_stream(spark, in_dir)
-        .withWatermark("ts", _SESS_WM)
-        .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-    )
-    _drain(sess, out_dir, ckpt)
+    _drain(_session_stream(spark, in_dir), out_dir, ckpt)
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
 
 
@@ -208,39 +254,5 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 )
 def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=False)
-    raw = _read_tick_stream(spark, in_dir)
-    views = (
-        raw.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", _JOIN_WM)
-    )
-    purchases = (
-        raw.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.round("value", 6).alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", _JOIN_WM)
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.expr(f"view_ts + INTERVAL {_TOL}")),
-        "inner",
-    ).select(
-        F.col("v_user_id").alias("user_id"),
-        "view_id",
-        "purchase_id",
-        "view_ts",
-        "purchase_ts",
-        "purchase_value",
-    )
-    _drain(joined, out_dir, ckpt)
+    _drain(_join_streams(spark, in_dir), out_dir, ckpt)
     return spark.read.parquet(out_dir)

@@ -75,3 +75,103 @@ def test_stream_join_replay_matches_batch(spark):
     got, want = _rows(out, cols), _rows(batch, cols)
     assert len(want) > 0  # 3 straddle-able pairs exist at sf0.001
     assert got == want
+
+
+def test_session_window_gap_boundary_extends(spark, tmp_path):
+    """The replay oracle splits sessions on diff > gap (strictly): an
+    event at exactly ``last_ts + gap`` must EXTEND the session, and
+    ``session_end`` must be ``last_ts + gap``. This pins the Spark
+    semantics the DuckDB oracle mirrors — if a Spark upgrade ever flips
+    the boundary to half-open splitting, this fails before the driver
+    gate does."""
+    import json
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    t0 = 1_700_000_000 * 1_000_000
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        {"event_id": 1, "ts_us": t0, "user_id": 1, "event_type": "e", "value": 1.0},
+        # exactly one gap after the first event: same session
+        {"event_id": 2, "ts_us": t0 + gap_us, "user_id": 1, "event_type": "e", "value": 1.0},
+        # one gap + 1 microsecond after the second: new session
+        {"event_id": 3, "ts_us": t0 + 2 * gap_us + 1, "user_id": 1, "event_type": "e", "value": 1.0},
+    ]
+    (in_dir / "t1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .json(str(in_dir))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gap_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.table("gap_boundary").collect()
+    )
+    assert got == [
+        (t0, t0 + 2 * gap_us, 2),              # events 1+2 merged; end = last + gap
+        (t0 + 2 * gap_us + 1, t0 + 3 * gap_us + 1, 1),
+    ]
+
+
+def test_replay_runs_multiple_stateful_micro_batches(spark):
+    """Engine-level evidence that the replays exercise REAL cross-batch
+    streaming state (not a single-batch batch-equivalent): the drained
+    session query must have run one micro-batch per tick file (2 ticks +
+    sentinel) plus the watermark-flush no-data batch, with state-store
+    rows carried between batches; the join query must run its two ticks
+    through a symmetric stateful join."""
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.streaming_replay_queries import (
+        _drain,
+        _join_streams,
+        _session_stream,
+        _stage_ticks,
+    )
+
+    in_dir, out_dir, ckpt = _stage_ticks(spark, SF, sentinel=True)
+    q = _drain(_session_stream(spark, in_dir), out_dir, ckpt)
+    progress = [p for p in q.recentProgress if p is not None]
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3  # tick1, tick2, sentinel — one batch each
+    state = [
+        op
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if "session" in op.get("operatorName", "").lower()
+    ]
+    assert state, "no session-window state operator in progress"
+    assert max(op["numRowsTotal"] for op in state) > 0
+
+    in_dir, out_dir, ckpt = _stage_ticks(spark, SF, sentinel=False)
+    qj = _drain(_join_streams(spark, in_dir), out_dir, ckpt)
+    jprogress = [p for p in qj.recentProgress if p is not None]
+    assert len([p for p in jprogress if p["numInputRows"] > 0]) >= 2
+    jstate = [
+        op
+        for p in jprogress
+        for op in p.get("stateOperators", [])
+        if "join" in op.get("operatorName", "").lower()
+    ]
+    assert jstate, "no stream-stream join state operator in progress"
+    assert max(op["numRowsTotal"] for op in jstate) > 0

@@ -159,6 +159,23 @@ SHOWCASE = [
         "exact side is semi-join + distinct aggregates — nothing "
         "driver-side, nothing quadratic, mergeable across partitions.",
     ),
+    (
+        "small_qty_revenue_q17",
+        "Correlated per-part avg DECORRELATED: the brand/size part "
+        "filter prunes both lineitem consumers via broadcast joins, the "
+        "threshold is ONE two-phase aggregate over the pruned slice, "
+        "and it returns on an equi-join keyed by the correlation key — "
+        "never an aggregate per outer row, no nested loop.",
+    ),
+    (
+        "top_supplier_share_q20",
+        "HAVING-correlated per-part total decorrelated WITHOUT a second "
+        "aggregate branch: lineitem is scanned and shuffled exactly once "
+        "into per-(part,supplier) sums; the per-part total is a window "
+        "over the group key on that aggregated frame (a sibling "
+        "aggregate would rescan the fact — differing pushed null-filters "
+        "defeat exchange reuse, measured); supplier joins broadcast.",
+    ),
 ]
 
 

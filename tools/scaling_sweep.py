@@ -47,6 +47,13 @@ QUERIES = [
     "merge_upsert_cdc",
     "heavy_hitters_tokens",
     "decontaminate_bloom",
+    # round 6 additions: decorrelation shapes + streaming replays (the
+    # replays run a real Structured Streaming job per call, so their
+    # floor is micro-batch machinery — expect ratios well under 10)
+    "small_qty_revenue_q17",
+    "top_supplier_share_q20",
+    "sessionize_stream_replay",
+    "stream_join_replay",
 ]
 
 # Queries whose cost is expected to grow faster than the table because
