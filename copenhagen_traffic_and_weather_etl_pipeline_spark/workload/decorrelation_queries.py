@@ -80,13 +80,17 @@ FROM (
   SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS supp_qty,
          (SELECT sum(l2.l_quantity) FROM lineitem l2
           WHERE l2.l_partkey = l.l_partkey
-            AND year(l2.l_shipdate) = 1995) AS total_qty
+            AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l2.l_shipdate < TIMESTAMP '1996-01-01') AS total_qty
   FROM lineitem l
-  WHERE year(l.l_shipdate) = 1995
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-01-01'
   GROUP BY l.l_partkey, l.l_suppkey
   HAVING sum(l.l_quantity) > 0.5 * (
     SELECT sum(l2.l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = l.l_partkey AND year(l2.l_shipdate) = 1995)
+    WHERE l2.l_partkey = l.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l2.l_shipdate < TIMESTAMP '1996-01-01')
 ) g JOIN supplier s ON s.s_suppkey = g.l_suppkey
 """,
     doc="TPC-H Q20 shape: the majority supplier of each part's 1995 "
@@ -101,11 +105,19 @@ FROM (
     tags=["subquery", "decorrelation", "window", "agg"],
 )
 def top_supplier_share_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li95 = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.year("l_shipdate") == 1995)
-        .select("l_partkey", "l_suppkey", "l_quantity")
-    )
+    # Range predicate, not year(): a raw comparison on the timestamp
+    # column pushes down to parquet row-group min/max stats (and prunes
+    # date partitions at scale); year(cast(...)) reaches only the
+    # post-scan Filter. Literals cast to the column's own timestamp
+    # flavor (NTZ vs instant varies by parquet vintage) so the
+    # comparison needs no column-side cast — a cast on the column would
+    # block the pushdown too.
+    li = load(spark, sf_dir, "lineitem")
+    ship_type = dict(li.dtypes)["l_shipdate"]
+    li95 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast(ship_type))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast(ship_type))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
     per = li95.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )

@@ -593,6 +593,9 @@ def test_q20_decorrelates_without_rescanning_the_fact(spark):
     plan = plan_of(spark, "top_supplier_share_q20")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # The 1995 window is a RANGE predicate so it reaches the parquet
+    # scan's row-group stats (year() would stop at the post-scan Filter).
+    assert "GreaterThanOrEqual(l_shipdate" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2  # lineitem once + supplier once
     assert tree.count("HashAggregate") == 2  # one partial+final pair
