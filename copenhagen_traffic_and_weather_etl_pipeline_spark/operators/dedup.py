@@ -221,8 +221,13 @@ def minhash_signature(
         )
     else:
         sh_hash = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
+    from ..plans import fan_out_small_scan
+
     sh = (
-        docs.select(F.col(id_col), w.alias("w"))
+        # Spread an under-partitioned documents scan before the regex
+        # + n-gram explode (the CPU hot spot); identity at real scale.
+        fan_out_small_scan(docs.select(id_col, text_col))
+        .select(F.col(id_col), w.alias("w"))
         .filter(F.size("w") >= shingle_n)
         .select(id_col, F.explode(F.array_distinct(grams)).alias("sh"))
         .select(id_col, sh_hash.alias("h"))

@@ -45,6 +45,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     shingle-join dedup — narrow explode, no UDFs; at 100 TB the explode
     output is what gets hashed/banded, never materialized wide.
     """
+    from ..plans import fan_out_small_scan
+
     w = _words_col()
     idx = F.sequence(F.lit(0), F.size("w") - n)
     grams = F.transform(
@@ -54,7 +56,11 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", w.alias("w"))
+        # fan_out_small_scan: the regex+n-gram explode is the CPU hot
+        # spot of every shingle-rooted query; spread an under-partitioned
+        # scan across all cores (identity at real scale).
+        fan_out_small_scan(docs.select("doc_id", "text"))
+        .select("doc_id", w.alias("w"))
         .filter(F.size("w") >= n)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
     )
