@@ -289,3 +289,21 @@ def test_materialize_once_local_and_reliable_paths(spark, tmp_path):
         assert materialize_once(df) is df
     finally:
         del os.environ["SPARK_GRAFT_NO_MATERIALIZE"]
+
+
+def test_fan_out_small_scan_guard(spark):
+    """Fans an under-partitioned frame to defaultParallelism; identity
+    (no added exchange) once the input already saturates the cores —
+    the guard that makes it safe at real scale."""
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.plans import (
+        fan_out_small_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    fanned = fan_out_small_scan(narrow)
+    assert fanned.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in fanned.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(target + 4)
+    assert fan_out_small_scan(wide) is wide
