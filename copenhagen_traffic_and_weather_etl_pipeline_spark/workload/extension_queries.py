@@ -1376,6 +1376,11 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_img_px_byte(i) for i in range(6, 12)],
         F.unhex(F.lit("0000")),
     )
+    # Deliberately NOT fan_out_small_scan'd: these synthetic images
+    # decode in microseconds, so 32 Python-worker spin-ups cost more
+    # than the single-task decode saves (measured 0.77 s -> 0.98 s at
+    # sf0.1). With REAL images (ms-per-row decode) the fan-out flips to
+    # a win - the per-row-CPU-vs-bytes rule in plans.fan_out_small_scan.
     payloads = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
