@@ -733,3 +733,53 @@ def test_ngram_jaccard_matches_capped_reference(
         for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, str(sf_dir)).collect()
     )
     assert got == _ngram_capped_reference(docs, cap=3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # part
+            st.integers(min_value=1, max_value=4),   # supplier
+            st.integers(min_value=1, max_value=50),  # quantity
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q20_window_decorrelation_matches_naive(spark, rows):
+    """The Q20 rewrite (window-over-group-key on the aggregated frame)
+    must equal the naive correlated semantics — per (part, supplier)
+    sum compared against a per-part total computed independently —
+    on arbitrary data, not just the driver tables."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "l_partkey int, l_suppkey int, l_quantity int")
+    per = df.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    got = sorted(
+        (r["l_partkey"], r["l_suppkey"], r["supp_qty"])
+        for r in per.withColumn(
+            "total_qty", F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+        )
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("total_qty"))
+        .collect()
+    )
+
+    per_naive: dict = defaultdict(int)
+    tot_naive: dict = defaultdict(int)
+    for p, s, q in rows:
+        per_naive[(p, s)] += q
+        tot_naive[p] += q
+    want = sorted(
+        (p, s, q) for (p, s), q in per_naive.items() if q > 0.5 * tot_naive[p]
+    )
+    assert got == want
