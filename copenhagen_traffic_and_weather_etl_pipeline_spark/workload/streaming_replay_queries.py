@@ -121,21 +121,44 @@ def _read_tick_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+_REPLAY_STATE_PARTITIONS = 32
+
+
 def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str):
     """Run the stream to completion; returns the (terminated) query
     handle so tests can assert engine-level evidence (micro-batch count,
-    state-store row counts) from ``recentProgress``."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("streaming replay did not drain within 600s")
+    state-store row counts) from ``recentProgress``.
+
+    The stateful operators' partition count is fixed from
+    ``spark.sql.shuffle.partitions`` at query start, and EVERY
+    micro-batch then runs that many state-store tasks. The replay's
+    state is testdata-sized, so a session at Spark's default 200
+    multiplies pure task-launch overhead: measured at sf0.01, 200
+    partitions took 24 s (sessions) / 43 s (join) vs 13 s each at 32.
+    Pin the replay to min(session, 32) for its own run and restore the
+    session conf after — a production streaming job sizes state
+    partitions to its cluster; this pins only the replay harness.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)
+    try:
+        pinned = min(int(old), _REPLAY_STATE_PARTITIONS) if old and old.isdigit() else _REPLAY_STATE_PARTITIONS
+        spark.conf.set(key, str(pinned))
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming replay did not drain within 600s")
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
     return q
 
 
