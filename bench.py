@@ -115,9 +115,23 @@ def main() -> int:
             out[name] = round(min(runs), 3)
         return out
 
+    def cpu_ticks() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    ticks0 = cpu_ticks()
     timings = time_set(names)
     total = round(sum(timings.values()), 3)
     ext_timings = time_set(extended)
+    ticks1 = cpu_ticks()
+    # Ambient-interference telemetry: on this shared-host VM the
+    # hypervisor steals cycles under sustained full-width load
+    # (measured 8%+ steal while all 32 vCPUs burn), which moved
+    # same-code headline totals between 10.7 s and 15.5 s in round 6.
+    # Publishing the run's own steal share makes each BENCH artifact
+    # self-describing about how contended its numbers are.
+    deltas = [b - a for a, b in zip(ticks0, ticks1)]
+    steal_pct = round(100.0 * deltas[7] / max(1, sum(deltas)), 2) if len(deltas) > 7 else None
 
     # Round-over-round regression guard: compare against the checked-in
     # BENCH_BASELINE.json (round 2's numbers) and surface any query that
@@ -152,6 +166,7 @@ def main() -> int:
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf_val,
+                "steal_pct": steal_pct,
             }
         )
     )
