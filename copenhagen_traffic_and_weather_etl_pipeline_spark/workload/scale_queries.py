@@ -229,10 +229,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     # tf feeds both the document-frequency aggregate and the scoring
-    # join from one identical subtree — ReusedExchange shares the
-    # shuffle, and a localCheckpoint measured slower (0.73 s vs 0.65 s
-    # median at sf0.1), so the frame is left plain; see
-    # plans.materialize_once for the divergent-consumer case it's for.
+    # join. The two subtrees do NOT share an exchange at runtime (the
+    # join's inferred isnotnull lands on one branch only, breaking
+    # canonical equality — verified: 6 FileScans, 0 ReusedExchange),
+    # and that is ACCEPTED: the rebuilt subtree is a cheap word explode
+    # (unlike the shingle build the prefix-filter query dedups), a
+    # localCheckpoint measured slower (0.73 s vs 0.65 s median at
+    # sf0.1), and the window-over-term alternative measured only ~7%
+    # faster locally (1.14 -> 1.06 s median) while shuffling ALL of tf
+    # by term — a loss at scale, where the vocab-sized df broadcasts
+    # (Heaps' law) and tf never shuffles on term at all.
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
