@@ -2265,11 +2265,15 @@ LIMIT {_BM25_TOPK}
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # tok feeds the doc-length and term-frequency passes, and dl feeds
-    # the corpus stats and the scoring join — but every consumer sits
-    # on an identical subtree, so ReusedExchange already shares the
-    # shuffles; a localCheckpoint here measured SLOWER (0.59 s vs
-    # 0.49 s median at sf0.1 — block write/read overhead with no
-    # recompute avoided; see plans.materialize_once for when it pays).
+    # the corpus stats and the scoring join. These subtrees do NOT
+    # share exchanges at runtime (join-inferred isnotnull breaks
+    # canonical equality — verified: 8 FileScans, 0 ReusedExchange),
+    # and that is ACCEPTED: each rebuilt subtree is a cheap word
+    # explode, the model-sized sides (3-term dfreq, 1-row stats)
+    # broadcast, and a localCheckpoint measured SLOWER (0.59 s vs
+    # 0.49 s median at sf0.1 — block write/read overhead costs more
+    # than the cheap recompute; see SCALING.md "exchange-reuse
+    # pitfalls" for the three resolutions and when each applies).
     tok = d.select("doc_id", F.explode(_words_col()).alias("w"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
