@@ -105,15 +105,23 @@ def main() -> int:
         return time.perf_counter() - t0
 
     def time_set(qnames: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+        # Best-of-2 with the two attempts separated by a FULL pass over
+        # the set, not back-to-back: ambient host contention on this VM
+        # varies on a minutes timescale (uniform 1.4-1.9x inflation of
+        # whole runs was observed with near-zero load average), so
+        # adjacent attempts share the same bad window while pass-
+        # separated attempts give each query a shot at a clean one.
+        runs: dict[str, list[float]] = {n: [] for n in qnames}
+        for _pass in range(2):
+            for name in qnames:
+                runs[name].append(time_one(name))
         for name in qnames:
-            runs = [time_one(name), time_one(name)]
-            # Two runs >1.5x apart means one was measured under ambient
+            r = runs[name]
+            # >1.5x apart means one attempt was measured under ambient
             # load — take a tie-breaking third before keeping the min.
-            if max(runs) > 1.5 * min(runs) and max(runs) - min(runs) > 0.2:
-                runs.append(time_one(name))
-            out[name] = round(min(runs), 3)
-        return out
+            if max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
+                r.append(time_one(name))
+        return {n: round(min(r), 3) for n, r in runs.items()}
 
     def cpu_ticks() -> list[int]:
         with open("/proc/stat") as f:
