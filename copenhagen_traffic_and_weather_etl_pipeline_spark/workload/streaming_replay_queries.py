@@ -216,6 +216,13 @@ def _join_streams(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+def _cleanup_staging(in_dir: str, ckpt_dir: str) -> None:
+    """Drop the staged ticks and checkpoint once the query is drained;
+    only the parquet sink (what the returned DataFrame reads) stays."""
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
 @register(
     "sessionize_stream_replay",
     oracle=f"""
@@ -252,6 +259,7 @@ FROM s GROUP BY user_id, sidx
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=True)
     _drain(_session_stream(spark, in_dir), out_dir, ckpt)
+    _cleanup_staging(in_dir, ckpt)
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
 
 
@@ -278,4 +286,5 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=False)
     _drain(_join_streams(spark, in_dir), out_dir, ckpt)
+    _cleanup_staging(in_dir, ckpt)
     return spark.read.parquet(out_dir)
