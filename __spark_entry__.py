@@ -22,11 +22,18 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (  # noqa
     REGISTRY,
 )
 
-SMOKE_SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (  # noqa: E402
+    sf_dir,
+)
+
+# Driver data (/root/testdata) when present; local replica fallback
+# (tools/gen_local_testdata.py) so smoke stays runnable if the driver
+# dir is empty mid-round.
+SMOKE_SF_DIR = sf_dir("0.001")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on sf0.001; driver checks rows>0."""
     return REGISTRY["flagship_latest_snapshot"].fn(spark, SMOKE_SF_DIR)
 
 

@@ -80,7 +80,15 @@ EXTENDED = [
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env_dir:
+        sf_dir = env_dir
+    else:
+        from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (
+            sf_dir as _resolve,
+        )
+
+        sf_dir = _resolve("0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -8,7 +8,9 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from copenhagen_traffic_and_weather_etl_pipeline_spark.sources import jsonl
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 DOC_SCHEMA = StructType(
     [

@@ -17,7 +17,9 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.layout_queries i
     _morton_expr,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def run(spark, name):

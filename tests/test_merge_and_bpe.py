@@ -13,6 +13,7 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.functions.bpe import (
     word_frequencies,
 )
 from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.merge import merge_into
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
 
 
 def test_merge_into_four_semantics(spark):
@@ -47,7 +48,7 @@ def test_learn_bpe_matches_registry_query(spark):
         load,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir("0.001")
     docs = load(spark, sf, "documents")
     got = learn_bpe(word_frequencies(docs), 2)
     want = [

@@ -14,12 +14,15 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.plans.audit import (
     single_partition_consumers,
 )
 from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    df = REGISTRY[name].fn(spark, SF_DIR)
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -89,7 +92,7 @@ def test_no_registry_query_outputs_nonscalar_columns(spark):
 
     offenders = []
     for name, spec in REGISTRY.items():
-        schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+        schema = spec.fn(spark, SF_DIR).schema
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))

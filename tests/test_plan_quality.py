@@ -11,7 +11,9 @@ import pytest
 
 from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def explain_df(spark, df) -> str:

@@ -7,6 +7,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir as data_dir
 from copenhagen_traffic_and_weather_etl_pipeline_spark.operators.dedup import (
     keep_list,
     resolve_clusters,
@@ -301,7 +302,7 @@ def test_bloom_decontaminate_equals_exact_join(spark):
         _BLOOM_SEEDS,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = data_dir("0.001")
     d = load(spark, sf, "documents")
     sh = shingles(d).join(d.select("doc_id", "source"), "doc_id")
     bench = sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()
@@ -381,7 +382,7 @@ def test_chunking_matches_python_reference(spark):
         _CHUNK_STRIDE,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = data_dir("0.001")
     docs = {
         r["doc_id"]: r["text"]
         for r in load(spark, sf, "documents").select("doc_id", "text").collect()

@@ -10,7 +10,9 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
     register_views,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def test_all_tables_visible_to_sql(spark):

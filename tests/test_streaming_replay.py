@@ -17,7 +17,9 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.streaming_replay
     _GAP_US,
 )
 
-SF = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF = sf_dir("0.001")
 
 
 def _rows(df, cols):

@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 @udtf(returnType="pos: int, word: string")

@@ -108,7 +108,7 @@ def frame_normalize(pdf: pd.DataFrame):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--sf", default=None)
     ap.add_argument(
         "--window",
         action="store_true",
@@ -116,6 +116,10 @@ def main() -> int:
         "driver's per-round correctness gate sees)",
     )
     args = ap.parse_args()
+    if args.sf is None:
+        from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
+
+        args.sf = sf_dir("0.01")
 
     import __spark_entry__ as entrymod
 

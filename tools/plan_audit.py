@@ -34,7 +34,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.001"
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir  # noqa: E402
+
+SF_DIR = sf_dir("0.001")
 
 # query -> {flag: reason}. A reason documents why the hit is the plan we
 # WANT at 100 TB; anything flagged without a reason fails the audit.

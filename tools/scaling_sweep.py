@@ -19,6 +19,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (  # noqa: E402
+    sf_dir as resolve_sf,
+)
+
 SFS = ["0.001", "0.01", "0.1"]
 
 QUERIES = [
@@ -73,13 +77,13 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling-sweep")
     # Warm the session once.
-    REGISTRY[QUERIES[0]].fn(spark, f"/root/testdata/sf{SFS[0]}").write.format(
+    REGISTRY[QUERIES[0]].fn(spark, resolve_sf(str(SFS[0]))).write.format(
         "noop"
     ).mode("overwrite").save()
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = resolve_sf(str(sf))
         for q in QUERIES:
             best = float("inf")
             for _ in range(2):
