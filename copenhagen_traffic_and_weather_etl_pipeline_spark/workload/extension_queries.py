@@ -1517,7 +1517,11 @@ WHERE levenshtein(a.pfx, r.pfx) <= {_LEV_MAX}
     doc="Levenshtein near-dup pairs blocked by (first two words, prefix-"
     "length band): staircase equi-join over home+neighbor length bands — "
     "identical output to a pure word block (|len diff| <= edit distance) "
-    "but skew-safe; distance on an 80-char prefix bounds the DP cost",
+    "but skew-safe; distance on an 80-char prefix bounds the DP cost. "
+    "Distance is over UTF-8 BYTES on both sides (equal to codepoint "
+    "distance on ASCII): DuckDB's levenshtein is inherently byte-based, "
+    "so the Spark side re-reads the UTF-8 bytes as ISO-8859-1 — one "
+    "codepoint per byte — to match; representation-stable across engines",
     tags=["dedup", "levenshtein"],
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,7 +1530,14 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("band", F.col("band") + 1).withColumn("up", F.lit(1))
     )
     a, b = base.alias("a"), probe.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+
+    def _bytesafe(c):
+        # UTF-8 bytes reinterpreted as ISO-8859-1: one codepoint per
+        # byte, so Spark's codepoint levenshtein counts bytes like
+        # DuckDB's does. Identity on ASCII.
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    dist = F.levenshtein(_bytesafe(F.col("a.pfx")), _bytesafe(F.col("b.pfx")))
     return (
         a.join(
             b,

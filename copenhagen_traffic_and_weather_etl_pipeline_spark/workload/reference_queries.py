@@ -589,22 +589,28 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_tumbling",
     oracle="""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_us,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+           AS avg_value_us
 FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
 """,
     doc="1-hour tumbling window agg — batch form of the hourly cadence "
-    "(README.md:79-84, SURVEY §2.8)",
+    "(README.md:79-84, SURVEY §2.8). Sums are micro-unit BIGINTs: a "
+    "double sum accumulates in engine-specific order, and the ulp-level "
+    "difference can cross a round() boundary (observed on replica data); "
+    "integer micro-units are exact and order-independent in both engines",
     tags=["window", "agg", "streaming"],
 )
 def hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    mic = F.round(F.col("value") * 1000000).cast("bigint")
     return (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(mic).alias("sum_value_us"),
         )
+        .withColumn("avg_value_us", F.expr("sum_value_us div n_events"))
     )
 
 

@@ -895,7 +895,11 @@ def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         f"  SELECT p.vec_id, c.cid, {dist} AS d",
         f"  FROM pts p CROSS JOIN c{iters} c",
         ")",
-        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(d, 4) AS dist FROM (",
+        # d is already rounded to 6 dp; re-rounding to 4 dp would land
+        # ~1% of values exactly on a .5 boundary, where Spark (HALF_UP
+        # on the shortest decimal repr) and DuckDB (exact binary value)
+        # disagree — emit at the computed scale instead.
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist FROM (",
         "  SELECT vec_id, cid, d,",
         "         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
         "  FROM fin",
@@ -918,9 +922,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
-    return assign_clusters(e, centroids).select(
-        "vec_id", "cluster", F.round("dist", 4).alias("dist")
-    )
+    # dist is emitted at its computed 6-dp scale: re-rounding a rounded
+    # value parks ~1% of outputs on a .5 boundary where the two engines'
+    # double-rounding conventions diverge (see the oracle builder note).
+    return assign_clusters(e, centroids).select("vec_id", "cluster", "dist")
 
 
 # ---------------------------------------------------------------------------
