@@ -259,7 +259,9 @@ def gen_documents(rng, n, out):
             texts.append(" ".join(words))
             doc_lang.append(doc_lang[j])
         else:
-            body = _sentence(rng, vocab, int(rng.integers(30, 120)))
+            # 6..120 words: the short tail exercises the n_chars<60 and
+            # <100 quality/cascade branches with non-empty slices
+            body = _sentence(rng, vocab, int(rng.integers(6, 120)))
             if rng.random() < 0.06:      # PII-bearing docs
                 body += (f" contact user{i}@example.com or call "
                          f"+45 {int(rng.integers(10_000_000, 99_999_999))}")
