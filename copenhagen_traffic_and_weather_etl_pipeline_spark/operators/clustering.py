@@ -87,10 +87,19 @@ def kmeans_fit(
 
     for _ in range(iters):
         assigned = assign_clusters(df, centroids, vec_col=vec_col)
+        # Exact micro-unit centroid update: round(avg(x), 6) of an
+        # order-dependent double sum can land a different double on each
+        # engine and cross the rounding boundary (the hourly_tumbling
+        # failure class). Quantizing inputs to 1e-6 BIGINTs makes the
+        # sum exact and order-free; s and n are then bit-identical
+        # integers in both engines, so round(s/n)/1e6 is deterministic.
+        mic = F.round(F.col("x").cast("double") * 1000000).cast("long")
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .agg(
+                (F.round(F.sum(mic) / F.count(F.lit(1))) / 1000000.0).alias("m")
+            )
             .collect()
         )
         by_cid: dict[int, list[float]] = {}

@@ -433,8 +433,10 @@ WITH q AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, q.p05, q.p95,
-       round(avg(least(greatest(e.value, q.p05), q.p95)), 6) AS winsorized_mean,
-       round(avg(e.value), 6) AS raw_mean,
+       round(sum(CAST(round(least(greatest(e.value, q.p05), q.p95) * 1000000)
+                      AS BIGINT)) / count(*)) / 1000000.0 AS winsorized_mean,
+       round(sum(CAST(round(e.value * 1000000) AS BIGINT)) / count(*))
+           / 1000000.0 AS raw_mean,
        count(e.value) AS n
 FROM events e JOIN q USING (event_type)
 GROUP BY e.event_type, q.p05, q.p95
@@ -456,8 +458,13 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(q), "event_type")
         .groupBy("event_type", "p05", "p95")
         .agg(
-            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
-            F.round(F.avg("value"), 6).alias("raw_mean"),
+            # micro-unit means (see interpolate_hourly_values): the
+            # clip bounds are identical 6-dp doubles on both engines,
+            # so the quantized sums are bit-identical integers.
+            (F.round(F.sum(F.round(clipped * 1000000).cast("long"))
+                     / F.count(F.lit(1))) / 1000000.0).alias("winsorized_mean"),
+            (F.round(F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                     / F.count(F.lit(1))) / 1000000.0).alias("raw_mean"),
             F.count("value").alias("n"),
         )
     )
@@ -481,7 +488,9 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(*))
+             / 1000000.0 AS v
   FROM e GROUP BY event_type, date_trunc('hour', ts)
 ),
 b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM e),
@@ -535,9 +544,14 @@ FROM fx
 )
 def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # Hourly mean in exact micro-units: round(avg(value), 6) of an
+    # order-dependent double sum can differ per engine by 1e-6 at a
+    # rounding boundary (the hourly_tumbling class) — and this query
+    # has |types| x |hours| such groups feeding the interpolation.
+    mic = F.round(F.col("value") * 1000000).cast("long")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg((F.round(F.sum(mic) / F.count(F.lit(1))) / 1000000.0).alias("v"))
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),

@@ -830,7 +830,7 @@ SELECT hour_bucket, day_bucket, week_bucket,
        CAST(GROUPING(hour_bucket) * 4 + GROUPING(day_bucket) * 2
             + GROUPING(week_bucket) AS BIGINT) AS gid,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
 FROM g
 GROUP BY GROUPING SETS ((hour_bucket), (day_bucket), (week_bucket))
 """,
@@ -860,7 +860,11 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().cast("bigint").alias("gid"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # micro-unit sum (exact, order-free in both engines; see hourly_tumbling); matters here because the
+        # coarse grains sum corpus-sized slices where double error is
+        # largest
+        (F.sum(F.round(F.col("value") * 1000000).cast("long"))
+         / 1000000.0).alias("sum_value"),
     )
 
 

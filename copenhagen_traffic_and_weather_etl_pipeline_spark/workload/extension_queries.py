@@ -1434,7 +1434,8 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH bands AS (
   SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(0, 10) t(i)
 )
-SELECT band_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+SELECT band_id, count(*) AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY band_id
 """,
@@ -1457,7 +1458,9 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # micro-unit sum (exact, order-free in both engines; see hourly_tumbling)
+            (F.sum(F.round(F.col("value") * 1000000).cast("long"))
+             / 1000000.0).alias("sum_value"),
         )
     )
 
@@ -2035,8 +2038,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-space pruning step of corpus curation). Centroids come from
 # one posexplode + (label, dim) aggregation — k*dim rows, broadcast
 # back; no driver-side math. The oracle rebuilds identical centroids
-# with per-dim avg (rounded to 6 dp on both engines before the cosine
-# so the tiny aggregation-order float drift cannot cross the rounding).
+# with per-dim avg in exact micro-units (BIGINT sum of round(x*1e6),
+# then round(s/n)/1e6): s and n are bit-identical integers in both
+# engines, so no aggregation-order drift exists to cross a rounding
+# boundary (plain round(avg(x), 6) only makes such drift RARE, not
+# impossible — the hourly_tumbling failure class).
 # ---------------------------------------------------------------------------
 
 _CENTROID_OUTLIER_COS = 0.5
@@ -2050,7 +2056,9 @@ WITH pts AS (
   FROM embeddings
 ),
 m AS (
-  SELECT label, i, round(avg(v[i]), 6) AS m
+  SELECT label, i,
+         round(sum(CAST(round(v[i] * 1000000) AS BIGINT)) / count(*))
+             / 1000000.0 AS m
   FROM pts, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY label, i
 ),
@@ -2085,7 +2093,10 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = e.select(
         "label", F.posexplode("v").alias("i", "x")
     )
-    m = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("m"))
+    mic = F.round(F.col("x") * 1000000).cast("long")
+    m = dims.groupBy("label", "i").agg(
+        (F.round(F.sum(mic) / F.count(F.lit(1))) / 1000000.0).alias("m")
+    )
     cent = (
         m.groupBy("label")
         .agg(

@@ -878,7 +878,13 @@ def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
             "  ) WHERE rn = 1",
             "),",
             f"m{it} AS (",
-            "  SELECT cluster AS cid, i, round(avg(v[i]), 6) AS m",
+            # micro-unit update (see operators/clustering.py): exact
+            # BIGINT sum, then round(s/n)/1e6 — identical integers on
+            # both engines, so no aggregation-order drift can cross a
+            # rounding boundary.
+            "  SELECT cluster AS cid, i,",
+            "         round(sum(CAST(round(v[i] * 1000000) AS BIGINT))"
+            " / count(*)) / 1000000.0 AS m",
             f"  FROM s{it}, UNNEST({rng}) AS t(i)",
             "  GROUP BY cluster, i",
             "),",
@@ -1367,7 +1373,8 @@ SELECT window_start,
        window_start + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n,
-       round(sum(value), 6) AS total_value
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+           AS total_value
 FROM hop GROUP BY window_start, event_type
 """,
     doc="1-hour windows sliding every 15 minutes: each event contributes "
@@ -1383,7 +1390,12 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # micro-unit sum (exact, order-free in both engines; see hourly_tumbling)
+            (F.sum(F.round(F.col("value") * 1000000).cast("long"))
+             / 1000000.0).alias("total_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
