@@ -381,9 +381,9 @@ WITH e AS (
 ),
 m AS (SELECT min(t) AS t0 FROM e)
 SELECT event_type,
-       round(regr_slope(value, (t - t0) / 86400.0), 6) AS slope_per_day,
-       round(regr_intercept(value, (t - t0) / 86400.0), 6) AS intercept,
-       round(regr_r2(value, (t - t0) / 86400.0), 6) AS r2,
+       round(regr_slope(value, (t - t0) / 86400.0), 6) + 0.0 AS slope_per_day,
+       round(regr_intercept(value, (t - t0) / 86400.0), 6) + 0.0 AS intercept,
+       round(regr_r2(value, (t - t0) / 86400.0), 6) + 0.0 AS r2,
        count(*) AS n
 FROM e, m
 GROUP BY event_type
@@ -406,9 +406,13 @@ def trend_regression_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(t0))
         .groupBy("event_type")
         .agg(
-            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
-            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
-            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            # + 0.0 rewrites IEEE -0.0 to +0.0 on signed outputs
+            (F.round(F.regr_slope(F.col("value"), x), 6) + F.lit(0.0)).alias(
+                "slope_per_day"
+            ),
+            (F.round(F.regr_intercept(F.col("value"), x), 6)
+             + F.lit(0.0)).alias("intercept"),
+            (F.round(F.regr_r2(F.col("value"), x), 6) + F.lit(0.0)).alias("r2"),
             F.count("*").alias("n"),
         )
     )

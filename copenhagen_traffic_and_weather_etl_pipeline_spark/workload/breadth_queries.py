@@ -162,7 +162,7 @@ wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
 tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id)
 SELECT w.doc_id,
        CAST(t.n AS BIGINT) AS n_tokens,
-       round(-sum((w.c / t.n) * log2(w.c / t.n)), 6) AS entropy_bits
+       round(-sum((w.c / t.n) * log2(w.c / t.n)), 6) + 0.0 AS entropy_bits
 FROM wc w JOIN tot t ON w.doc_id = t.doc_id
 GROUP BY w.doc_id, t.n
 """,
@@ -185,7 +185,13 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wc.join(tot, "doc_id")
         .groupBy("doc_id", "n")
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .agg(
+            # + 0.0 rewrites the single-word doc's -0.0 to +0.0 (DuckDB
+            # round keeps the sign; Spark's BigDecimal round does not)
+            (F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias(
+                "entropy_bits"
+            )
+        )
         .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy_bits")
     )
 
@@ -1039,13 +1045,15 @@ def ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m')
            AS month,
-         round(sum(o_totalprice), 2) AS revenue
+         -- cent-unit sum: exact and order-free in both engines
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, revenue,
        lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       -- + 0.0 rewrites IEEE -0.0 to +0.0 (signed output)
        round((revenue - lag(revenue) OVER (ORDER BY month))
-             / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+             / lag(revenue) OVER (ORDER BY month), 6) + 0.0 AS mom_growth
 FROM m
 """,
     doc="month-over-month revenue growth: monthly sum first (raw rows "
@@ -1059,14 +1067,22 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
             "month"
         )
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        # cent-unit sum: exact and order-free in both engines
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "revenue"
+        )
+    )
     w = W.orderBy("month")
     prev = F.lag("revenue").over(w)
     return m.select(
         "month",
         "revenue",
         prev.alias("prev_revenue"),
-        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+        # + 0.0 rewrites IEEE -0.0 to +0.0 (signed output)
+        (F.round((F.col("revenue") - prev) / prev, 6) + F.lit(0.0)).alias(
+            "mom_growth"
+        ),
     )
 
 

@@ -1032,7 +1032,7 @@ WITH t AS (
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
        round(len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w), 6) AS stopword_ratio,
-       round((n_raw - n_clean) * 1.0 / n_raw, 6) AS punct_ratio,
+       round((n_raw - n_clean) * 1.0 / nullif(n_raw, 0), 6) AS punct_ratio,
        (len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w)) >= 0.05
          AND len(w) >= 20 AS is_quality
 FROM t
@@ -1049,7 +1049,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_raw = F.length("text")
     n_clean = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
     stop_ratio = n_stop * 1.0 / n_tokens
-    punct_ratio = (n_raw - n_clean) * 1.0 / n_raw
+    # try_divide: an EMPTY doc has n_raw = 0, and under ANSI mode a
+    # plain division crashes the whole job — one empty doc in a 100 TB
+    # corpus must yield NULL (DuckDB's divide-by-zero result), not kill
+    # the run. (n_tokens can't be 0: split('') yields [''].)
+    punct_ratio = F.try_divide((n_raw - n_clean) * 1.0, n_raw)
     return d.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),

@@ -629,7 +629,7 @@ n AS (SELECT count(*) AS n FROM e)
 SELECT n.n AS n_events,
        round(sum((CAST(cxy.c AS DOUBLE) / n.n)
          * ln(CAST(cxy.c AS DOUBLE) * n.n
-              / (CAST(cx.cx AS DOUBLE) * cy.cy))), 6) AS mi_nats_r6
+              / (CAST(cx.cx AS DOUBLE) * cy.cy))), 6) + 0.0 AS mi_nats_r6
 FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
 GROUP BY n.n
 """,
@@ -659,5 +659,7 @@ def mutual_information_event_value(spark: SparkSession, sf_dir: str) -> DataFram
         / (F.col("cx").cast("double") * F.col("cy"))
     )
     return joined.groupBy("n").agg(
-        F.round(F.sum(term), 6).alias("mi_nats_r6")
+        # + 0.0 rewrites IEEE -0.0 to +0.0 (independence => MI sums to
+        # a signed near-zero)
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("mi_nats_r6")
     ).select(F.col("n").alias("n_events"), "mi_nats_r6")

@@ -709,7 +709,7 @@ def regexp_extract_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        round(stddev_samp(o_totalprice), 4) AS sd_price,
        round(var_samp(o_totalprice), 2) AS var_price,
-       round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS price_cust_corr
+       round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) + 0.0 AS price_cust_corr
 FROM orders GROUP BY o_orderstatus
 """,
     doc="sample stddev/variance and Pearson correlation per status — "
@@ -722,9 +722,10 @@ def stats_moments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
         F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
-        F.round(
+        # + 0.0 rewrites IEEE -0.0 to +0.0 (signed output)
+        (F.round(
             F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4
-        ).alias("price_cust_corr"),
+        ) + F.lit(0.0)).alias("price_cust_corr"),
     )
 
 
@@ -1334,8 +1335,10 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zscore_by_user",
     oracle="""
 SELECT event_id, user_id,
+       -- + 0.0 rewrites IEEE -0.0 to +0.0: DuckDB round keeps the sign
+       -- of a tiny negative, Spark's BigDecimal-based round does not
        round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
-         AS value_z
+         + 0.0 AS value_z
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 """,
@@ -1349,7 +1352,9 @@ def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return e.select("event_id", "user_id", F.round(z, 4).alias("value_z"))
+    return e.select(
+        "event_id", "user_id", (F.round(z, 4) + F.lit(0.0)).alias("value_z")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1423,9 +1428,9 @@ WITH e AS (
 )
 SELECT event_type,
        count(*) AS n,
-       round(corr(value, k), 6) AS corr_vk,
-       round(covar_samp(value, k), 6) AS covar_vk,
-       round(covar_pop(value, k), 6) AS covar_pop_vk
+       round(corr(value, k), 6) + 0.0 AS corr_vk,
+       round(covar_samp(value, k), 6) + 0.0 AS covar_vk,
+       round(covar_pop(value, k), 6) + 0.0 AS covar_pop_vk
 FROM e GROUP BY event_type
 """,
     doc="per-type Pearson correlation and sample/population covariance "
@@ -1442,9 +1447,12 @@ def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.corr("value", "k"), 6).alias("corr_vk"),
-        F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
-        F.round(F.covar_pop("value", "k"), 6).alias("covar_pop_vk"),
+        # + 0.0 rewrites IEEE -0.0 to +0.0 on signed outputs
+        (F.round(F.corr("value", "k"), 6) + F.lit(0.0)).alias("corr_vk"),
+        (F.round(F.covar_samp("value", "k"), 6) + F.lit(0.0)).alias("covar_vk"),
+        (F.round(F.covar_pop("value", "k"), 6) + F.lit(0.0)).alias(
+            "covar_pop_vk"
+        ),
     )
 
 

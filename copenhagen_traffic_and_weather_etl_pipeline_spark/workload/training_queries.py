@@ -666,9 +666,12 @@ _CHUNK_STRIDE = 48
     "chunk_documents_overlap",
     oracle=f"""
 WITH {_DUCK_WORDS_CTE},
+-- drop the phantom '' token a split of an empty/whitespace-only doc
+-- produces: such docs have ZERO tokens and must emit no chunks
+toks AS (SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM words),
 starts AS (
   SELECT doc_id, w, UNNEST(range(0, len(w), {_CHUNK_STRIDE})) AS start
-  FROM words WHERE len(w) > 0
+  FROM toks WHERE len(w) > 0
 )
 SELECT doc_id,
        CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
@@ -687,7 +690,9 @@ FROM starts
 )
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = _words_col()
+    # filter the phantom '' token of empty/whitespace-only docs: zero
+    # tokens -> zero chunks (split('') yields [''] in both engines)
+    w = F.filter(_words_col(), lambda x: x != "")
     starts = (
         d.select("doc_id", w.alias("w"))
         .filter(F.size("w") > 0)

@@ -42,10 +42,15 @@ def test_udtf_lateral_matches_builtin_posexplode(spark):
         "SELECT d.doc_id, t.pos, t.word "
         "FROM udtf_docs d, LATERAL tokenize_words(d.text) t"
     )
+    # filter('' tokens): Python str.split() drops empties, so an
+    # empty/whitespace-only doc tokenizes to zero rows on both paths
     via_builtin = docs.select(
         "doc_id",
         F.posexplode(
-            F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
+            F.filter(
+                F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "),
+                lambda x: x != "",
+            )
         ).alias("pos", "word"),
     )
     got = {tuple(r) for r in via_udtf.collect()}

@@ -216,9 +216,11 @@ def gen_events(rng, n, out):
     types = np.array(["view", "click", "purchase", "signup", "error"])[
         rng.choice(5, n, p=[0.50, 0.25, 0.13, 0.07, 0.05])]
     k = rng.integers(0, 1000, n)
-    empty = rng.random(n) < 0.03
-    props = [("{}" if e else json.dumps({"k": int(v)}))
-             for e, v in zip(empty, k)]
+    pr = rng.random(n)
+    # 3% '{}' (missing key), 1% explicit null — both must extract as
+    # NULL in each engine
+    props = ["{}" if r < 0.03 else '{"k": null}' if r < 0.04
+             else json.dumps({"k": int(v)}) for r, v in zip(pr, k)]
     write(pa.table({
         "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
         # latest driver vintage: INT64 TIMESTAMP(NANOS) — exercises the
@@ -226,7 +228,11 @@ def gen_events(rng, n, out):
         "ts": pa.array(ts_us * 1000, pa.timestamp("ns")),
         "user_id": pa.array(rng.integers(1, n_users + 1, n), pa.int64()),
         "event_type": types.tolist(),
-        "value": np.round(rng.uniform(250.0, 320.0, n), 3),
+        # ~2% negative values stress sign conventions in rounding /
+        # integer division / banding on both engines
+        "value": np.where(rng.random(n) < 0.02,
+                          np.round(rng.uniform(-25.0, 0.0, n), 3),
+                          np.round(rng.uniform(250.0, 320.0, n), 3)),
         "props": props,
     }), out / "events.parquet")
 
@@ -249,6 +255,19 @@ def gen_documents(rng, n, out):
             continue
         lang = langs[int(rng.choice(len(langs), p=probs))]
         vocab = LANG_VOCAB[lang]
+        if i > 20 and 0.18 <= r < 0.20:
+            # degenerate corpus rows real crawls contain
+            dr = rng.random()
+            if dr < 0.2:
+                texts.append("")                       # empty doc
+            elif dr < 0.4:
+                texts.append("  \t \n ")               # whitespace-only
+            else:                                      # one word repeated
+                w = vocab[int(rng.integers(0, len(vocab)))]
+                texts.append(" ".join([w] * int(rng.integers(10, 60))))
+            doc_lang.append(lang)
+            doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
+            continue
         if i > 20 and r < 0.18:          # near-duplicate: perturb a few words
             j = int(rng.integers(0, i))
             words = texts[j].split()
@@ -262,6 +281,14 @@ def gen_documents(rng, n, out):
             # 6..120 words: the short tail exercises the n_chars<60 and
             # <100 quality/cascade branches with non-empty slices
             body = _sentence(rng, vocab, int(rng.integers(6, 120)))
+            if rng.random() < 0.25:      # sentence-case / shouting-case
+                words = body.split()
+                words[0] = words[0].capitalize()
+                if len(words) > 3 and rng.random() < 0.3:
+                    words[2] = words[2].upper()
+                body = " ".join(words)
+            if rng.random() < 0.04:      # embedded tab/newline
+                body = body.replace(" ", "\t", 1).replace(" ", "\n", 1)
             if rng.random() < 0.06:      # PII-bearing docs
                 body += (f" contact user{i}@example.com or call "
                          f"+45 {int(rng.integers(10_000_000, 99_999_999))}")
