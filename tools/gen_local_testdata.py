@@ -268,8 +268,9 @@ def gen_documents(rng, n, out):
             doc_lang.append(lang)
             doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
             continue
-        if i > 20 and r < 0.18:          # near-duplicate: perturb a few words
-            j = int(rng.integers(0, i))
+        if i > 20 and r < 0.18 and texts[(j := int(rng.integers(0, i)))].split():
+            # near-duplicate: perturb a few words (skip empty bases —
+            # a degenerate doc has no words to perturb)
             words = texts[j].split()
             base_vocab = LANG_VOCAB[doc_lang[j]]
             for _ in range(max(1, len(words) // 20)):
@@ -332,7 +333,16 @@ def gen_embeddings(rng, n, out, dim=64, n_labels=10):
 
 
 def gen_sf(root: Path, sf: float) -> Path:
-    out = root / f"sf{sf:g}"
+    # Build into a temp dir and rename at the end: a crash mid-write
+    # must never leave a partial directory that passes the resolver's
+    # populated-sentinel check (observed live: a partial sf0.1 with
+    # lineitem but no documents).
+    import shutil
+
+    final = root / f"sf{sf:g}"
+    out = root / f".sf{sf:g}.building"
+    if out.exists():
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(42)
     n_orders = int(1_500_000 * sf)
@@ -345,7 +355,10 @@ def gen_sf(root: Path, sf: float) -> Path:
     gen_events(rng, int(1_000_000 * sf), out)
     gen_documents(rng, int(50_000 * sf), out)
     gen_embeddings(rng, int(100_000 * sf), out)
-    return out
+    if final.exists():
+        shutil.rmtree(final)
+    out.rename(final)
+    return final
 
 
 def main():
