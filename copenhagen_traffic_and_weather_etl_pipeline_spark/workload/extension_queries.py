@@ -1128,9 +1128,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
 WITH t AS (
+  -- İ/Σ pre-maps: see _lev_blocked (Java full case mappings diverge
+  -- from DuckDB's 1:1 utf8proc lower on exactly these code points)
   SELECT doc_id,
-         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+         lower(regexp_replace(replace(replace(trim(text),
+           'İ', 'i'), 'Σ', 'σ'), '\\s+', ' ', 'g')) AS norm,
+         string_split(lower(regexp_replace(replace(replace(trim(text),
+           'İ', 'i'), 'Σ', 'σ'), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents
 )
 SELECT doc_id,
@@ -1144,7 +1148,11 @@ FROM t
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    # İ/Σ pre-maps: see _lev_blocked
+    pre = F.regexp_replace(
+        F.regexp_replace(F.trim(F.col("text")), "\u0130", "i"), "\u03a3", "σ"
+    )
+    norm = F.lower(F.regexp_replace(pre, r"\s+", " "))
     w = F.split(norm, " ")
     return d.select(
         "doc_id",
@@ -1499,7 +1507,9 @@ _LEV_BAND = _LEV_MAX + 1
     oracle=f"""
 WITH n AS (
   SELECT doc_id,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         -- İ/Σ pre-maps: see _lev_blocked
+         regexp_replace(lower(replace(replace(trim(text),
+           'İ', 'i'), 'Σ', 'σ')), '\\s+', ' ', 'g') AS norm
   FROM documents
 ), b AS (
   SELECT doc_id,
@@ -1565,8 +1575,16 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lev_blocked(d: DataFrame) -> DataFrame:
-    """(doc_id, blk, pfx, band): the skew-safe levenshtein block key."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    """(doc_id, blk, pfx, band): the skew-safe levenshtein block key.
+
+    The 'İ'/'Σ' pre-maps pin the two code points whose Java lowercase
+    differs from DuckDB's 1:1 utf8proc mapping (full mapping 'İ' ->
+    'i'+U+0307; context-sensitive final sigma), so the blocking keys
+    agree cross-engine on any corpus."""
+    pre = F.regexp_replace(
+        F.regexp_replace(F.trim(F.col("text")), "\u0130", "i"), "\u03a3", "σ"
+    )
+    norm = F.regexp_replace(F.lower(pre), r"\s+", " ")
     return d.select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("blk"),

@@ -807,11 +807,15 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_normalize",
     oracle="""
 SELECT doc_id,
+       -- strip BEFORE lower: case-mapping then only sees ASCII, where
+       -- Java (Spark) and utf8proc (DuckDB) agree. Lowering first
+       -- diverges on full case mappings (Java lower('İ') is 'i'+U+0307,
+       -- DuckDB's is 'i').
        regexp_replace(
-         regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+         lower(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', ' ', 'g')),
          ' +', ' ', 'g') AS norm_text,
        md5(regexp_replace(
-         regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+         lower(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', ' ', 'g')),
          ' +', ' ', 'g')) AS norm_digest
 FROM documents
 """,
@@ -822,8 +826,13 @@ FROM documents
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # strip to the ASCII class BEFORE lowercasing: Java's toLowerCase
+    # applies full case mappings ('İ' -> 'i' + combining dot) where
+    # DuckDB's utf8proc maps 1:1 ('İ' -> 'i'); on pure ASCII the two
+    # agree, and on ASCII input this ordering is output-identical to
+    # lower-then-strip.
     norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", " "),
+        F.lower(F.regexp_replace(F.trim(F.col("text")), "[^a-zA-Z0-9 ]", " ")),
         " +",
         " ",
     )

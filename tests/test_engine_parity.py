@@ -87,6 +87,32 @@ def test_signed_zero_normalization(spark):
     assert str(row["n"]) == str(duck[1])
 
 
+def test_case_mapping_premap_matches_duckdb_lower(spark):
+    """Java toLowerCase applies FULL case mappings ('İ' -> 'i'+U+0307,
+    context-sensitive Greek final sigma); DuckDB's utf8proc maps 1:1.
+    The İ/Σ pre-map (used by _lev_blocked / text_fingerprint /
+    text_normalize's strip-first ordering) makes lower() agree."""
+    texts = ["İstanbul DİYARBAKIR", "ΣΟΦΟΣ Σ end", "plain ASCII Text"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    pre = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "İ", "i"), "Σ", "σ"
+    )
+    got = [r["n"] for r in df.select(F.lower(pre).alias("n")).collect()]
+    want = [
+        duckdb.sql(
+            "SELECT lower(replace(replace(?, 'İ', 'i'), 'Σ', 'σ'))",
+            params=[t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    # and the UNMAPPED forms really do diverge — the pre-map is load-bearing
+    raw = [r["n"] for r in df.select(F.lower("text").alias("n")).collect()]
+    raw_duck = [duckdb.sql("SELECT lower(?)", params=[t]).fetchone()[0]
+                for t in texts]
+    assert raw != raw_duck
+
+
 def test_try_divide_matches_duckdb_divide_by_zero(spark):
     # DuckDB: x / 0 is NULL; Spark under ANSI raises unless try_divide
     assert duckdb.sql("SELECT 1.0 / 0").fetchone()[0] is None

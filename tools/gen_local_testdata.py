@@ -107,6 +107,19 @@ LANG_VOCAB = {
 LANG_WEIGHTS = {"en": 0.60, "da": 0.15, "de": 0.15, "fr": 0.10}
 SOURCES = ["src0", "src1", "src2", "src3", "src4"]
 
+# Unicode stress rows injected verbatim (~one per 200 docs): Turkish
+# dotted-I and Greek sigma exercise the full-case-mapping divergence
+# (Java vs utf8proc lower), CJK has no spaces, emoji/ZWJ and RTL stress
+# tokenizer byte/codepoint handling.
+UNICODE_STRESS = [
+    "İstanbul DİYARBAKIR ışık İİİ",
+    "ΣΟΦΟΣ σοφος greek SIGMA Σ test",
+    "日本語のテキストには空白がない文字列です",
+    "emoji test \U0001F600\U0001F600 \U0001F44D\U0001F3FD family done",
+    "café vs café normalization",
+    "mixed العربية and עברית rtl text",
+]
+
 US = 1_000_000  # microseconds per second
 DAY_US = 86_400 * US
 
@@ -247,6 +260,12 @@ def gen_documents(rng, n, out):
     texts, doc_lang, doc_src = [], [], []
     for i in range(n):
         r = rng.random()
+        if 2 < i <= 20 and i - 3 < len(UNICODE_STRESS):
+            # pin the unicode stress rows near the front of every size
+            texts.append(UNICODE_STRESS[i - 3])
+            doc_lang.append("en")
+            doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
+            continue
         if i > 20 and r < 0.08:          # exact duplicate of an earlier doc
             j = int(rng.integers(0, i))
             texts.append(texts[j])
