@@ -53,7 +53,11 @@ def synthesize_binary_docs(docs: DataFrame) -> DataFrame:
     ).when(
         F.col("doc_id") % 3 == 1, F.unhex(F.lit(MAGIC_FORMATS[1][1]))
     ).otherwise(F.unhex(F.lit(MAGIC_FORMATS[2][1])))
-    return docs.select(
+    # A NULL-text row has no payload to synthesize: drop it here (a NULL
+    # BinaryType cell would reach the Arrow batch as None and crash
+    # np.frombuffer in the byte-features worker). The SQL oracle CTE
+    # filters identically.
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.concat(magic, F.col("text").cast("binary")).alias("payload")
     )
 

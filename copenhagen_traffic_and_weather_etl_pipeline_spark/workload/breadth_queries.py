@@ -601,7 +601,11 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id, lang, score,
-       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT)
+       -- NULLS LAST explicitly: Spark's default ascending sort is
+       -- NULLS FIRST, DuckDB's is NULLS LAST — one NULL score would
+       -- shift every bucket on exactly one engine
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score NULLS LAST, doc_id)
+            AS BIGINT)
          AS stage
 FROM s
 """,
@@ -620,7 +624,10 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     s = d.select("doc_id", "lang", score.alias("score"))
-    stage = F.ntile(4).over(W.partitionBy("lang").orderBy("score", "doc_id"))
+    # explicit NULLS LAST (see oracle note): engine defaults differ
+    stage = F.ntile(4).over(
+        W.partitionBy("lang").orderBy(F.col("score").asc_nulls_last(), "doc_id")
+    )
     return s.withColumn("stage", stage.cast("bigint"))
 
 

@@ -1033,8 +1033,10 @@ SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
        round(len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w), 6) AS stopword_ratio,
        round((n_raw - n_clean) * 1.0 / nullif(n_raw, 0), 6) AS punct_ratio,
-       (len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w)) >= 0.05
-         AND len(w) >= 20 AS is_quality
+       -- coalesce: a NULL-text doc is NOT quality (a NULL boolean also
+       -- surfaces asymmetrically: None via Spark, NaN via DuckDB/pandas)
+       coalesce((len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w)) >= 0.05
+         AND len(w) >= 20, false) AS is_quality
 FROM t
 """,
     doc="quality scoring: stopword ratio, punctuation ratio, length gate",
@@ -1059,7 +1061,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        ((stop_ratio >= 0.05) & (n_tokens >= 20)).alias("is_quality"),
+        # coalesce: a NULL-text doc is NOT quality (see oracle note)
+        F.coalesce(
+            (stop_ratio >= 0.05) & (n_tokens >= 20), F.lit(False)
+        ).alias("is_quality"),
     )
 
 
@@ -1182,6 +1187,7 @@ b AS (
          END || hex(encode(text)) AS hx,
          CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes
   FROM documents
+  WHERE text IS NOT NULL  -- mirrors synthesize_binary_docs' NULL drop
 )
 """
 

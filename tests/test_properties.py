@@ -389,7 +389,13 @@ def test_chunking_matches_python_reference(spark):
     }
     expected = {}
     for doc_id, text in docs.items():
-        w = _re.sub(r"\s+", " ", text.strip()).split(" ") if text.strip() else []
+        # None/empty text -> zero tokens -> zero chunks (the query drops
+        # NULL-text docs the same way: size(split(NULL)) is NULL)
+        w = (
+            _re.sub(r"\s+", " ", text.strip()).split(" ")
+            if text and text.strip()
+            else []
+        )
         for idx, start in enumerate(range(0, len(w), _CHUNK_STRIDE)):
             chunk = w[start : start + _CHUNK_LEN]
             digest = hashlib.md5(" ".join(chunk).encode()).hexdigest()

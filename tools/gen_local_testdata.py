@@ -234,6 +234,14 @@ def gen_events(rng, n, out):
     # NULL in each engine
     props = ["{}" if r < 0.03 else '{"k": null}' if r < 0.04
              else json.dumps({"k": int(v)}) for r, v in zip(pr, k)]
+    # pinned NULL rows: value NULL on rows 5-6, props NULL on rows 7-8
+    # (nullable schema; exercises NULL-skipping aggregation paths)
+    value = np.where(rng.random(n) < 0.02,
+                     np.round(rng.uniform(-25.0, 0.0, n), 3),
+                     np.round(rng.uniform(250.0, 320.0, n), 3)).tolist()
+    if n > 8:
+        value[5] = value[6] = None
+        props[7] = props[8] = None
     write(pa.table({
         "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
         # latest driver vintage: INT64 TIMESTAMP(NANOS) — exercises the
@@ -243,9 +251,7 @@ def gen_events(rng, n, out):
         "event_type": types.tolist(),
         # ~2% negative values stress sign conventions in rounding /
         # integer division / banding on both engines
-        "value": np.where(rng.random(n) < 0.02,
-                          np.round(rng.uniform(-25.0, 0.0, n), 3),
-                          np.round(rng.uniform(250.0, 320.0, n), 3)),
+        "value": pa.array(value, pa.float64()),
         "props": props,
     }), out / "events.parquet")
 
@@ -263,6 +269,13 @@ def gen_documents(rng, n, out):
         if 2 < i <= 20 and i - 3 < len(UNICODE_STRESS):
             # pin the unicode stress rows near the front of every size
             texts.append(UNICODE_STRESS[i - 3])
+            doc_lang.append("en")
+            doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
+            continue
+        if i == len(UNICODE_STRESS) + 3:
+            # one pinned NULL-text row (schema is nullable; exercises
+            # NULL propagation through every text path)
+            texts.append(None)
             doc_lang.append("en")
             doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
             continue
@@ -287,7 +300,7 @@ def gen_documents(rng, n, out):
             doc_lang.append(lang)
             doc_src.append(SOURCES[int(rng.integers(0, len(SOURCES)))])
             continue
-        if i > 20 and r < 0.18 and texts[(j := int(rng.integers(0, i)))].split():
+        if i > 20 and r < 0.18 and (texts[(j := int(rng.integers(0, i)))] or "").split():
             # near-duplicate: perturb a few words (skip empty bases —
             # a degenerate doc has no words to perturb)
             words = texts[j].split()
@@ -322,7 +335,7 @@ def gen_documents(rng, n, out):
         "text": texts,
         "lang": doc_lang,
         "source": doc_src,
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array([len(t) if t is not None else None for t in texts], pa.int64()),
     }), out / "documents.parquet")
 
 
