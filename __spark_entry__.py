@@ -26,15 +26,14 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (  # noqa
     sf_dir,
 )
 
-# Driver data (/root/testdata) when present; local replica fallback
-# (tools/gen_local_testdata.py) so smoke stays runnable if the driver
-# dir is empty mid-round.
-SMOKE_SF_DIR = sf_dir("0.001")
-
-
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001; driver checks rows>0."""
-    return REGISTRY["flagship_latest_snapshot"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query on sf0.001; driver checks rows>0.
+
+    The data dir resolves lazily HERE — driver data (/root/testdata)
+    when present, local replica fallback (tools/gen_local_testdata.py)
+    otherwise — so merely importing this module never triggers
+    multi-second replica generation as an import side effect."""
+    return REGISTRY["flagship_latest_snapshot"].fn(spark, sf_dir("0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

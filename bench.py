@@ -80,15 +80,31 @@ EXTENDED = [
 
 
 def main() -> int:
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (
+        _populated,
+        sf_dir as _resolve,
+    )
+
     env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
-    if env_dir:
+    if env_dir and _populated(Path(env_dir)):
         sf_dir = env_dir
     else:
-        from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (
-            sf_dir as _resolve,
-        )
-
-        sf_dir = _resolve("0.1")
+        # Env dir absent or pointing at a wiped directory (round 6's
+        # failure mode: the driver exported /root/testdata/sf0.1 after
+        # the dir was emptied, and the whole bench died at the first
+        # scan). Re-resolve the same sf through the replica resolver.
+        want_sf = "0.1"
+        if env_dir:
+            base = os.path.basename(env_dir.rstrip("/"))
+            if base.startswith("sf"):
+                want_sf = base[2:]
+            print(
+                f"[bench] SPARK_GRAFT_SF_DIR={env_dir} is not populated; "
+                f"falling back to resolver for sf{want_sf}",
+                file=sys.stderr,
+            )
+        sf_dir = _resolve(want_sf)
+    data_source = "driver" if sf_dir.startswith("/root/testdata/") else "replica"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -183,6 +199,8 @@ def main() -> int:
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf_val,
                 "steal_pct": steal_pct,
+                "data_root": sf_dir,
+                "data_source": data_source,
             }
         )
     )

@@ -36,6 +36,30 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: list[str
     return deco
 
 
+def _resolve_sf_dir(sf_dir: str, table: str) -> str:
+    """Trust-but-verify the data dir the caller handed us.
+
+    The driver passes absolute `/root/testdata/sfX` paths, which can be
+    wiped mid-round (observed round 6: every query died at the scan and
+    the whole round's artifacts were void). If the requested table file
+    is absent, re-resolve the same scale factor through the replica
+    resolver (`testdata.sf_dir`) so queries keep returning rows.
+    Byte-identical behavior whenever the given path is populated.
+    """
+    import os
+
+    if os.path.exists(f"{sf_dir}/{table}.parquet"):
+        return sf_dir
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        from ..testdata import sf_dir as _fallback
+
+        resolved = _fallback(base[2:])
+        if os.path.exists(f"{resolved}/{table}.parquet"):
+            return resolved
+    return sf_dir
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
@@ -49,6 +73,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     UTC, so wall-clock values are preserved). Oracles truncate
     identically via ``CAST(ts AS TIMESTAMP)``.
     """
+    sf_dir = _resolve_sf_dir(sf_dir, table)
     if table == "events":
         from pyspark.sql import functions as F
 
@@ -159,10 +184,48 @@ _DRIVER_WINDOW = [
     "stats_moments_orders",
 ]
 
-# Round-7 rotation candidates: the remaining r3-era proofs
-# (profile_customer, kmeans_clusters, scd2_intervals, ... see
-# CORRECTNESS_r03.json) — rotate the next-oldest 50 forward.
-_NEXT_WINDOW: list[str] = []
+# Positions 51+: the NEXT-oldest standing evidence (the remaining
+# r3-era proofs, CORRECTNESS_r03.json order) queued immediately behind
+# the driver window, so the round-8 rotation is a window swap rather
+# than a reshuffle. The r6 round was void-environmental, so the current
+# 50-entry window (4 never-driver-proven + 46 stalest) carries over to
+# round 7 unchanged.
+_NEXT_WINDOW: list[str] = [
+    "dedup_prefix_filter_jaccard",
+    "pack_sequences",
+    "shuffle_shards_deterministic",
+    "decontaminate_ngram_overlap",
+    "text_repetition_quality",
+    "split_train_val_test",
+    "source_mixture_weights",
+    "sample_token_budget",
+    "window_running_total",
+    "window_time_range_sum",
+    "sliding_window_counts",
+    "sessionize_events",
+    "cube_revenue",
+    "multi_distinct_aggs",
+    "tfidf_top_terms",
+    "sample_weighted_docs",
+    "ivf_ann_search",
+    "kmeans_clusters",
+    "chain_components_recursive",
+    "scd2_intervals",
+    "topn_orders_per_customer",
+    "array_agg_orderkeys",
+    "daily_counts_gapfilled",
+    "set_intersect_all_keys",
+    "funnel_view_click_purchase",
+    "null_safe_join_brands",
+    "ratio_to_report",
+    "zscore_by_user",
+    "corr_value_props",
+    "profile_customer",
+    "anomaly_mad_events",
+    "ewma_user_value",
+    "pagerank_event_transitions",
+    "dedup_canonical_pick",
+]
 
 
 def _rotate_registry() -> None:

@@ -438,8 +438,8 @@ WITH q AS (
 )
 SELECT e.event_type, q.p05, q.p95,
        round(sum(CAST(round(least(greatest(e.value, q.p05), q.p95) * 1000000)
-                      AS BIGINT)) / count(*)) / 1000000.0 AS winsorized_mean,
-       round(sum(CAST(round(e.value * 1000000) AS BIGINT)) / count(*))
+                      AS BIGINT)) / count(e.value)) / 1000000.0 AS winsorized_mean,
+       round(sum(CAST(round(e.value * 1000000) AS BIGINT)) / count(e.value))
            / 1000000.0 AS raw_mean,
        count(e.value) AS n
 FROM events e JOIN q USING (event_type)
@@ -464,11 +464,14 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # micro-unit means (see interpolate_hourly_values): the
             # clip bounds are identical 6-dp doubles on both engines,
-            # so the quantized sums are bit-identical integers.
+            # so the quantized sums are bit-identical integers. The
+            # denominator is the NON-NULL count (events.value has NULL
+            # rows; sum() already skips them, so count(*) would deflate
+            # the mean and disagree with the reported n).
             (F.round(F.sum(F.round(clipped * 1000000).cast("long"))
-                     / F.count(F.lit(1))) / 1000000.0).alias("winsorized_mean"),
+                     / F.count("value")) / 1000000.0).alias("winsorized_mean"),
             (F.round(F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                     / F.count(F.lit(1))) / 1000000.0).alias("raw_mean"),
+                     / F.count("value")) / 1000000.0).alias("raw_mean"),
             F.count("value").alias("n"),
         )
     )
@@ -493,7 +496,7 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(*))
+         round(sum(CAST(round(value * 1000000) AS BIGINT)) / count(value))
              / 1000000.0 AS v
   FROM e GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -555,7 +558,7 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     mic = F.round(F.col("value") * 1000000).cast("long")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.round(F.sum(mic) / F.count(F.lit(1))) / 1000000.0).alias("v"))
+    ).agg((F.round(F.sum(mic) / F.count("value")) / 1000000.0).alias("v"))
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),

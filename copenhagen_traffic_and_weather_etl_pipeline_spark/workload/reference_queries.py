@@ -590,8 +590,8 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, count(*) AS n_events,
        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_us,
-       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT)
-           AS avg_value_us
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+            // nullif(count(value), 0) AS BIGINT) AS avg_value_us
 FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
 """,
     doc="1-hour tumbling window agg — batch form of the hourly cadence "
@@ -608,9 +608,14 @@ def hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(
             F.count("*").alias("n_events"),
+            F.count("value").alias("n_values"),
             F.sum(mic).alias("sum_value_us"),
         )
-        .withColumn("avg_value_us", F.expr("sum_value_us div n_events"))
+        # mean over NON-NULL values: sum() skips NULL rows, so dividing
+        # by n_events (count(*)) would deflate the average on any hour
+        # containing NULL-value events. nullif guards all-NULL hours.
+        .withColumn("avg_value_us", F.expr("sum_value_us div nullif(n_values, 0)"))
+        .drop("n_values")
     )
 
 

@@ -41,6 +41,7 @@ stays 30 min.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -52,9 +53,17 @@ from pyspark.sql import functions as F
 from . import load, register
 
 _US = 1_000_000
-_GAP = "12 hours"
-_GAP_US = 12 * 3600 * _US
-_SESS_WM = "24 hours"  # must stay >= _GAP (see module docstring)
+# Single source of truth for the session gap: the Spark session_window
+# string, the oracle's session_end interval, and the watermark guard all
+# derive from _GAP_HOURS so editing one cannot silently desync the rest.
+_GAP_HOURS = 12
+_GAP = f"{_GAP_HOURS} hours"
+_GAP_US = _GAP_HOURS * 3600 * _US
+_SESS_WM_HOURS = 24
+_SESS_WM = f"{_SESS_WM_HOURS} hours"
+# Correctness invariant (module docstring): a session emitted by an
+# earlier micro-batch must never be extendable by a later tick.
+assert _SESS_WM_HOURS >= _GAP_HOURS, "watermark delay must cover the session gap"
 _TOL = "1 hour"
 _JOIN_WM = "2 hours"  # must stay >= _TOL
 
@@ -216,11 +225,17 @@ def _join_streams(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-def _cleanup_staging(in_dir: str, ckpt_dir: str) -> None:
-    """Drop the staged ticks and checkpoint once the query is drained;
-    only the parquet sink (what the returned DataFrame reads) stays."""
-    shutil.rmtree(in_dir, ignore_errors=True)
-    shutil.rmtree(ckpt_dir, ignore_errors=True)
+def _cleanup_staging(base: str) -> None:
+    """Drop everything under the replay temp base except the parquet
+    sink (what the returned DataFrame lazily reads): staged ticks,
+    checkpoint, AND the stage1/stage2 write dirs the tick split leaves
+    behind. The sink itself is registered for atexit removal — bench and
+    the driver invoke these replays repeatedly, and before this the
+    mkdtemp bases accumulated roughly one events-table copy per call."""
+    for child in os.listdir(base):
+        if child != "out":
+            shutil.rmtree(os.path.join(base, child), ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
 
 
 @register(
@@ -243,7 +258,7 @@ WITH x AS (
   FROM f
 )
 SELECT user_id, min(tsm) AS session_start,
-       max(tsm) + INTERVAL 12 HOUR AS session_end,
+       max(tsm) + INTERVAL {_GAP_HOURS} HOUR AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, sidx
 """,
@@ -258,8 +273,10 @@ FROM s GROUP BY user_id, sidx
 )
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=True)
-    _drain(_session_stream(spark, in_dir), out_dir, ckpt)
-    _cleanup_staging(in_dir, ckpt)
+    try:
+        _drain(_session_stream(spark, in_dir), out_dir, ckpt)
+    finally:
+        _cleanup_staging(os.path.dirname(in_dir))
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
 
 
@@ -285,6 +302,8 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 )
 def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = _stage_ticks(spark, sf_dir, sentinel=False)
-    _drain(_join_streams(spark, in_dir), out_dir, ckpt)
-    _cleanup_staging(in_dir, ckpt)
+    try:
+        _drain(_join_streams(spark, in_dir), out_dir, ckpt)
+    finally:
+        _cleanup_staging(os.path.dirname(in_dir))
     return spark.read.parquet(out_dir)

@@ -365,31 +365,48 @@ def gen_embeddings(rng, n, out, dim=64, n_labels=10):
 
 
 def gen_sf(root: Path, sf: float) -> Path:
-    # Build into a temp dir and rename at the end: a crash mid-write
-    # must never leave a partial directory that passes the resolver's
-    # populated-sentinel check (observed live: a partial sf0.1 with
-    # lineitem but no documents).
+    # Build into a PROCESS-UNIQUE temp dir and rename at the end: a
+    # crash mid-write must never leave a partial directory that passes
+    # the resolver's populated-sentinel check (observed live: a partial
+    # sf0.1 with lineitem but no documents), and two concurrent
+    # builders (pytest + bench mid-round) must never delete each
+    # other's work — mkdtemp keeps them disjoint, and a concurrent
+    # winner of the final rename counts as success (the data is
+    # deterministic, seed 42, so any winner is byte-equivalent).
     import shutil
+    import tempfile
 
     final = root / f"sf{sf:g}"
-    out = root / f".sf{sf:g}.building"
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(42)
-    n_orders = int(1_500_000 * sf)
-    gen_dims(out)
-    gen_customer(rng, int(200_000 * sf), out)
-    gen_supplier(rng, max(10, int(10_000 * sf)), out)
-    gen_part(rng, int(200_000 * sf), out)
-    gen_orders_lineitem(rng, n_orders, int(200_000 * sf),
-                        int(200_000 * sf), max(10, int(10_000 * sf)), out)
-    gen_events(rng, int(1_000_000 * sf), out)
-    gen_documents(rng, int(50_000 * sf), out)
-    gen_embeddings(rng, int(100_000 * sf), out)
-    if final.exists():
-        shutil.rmtree(final)
-    out.rename(final)
+    root.mkdir(parents=True, exist_ok=True)
+    out = Path(tempfile.mkdtemp(prefix=f".sf{sf:g}.building.", dir=root))
+    try:
+        rng = np.random.default_rng(42)
+        n_orders = int(1_500_000 * sf)
+        gen_dims(out)
+        gen_customer(rng, int(200_000 * sf), out)
+        gen_supplier(rng, max(10, int(10_000 * sf)), out)
+        gen_part(rng, int(200_000 * sf), out)
+        gen_orders_lineitem(rng, n_orders, int(200_000 * sf),
+                            int(200_000 * sf), max(10, int(10_000 * sf)), out)
+        gen_events(rng, int(1_000_000 * sf), out)
+        gen_documents(rng, int(50_000 * sf), out)
+        gen_embeddings(rng, int(100_000 * sf), out)
+        if (final / "lineitem.parquet").exists():
+            # A concurrent builder finished first; keep its output.
+            shutil.rmtree(out)
+            return final
+        if final.exists():
+            shutil.rmtree(final)
+        try:
+            out.rename(final)
+        except OSError:
+            if (final / "lineitem.parquet").exists():
+                shutil.rmtree(out, ignore_errors=True)
+                return final
+            raise
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
     return final
 
 
