@@ -51,17 +51,31 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add ``cluster`` (argmin of rounded squared distance, lowest-cid
-    tiebreak) and ``dist`` columns. One narrow projection."""
-    best_cid: Column = F.lit(0)
-    best_d: Column = _sq_dist(F.col(vec_col), centroids[0])
-    for cid in range(1, len(centroids)):
-        d = _sq_dist(F.col(vec_col), centroids[cid])
-        is_closer = d < best_d
-        best_cid = F.when(is_closer, F.lit(cid)).otherwise(best_cid)
-        best_d = F.when(is_closer, d).otherwise(best_d)
-    return df.withColumn("cluster", best_cid.cast("bigint")).withColumn(
-        "dist", best_d
+    tiebreak) and ``dist`` columns. One narrow projection.
+
+    The argmin is ``array_min`` over (d, cid) structs — struct ordering
+    is lexicographic, so the minimum is exactly "lowest rounded d, ties
+    to the lowest cid". This keeps the expression tree LINEAR in k: the
+    previous when-chain re-embedded the running best at every step,
+    doubling the tree per centroid (2^(k-1) copies of each _sq_dist —
+    fine at k=4, a 30-second Catalyst planning stall at k=8).
+    """
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col(vec_col), c).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
     )
+    return df.withColumn("_best", best).select(
+        "*",
+        F.col("_best.cid").cast("bigint").alias("cluster"),
+        F.col("_best.d").alias("dist"),
+    ).drop("_best")
 
 
 def kmeans_fit(

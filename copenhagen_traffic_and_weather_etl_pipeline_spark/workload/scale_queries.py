@@ -396,98 +396,261 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: a coarse quantizer (8 seeded centroids — vec_ids 1..8,
-# no Lloyd iterations so both engines share the exact centroid set)
-# assigns every vector to its nearest centroid; the query probes its 2
-# nearest cells and searches exactly within them. All cosine scores are
-# rounded before ranking; centroid/vec ids break ties.
+# IVF-style ANN with a TRAINED coarse quantizer. Round 6 shipped 8
+# arbitrary seeded centroids (vec_ids 1..8, zero training); on clustered
+# embeddings the inverted lists were badly skewed — the top cell held
+# 29% of the corpus and nprobe=2 scanned ~49% instead of 2/8 = 25%, the
+# exact failure mode that turns IVF into a straggler at 100 TB. The fix:
+# train the quantizer with Lloyd iterations on a BOUNDED deterministic
+# sample (vec_id < _IVF_TRAIN_N — fixed size at any corpus scale), then
+# assign the full corpus in one narrow codegen'd projection against the
+# driver-held k x dim model (operators/clustering.py — the same exact
+# cross-engine recipe kmeans_clusters proved with the driver in r4: all
+# comparison inputs rounded to 6 dp, micro-unit centroid updates, ties
+# to the lowest cell id). The query probes its _IVF_NPROBE nearest
+# cells; the exact cosine search runs only inside them.
 #
-# Scale shape: the centroid table is tiny and broadcast, assignment is a
-# narrow per-row pass, and the probe filter prunes the exact search to
-# ~nprobe/nlist of the corpus.
+# Scale shape: training touches only the pushdown-pruned sample;
+# assignment is a single shuffle-free pass (cheaper than the previous
+# corpus x centroids cross-join + row_number window); the probe filter
+# now actually prunes because trained cells track the data's clusters.
 # ---------------------------------------------------------------------------
 
-_IVF_CENTROID_IDS = list(range(1, 9))
+_EMB_DIM = 64  # embedding dimensionality (shared with the k-means block below)
+_IVF_NLIST = 8
+_IVF_TRAIN_N = 512  # training sample bound: vec_id < 512
+_IVF_LLOYD_ITERS = 2
 _IVF_QUERY_VEC_ID = 0
 _IVF_NPROBE = 2
 _IVF_K = 10
 
 
-def _duck_ivf_sql() -> str:
-    cos_assign = (
-        _DUCK_DOT.format(a="e.embedding", b="c.cvec")
-        + f" / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='c.cvec')})"
+def _duck_ivf_sql(k: int = _IVF_NLIST, iters: int = _IVF_LLOYD_ITERS) -> str:
+    """The full IVF recipe unrolled in SQL: Lloyd training on the sample
+    (identical structure to _duck_kmeans_sql), full-corpus assignment,
+    probe-cell selection, exact cosine inside the probed cells."""
+    rng = f"range(1, {_EMB_DIM + 1})"
+    dist = (
+        f"round(list_sum(list_transform({rng}, "
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))), 6)"
     )
-    cos_query = (
-        _DUCK_DOT.format(a="e.embedding", b="qe")
-        + f" / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='qe')})"
+    qdist = (
+        f"round(list_sum(list_transform({rng}, "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 6)"
     )
-    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
-    return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id IN ({ids})
-),
-assign AS (
-  SELECT e.vec_id, c.cent_id,
-         row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({cos_assign}, 6) DESC, c.cent_id) AS rnk
-  FROM embeddings e CROSS JOIN cents c
-),
-probes AS (SELECT cent_id FROM assign WHERE vec_id = {_IVF_QUERY_VEC_ID} AND rnk <= {_IVF_NPROBE}),
-cand AS (
-  SELECT a.vec_id FROM assign a JOIN probes p USING (cent_id)
-  WHERE a.rnk = 1 AND a.vec_id <> {_IVF_QUERY_VEC_ID}
-),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_QUERY_VEC_ID})
-SELECT e.vec_id, round({cos_query}, 4) AS cosine
-FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
-ORDER BY cosine DESC, e.vec_id LIMIT {_IVF_K}
-"""
+    dot = f"list_sum(list_transform({rng}, i -> c.v[i] * q.qv[i]))"
+    norm_c = f"sqrt(list_sum(list_transform({rng}, i -> c.v[i] * c.v[i])))"
+    norm_q = f"sqrt(list_sum(list_transform({rng}, i -> q.qv[i] * q.qv[i])))"
+    sdist = (
+        f"round(list_sum(list_transform({rng}, "
+        "i -> (t.v[i] - s.v[i]) * (t.v[i] - s.v[i]))), 6)"
+    )
+    parts = [
+        "WITH pts AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "),",
+        f"train AS (SELECT vec_id, v FROM pts WHERE vec_id < {_IVF_TRAIN_N}),",
+        # Farthest-point (k-center greedy) seeding: seed 1 is the lowest
+        # vec_id; each next seed maximizes its min rounded distance to
+        # the chosen set (ties to the lowest vec_id). Deterministic,
+        # spreads the seeds across the data's clusters so Lloyd below
+        # starts balanced instead of with several seeds in one cluster.
+        "seeds1 AS (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 1),",
+    ]
+    for j in range(2, k + 1):
+        parts += [
+            f"pick{j} AS (",
+            "  SELECT vec_id FROM (",
+            f"    SELECT t.vec_id, min({sdist}) AS md",
+            f"    FROM train t CROSS JOIN seeds{j - 1} s GROUP BY t.vec_id",
+            "  ) ORDER BY md DESC, vec_id LIMIT 1",
+            "),",
+            f"seeds{j} AS (SELECT * FROM seeds{j - 1} UNION ALL",
+            f"  SELECT t.vec_id, t.v FROM train t JOIN pick{j} USING (vec_id)),",
+        ]
+    parts += [
+        "c0 AS (",
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,",
+        "         list_transform(v, x -> round(x, 6)) AS cv",
+        f"  FROM seeds{k}",
+        "),",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"a{it} AS (",
+            f"  SELECT p.vec_id, p.v, c.cid, {dist} AS d",
+            f"  FROM train p CROSS JOIN {prev} c",
+            "),",
+            f"s{it} AS (",
+            "  SELECT vec_id, v, cid AS cluster FROM (",
+            "    SELECT vec_id, v, cid,",
+            "           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
+            f"    FROM a{it}",
+            "  ) WHERE rn = 1",
+            "),",
+            f"m{it} AS (",
+            # micro-unit update (operators/clustering.py): exact BIGINT
+            # sum then round(s/n)/1e6 — identical on both engines.
+            "  SELECT cluster AS cid, i,",
+            "         round(sum(CAST(round(v[i] * 1000000) AS BIGINT))"
+            " / count(*)) / 1000000.0 AS m",
+            f"  FROM s{it}, UNNEST({rng}) AS t(i)",
+            "  GROUP BY cluster, i",
+            "),",
+            f"c{it} AS (",
+            f"  SELECT {prev}.cid,",
+            f"         coalesce(n.cv, {prev}.cv) AS cv",
+            f"  FROM {prev} LEFT JOIN (",
+            f"    SELECT cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY cid",
+            "  ) n USING (cid)",
+            "),",
+        ]
+    parts += [
+        "afin AS (",
+        "  SELECT vec_id, v, cid AS cluster FROM (",
+        f"    SELECT p.vec_id, p.v, c.cid, {dist} AS d,",
+        f"           row_number() OVER (PARTITION BY p.vec_id ORDER BY {dist}, c.cid) AS rn",
+        f"    FROM pts p CROSS JOIN c{iters} c",
+        "  ) WHERE rn = 1",
+        "),",
+        f"q AS (SELECT v AS qv FROM pts WHERE vec_id = {_IVF_QUERY_VEC_ID}),",
+        "probes AS (",
+        f"  SELECT cid FROM (SELECT c.cid, {qdist} AS d FROM q CROSS JOIN c{iters} c)",
+        "  ORDER BY d, cid LIMIT " + str(_IVF_NPROBE),
+        "),",
+        "cand AS (",
+        "  SELECT a.vec_id, a.v FROM afin a JOIN probes p ON a.cluster = p.cid",
+        f"  WHERE a.vec_id <> {_IVF_QUERY_VEC_ID}",
+        ")",
+        f"SELECT c.vec_id, round({dot} / ({norm_c} * {norm_q}), 4) AS cosine",
+        "FROM cand c CROSS JOIN q",
+        f"ORDER BY cosine DESC, c.vec_id LIMIT {_IVF_K}",
+    ]
+    return "\n".join(parts)
+
+
+def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int]]:
+    """Train the coarse quantizer on the driver over the BOUNDED sample
+    (vec_id < _IVF_TRAIN_N — 512 x 64 doubles = 256 KB at any corpus
+    scale, the same model-sized-collect class as the k-means centroids,
+    operators/clustering.py). Every arithmetic step replicates the
+    DuckDB oracle bit for bit: left-to-right sequential distance sums,
+    std::round half-away rounding, exact BIGINT micro-unit means, ties
+    to the lowest cell id, empty cells keep their previous centroid.
+    Returns (centroids, probe cell ids for the query vector).
+
+    Why driver-side: the identical recipe expressed as Spark plan
+    stages is correct but spends 3-6 s in Catalyst analysis/optimization
+    per call (measured: the executed training jobs themselves take
+    ~80 ms) — planning cost, not data cost. The sample fits in one
+    Arrow batch; pure-Python Lloyd over it is ~100 ms.
+    """
+    import numpy as np
+
+    rows = (
+        e.filter(F.col("vec_id") < _IVF_TRAIN_N)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def round_away(y: "np.ndarray") -> "np.ndarray":
+        # std::round elementwise; IEEE ops identical to the scalar form.
+        return np.copysign(np.floor(np.abs(y) + 0.5), y)
+
+    def dists(C: "np.ndarray") -> "np.ndarray":
+        # (n, k) rounded squared distances, accumulated DIM BY DIM so
+        # every element's sum is the exact left-to-right sequence
+        # DuckDB's list_sum produces (vectorized across rows, ordered
+        # across dims — order is what determines the double).
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for i in range(V.shape[1]):
+            d = V[:, i, None] - C[None, :, i]
+            acc += d * d
+        return round_away(acc * 1000000.0) / 1000000.0
+
+    # Farthest-point (k-center greedy) seeding, mirroring the oracle's
+    # seeds1..seedsK CTEs: start from the lowest vec_id, then repeatedly
+    # take the vector with the largest min rounded distance to the
+    # chosen set (np.argmax = first max = lowest vec_id on ties, since
+    # rows are vec_id-sorted). Spreads seeds across clusters so Lloyd
+    # starts balanced.
+    seed_idx = [0]
+    min_d = None
+    while len(seed_idx) < min(_IVF_NLIST, len(V)):
+        s = V[seed_idx[-1]]
+        acc = np.zeros(V.shape[0])
+        for i in range(V.shape[1]):
+            d = V[:, i] - s[i]
+            acc += d * d
+        d_new = round_away(acc * 1000000.0) / 1000000.0
+        min_d = d_new if min_d is None else np.minimum(min_d, d_new)
+        seed_idx.append(int(np.argmax(min_d)))
+    # cid order = vec_id order over the seed set (oracle c0 row_number).
+    seed_idx = sorted(set(seed_idx))
+    C = round_away(V[seed_idx] * 1000000.0) / 1000000.0  # oracle c0: 6 dp
+    for _ in range(_IVF_LLOYD_ITERS):
+        # argmin returns the FIRST minimum = lowest cid on rounded ties.
+        assign = np.argmin(dists(C), axis=1)
+        newC = C.copy()
+        for cid in range(C.shape[0]):
+            g = V[assign == cid]
+            if len(g):
+                # exact micro-unit mean: mic values are integer-valued
+                # float64s (|sum| << 2^53), so the pairwise np.sum is
+                # exact and order-free, matching the BIGINT sum.
+                s = np.sum(round_away(g * 1000000.0), axis=0)
+                newC[cid] = round_away(s / len(g)) / 1000000.0
+        C = newC
+
+    q_row = ids.index(_IVF_QUERY_VEC_ID)
+    qd = dists(C)[q_row]
+    probes = sorted(range(C.shape[0]), key=lambda cid: (qd[cid], cid))[:_IVF_NPROBE]
+    cents = [[float(x) + 0.0 for x in c] for c in C]  # +0.0 kills -0.0
+    return cents, [int(p) for p in probes]
 
 
 @register(
     "ivf_ann_search",
     oracle=_duck_ivf_sql(),
-    doc=f"IVF ANN: {len(_IVF_CENTROID_IDS)}-cell coarse quantizer (seeded "
-    f"centroids, broadcast), nprobe={_IVF_NPROBE} probe cells, exact "
-    f"top-{_IVF_K} within the probed cells only",
+    doc=f"IVF ANN: {_IVF_NLIST}-cell coarse quantizer TRAINED with "
+    f"{_IVF_LLOYD_ITERS} Lloyd iterations on a bounded deterministic "
+    f"sample (vec_id < {_IVF_TRAIN_N}; driver-side fit replicating the "
+    f"oracle's arithmetic exactly — see _ivf_fit), full-corpus "
+    f"assignment as ONE shuffle-free projection against the literal "
+    f"centroids, nprobe={_IVF_NPROBE} probe cells, exact top-{_IVF_K} "
+    "within the probed cells only; oracle = the identical recipe "
+    "unrolled in SQL. Replaces the round-6 untrained seeded centroids "
+    "whose inverted lists put 29% of the corpus in one cell",
     tags=["similarity", "ivf", "ann"],
 )
 def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    cos_assign = F.round(
-        _dot(F.col("embedding"), F.col("cvec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
-        6,
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cent_id"))
-    # The assignment pass (corpus x broadcast centroids + per-vector
-    # rank) feeds both the probe-cell select and the candidate filter,
-    # and its consumers diverge above a window sort that defeats
-    # exchange reuse — materialize it once instead of scoring the
-    # corpus twice (0.81 s -> 0.74 s median at sf0.1; see
-    # plans.materialize_once).
-    from ..plans import materialize_once
+    cents, probe_cids = _ivf_fit(e)
+    # Assignment as array_min over (d, cid) structs: lexicographic
+    # struct ordering = lowest rounded distance, ties to the lowest
+    # cell id — the oracle's row_number semantics — in an expression
+    # tree LINEAR in nlist, zero shuffles. Built as ONE SQL string:
+    # composing 8 x 64-literal trees through the Column API costs ~1 s
+    # of py4j round-trips per call; one parse of the equivalent text is
+    # milliseconds. CAST literals keep the arithmetic double (a bare
+    # 0.123 literal is DECIMAL in Spark SQL).
+    def lit_arr(c: list[float]) -> str:
+        return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
 
-    assign = materialize_once(
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id", cos_assign.alias("_cos"))
-        .withColumn("rnk", F.row_number().over(w))
+    struct_terms = ", ".join(
+        "struct(round(aggregate(zip_with(embedding, "
+        + lit_arr(cents[cid])
+        + ", (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) AS d, "
+        f"{cid} AS cid)"
+        for cid in range(len(cents))
     )
-    probes = (
-        assign.filter(
-            (F.col("vec_id") == _IVF_QUERY_VEC_ID) & (F.col("rnk") <= _IVF_NPROBE)
-        )
-        .select("cent_id")
-    )
-    cand = (
-        assign.filter((F.col("rnk") == 1) & (F.col("vec_id") != _IVF_QUERY_VEC_ID))
-        .join(F.broadcast(probes), "cent_id")
-        .select("vec_id")
-    )
+    sel = F.expr(f"array_min(array({struct_terms}))")
     q = e.filter(F.col("vec_id") == _IVF_QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
@@ -497,7 +660,9 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return (
-        e.join(cand, "vec_id")
+        e.filter(F.col("vec_id") != _IVF_QUERY_VEC_ID)
+        .withColumn("cluster", sel["cid"])
+        .filter(F.col("cluster").isin([int(c) for c in probe_cids]))
         .crossJoin(F.broadcast(q))
         .select("vec_id", cos_q.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -853,7 +1018,6 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 4
 _KMEANS_ITERS = 3
-_EMB_DIM = 64
 
 
 def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:

@@ -612,3 +612,49 @@ def test_q20_decorrelates_without_rescanning_the_fact(spark):
     assert tree.count("HashAggregate") == 2  # one partial+final pair
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("l_partkey" in s for s in specs)
+
+
+def test_ivf_quantizer_cells_are_balanced(spark):
+    # Round 6's untrained seeded centroids put 29% of the corpus in one
+    # inverted list and made nprobe=2 scan ~49% of it — at 100 TB that
+    # is a straggler cell and no pruning. The trained quantizer
+    # (farthest-point seeding + Lloyd on a bounded sample) must keep
+    # cells balanced and the probe set a real subset of the corpus.
+    import numpy as np
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import load
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.scale_queries import (
+        _IVF_NLIST,
+        _IVF_NPROBE,
+        _ivf_fit,
+    )
+
+    e = load(spark, SF_DIR, "embeddings")
+    cents, probes = _ivf_fit(e)
+    assert len(cents) == _IVF_NLIST and len(probes) == _IVF_NPROBE
+    V = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+    C = np.array(cents)
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(V.shape[1]):
+        d = V[:, i, None] - C[None, :, i]
+        acc += d * d
+    assign = np.argmin(acc, axis=1)
+    shares = np.bincount(assign, minlength=len(cents)) / len(assign)
+    # Perfectly uniform would be 1/8 = 12.5%; the replica's 10-cluster
+    # geometry caps out near 20% (two clusters per cell). 30% means the
+    # quantizer degenerated back to untrained-seed behavior.
+    assert shares.max() <= 0.30, f"skewed inverted lists: {sorted(shares)[::-1]}"
+    assert shares[probes].sum() <= 2.0 * _IVF_NPROBE / _IVF_NLIST, (
+        "probe cells cover too much of the corpus to call this pruning"
+    )
+
+
+def test_ivf_search_prunes_and_ends_in_take_ordered(spark):
+    plan = plan_of(spark, "ivf_ann_search")
+    # Exact search must be top-k (no global sort materialization) and
+    # the corpus side must carry the probe-cell filter + a broadcast of
+    # the 1-row query vector — never a shuffle join.
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row query cross join
+    assert "SortMergeJoin" not in plan
