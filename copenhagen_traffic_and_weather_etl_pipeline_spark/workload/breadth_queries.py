@@ -472,14 +472,6 @@ _DUCK_L2SQ = (
 )
 
 
-def _l2sq(a, b):
-    d = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))
-    )
-    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
-
-
 def _duck_pq_sql() -> str:
     ids = ", ".join(str(i) for i in _PQ_CENT_IDS)
     l2_assign = _DUCK_L2SQ.format(a="p.sub", b="c.csub")
@@ -523,59 +515,62 @@ LIMIT {_PQ_TOPK}
     tags=["similarity", "ann", "pq"],
 )
 def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load(spark, sf_dir, "embeddings")
-    subs = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
-                            "sub"
-                        ),
-                    )
-                    for s in range(_PQ_M)
-                ]
+    # The model is 5 vectors (query + 4 codebook seeds) — collect them
+    # and bake codebook + per-query ADC lookup table into the plan as
+    # literals. The LUT arithmetic replicates the DuckDB oracle exactly
+    # (sequential left-to-right sums, std::round half-away): same
+    # driver-side-model pattern as ivf_ann_search._ivf_fit.
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(
+            F.col("vec_id").isin([_PQ_QUERY_VEC] + _PQ_CENT_IDS)
+        ).collect()
+    }
+
+    def l2sq6(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        y6 = acc * 1000000.0
+        return math.copysign(math.floor(abs(y6) + 0.5), y6) / 1000000.0
+
+    # Encode + ADC in ONE shuffle-free projection: per sub-space, the
+    # nearest codebook centroid via array_min over (d, cid, qd) structs
+    # (lexicographic = lowest rounded distance, ties to the lowest
+    # cent_id — the oracle's row_number semantics; (d, cid) is unique so
+    # qd never influences the ordering, it just rides along), then the
+    # query's precomputed sub-distance for that code. The previous shape
+    # exploded the corpus m-fold, broadcast-joined the codebook, and
+    # shuffled the code-candidate set through a window — three stages of
+    # work the literal LUT makes unnecessary at ANY corpus size (a real
+    # deployment stores codes at rest; the scan-side cost here is the
+    # same encode pass it would pay at write time).
+    terms = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUBDIM
+        qsub = rows[_PQ_QUERY_VEC][lo:lo + _PQ_SUBDIM]
+        structs = []
+        for cid in _PQ_CENT_IDS:
+            csub = rows[cid][lo:lo + _PQ_SUBDIM]
+            lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in csub)
+            d = (
+                f"round(aggregate(zip_with(slice(embedding, {lo + 1}, "
+                f"{_PQ_SUBDIM}), array({lits}), "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
             )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
-    cents = subs.filter(F.col("vec_id").isin(_PQ_CENT_IDS)).select(
-        F.col("vec_id").alias("cent_id"), "s", F.col("sub").alias("csub")
-    )
-    # Encoding: nearest sub-space centroid per (vector, sub-space). The
-    # codebook is broadcast; at rest a real deployment stores only codes.
-    rnk = F.row_number().over(
-        W.partitionBy("vec_id", "s").orderBy("d", "cent_id")
-    )
-    codes = (
-        subs.join(F.broadcast(cents), "s")
-        .select(
-            "vec_id", "s", "cent_id",
-            F.round(_l2sq(F.col("sub"), F.col("csub")), 6).alias("d"),
-        )
-        .withColumn("rnk", rnk)
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "s", "cent_id")
-    )
-    # Per-query ADC lookup table: m x k exact sub-distances, broadcast.
-    lut = (
-        cents.join(
-            subs.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
-                "s", F.col("sub").alias("qsub")
-            ),
-            "s",
-        )
-        .select(
-            "s", "cent_id",
-            F.round(_l2sq(F.col("qsub"), F.col("csub")), 6).alias("qd"),
-        )
-    )
+            structs.append(
+                f"struct({d} AS d, {cid} AS cid, "
+                f"CAST({l2sq6(qsub, csub)!r} AS DOUBLE) AS qd)"
+            )
+        terms.append(f"array_min(array({', '.join(structs)})).qd")
+    adc = F.expr("round(" + " + ".join(terms) + ", 6)")
     return (
-        codes.filter(F.col("vec_id") != _PQ_QUERY_VEC)
-        .join(F.broadcast(lut), ["s", "cent_id"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        e.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .select("vec_id", adc.alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(_PQ_TOPK)
     )

@@ -328,11 +328,15 @@ def test_breadth_windows_and_aggs_are_scale_shaped(spark):
     assert "CartesianProduct" not in plan_of(spark, "exists_over_balance")
 
 
-def test_pq_adc_broadcasts_lut_and_takes_ordered_topk(spark):
+def test_pq_adc_is_single_pass_with_takeordered_topk(spark):
+    # Codebook + per-query ADC lookup table are literals in the plan
+    # (model-sized, computed driver-side): the whole query must be one
+    # shuffle-free scan projection ending in a top-k — no joins, no
+    # exchange except the TakeOrdered reduction.
     plan = plan_of(spark, "pq_ann_adc")
-    assert "BroadcastHashJoin" in plan, "codebook/LUT joins must broadcast"
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
-    assert "CartesianProduct" not in plan
+    for op in ("Join", "CartesianProduct", "Window", "Exchange"):
+        assert op not in plan, f"pq_ann_adc grew a {op}; should be scan+project+topk"
 
 
 def test_bloom_decontaminate_probes_are_broadcast_semi_joins(spark):
@@ -658,3 +662,21 @@ def test_ivf_search_prunes_and_ends_in_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row query cross join
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_bucket_occupancy_bounds_pair_space(spark):
+    # The LSH bucket id is the blocking key for dedup_embedding_lsh and
+    # knn_join_lsh: sum(|bucket|^2) IS the pair-space those queries
+    # shuffle, so a hot bucket quadratically reverses the blocking win
+    # (the occupancy-audit sibling of the IVF cell-balance gate).
+    import pyspark.sql.functions as F
+
+    df = REGISTRY["sim_ann_lsh_buckets"].fn(spark, SF_DIR)
+    counts = [r["count"] for r in df.groupBy("bucket_id").count().collect()]
+    n = sum(counts)
+    shares = [c / n for c in counts]
+    # sf0.001 is only ~100 vectors over 256 buckets, so bounds are
+    # loose; at sf0.1 the measured max share is 5.5% and the pair-space
+    # ratio 2.6%.
+    assert max(shares) <= 0.20, f"hot LSH bucket: {max(shares):.3f}"
+    assert sum(s * s for s in shares) <= 0.10, "pair space too close to all-pairs"
