@@ -58,9 +58,11 @@ SHOWCASE = [
     ),
     (
         "ivf_ann_search",
-        "Centroids, probe set, and query vector are all BroadcastExchange; "
-        "the corpus is scanned once for assignment and once for scoring — "
-        "the exact search is pruned to the probed cells.",
+        "The trained quantizer (farthest-point seeding + Lloyd on a "
+        "bounded sample, fit driver-side) enters the plan as literal "
+        "centroids: assignment + probe-cell filter + exact scoring are "
+        "one shuffle-free scan projection, the 1-row query vector is the "
+        "only broadcast, and top-k is TakeOrderedAndProject.",
     ),
     (
         "window_running_total",
@@ -246,10 +248,10 @@ SHOWCASE += [
 SHOWCASE += [
     (
         "pq_ann_adc",
-        "Product quantization: the encode join broadcasts the tiny "
-        "codebook, the query-time join broadcasts the 16-row ADC lookup "
-        "table, and the final top-k is TakeOrderedAndProject — the scan "
-        "side only ever carries code ids.",
+        "Product quantization: codebook and the 16-entry per-query ADC "
+        "lookup table are literals in the plan (model-sized, computed "
+        "driver-side), so encode + ADC scoring is a single shuffle-free "
+        "scan projection ending in TakeOrderedAndProject.",
     ),
     (
         "web_domain_caps",
