@@ -452,110 +452,232 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN with asymmetric distance (ADC) — the
 # memory-bound scale path next to IVF's compute-bound one: vectors are
-# stored as m sub-space code ids (here 4x16-dim sub-spaces, 4 seeded
+# stored as m sub-space code ids (here 4x16-dim sub-spaces, 4 TRAINED
 # centroids each -> 1 byte per vector instead of 256), and a query
 # scans CODES against a tiny per-query lookup table, never raw vectors.
-# Centroids are seeded existing vectors (vec_ids 1..4, like IVF) so both
-# engines share the exact codebook without a training loop.
+# Like the round-7 IVF retrain, each sub-space codebook is fit with
+# farthest-point seeding + Lloyd iterations on a bounded deterministic
+# sample (vec_id < _PQ_TRAIN_N): arbitrary seeded codewords leave some
+# codes under-used, which inflates quantization error exactly like
+# IVF's skewed inverted lists inflated probe cost. Both engines share
+# the exact codebook: the oracle unrolls the identical training recipe
+# in SQL (all comparison inputs rounded to 6 dp, micro-unit means,
+# ties to the lowest code id).
 # ---------------------------------------------------------------------------
 
 _PQ_M = 4           # sub-spaces
 _PQ_SUBDIM = 16     # dims per sub-space (4 x 16 = the 64-dim embedding)
-_PQ_CENT_IDS = [1, 2, 3, 4]
+_PQ_K = 4           # codes per sub-space
+_PQ_TRAIN_N = 512   # training sample bound: vec_id < 512
+_PQ_LLOYD_ITERS = 2
 _PQ_QUERY_VEC = 0
 _PQ_TOPK = 10
 
-_DUCK_L2SQ = (
-    "list_sum(list_transform(range(1, len({a})+1), "
-    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
-)
+
+def _duck_pq_sql(k: int = _PQ_K, iters: int = _PQ_LLOYD_ITERS) -> str:
+    """The full PQ recipe unrolled in SQL, keyed by sub-space s: slice,
+    per-s farthest-point seeding, per-s Lloyd training, full-corpus
+    encode, per-query ADC lookup table, code-lookup scoring."""
+    rng = f"range(1, {_PQ_SUBDIM} + 1)"
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform({rng}, "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+        )
+
+    parts = [
+        "WITH pts AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "),",
+        "subs AS (",
+        f"  SELECT vec_id, s, v[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sub",
+        f"  FROM pts, UNNEST(range(0, {_PQ_M})) t(s)",
+        "),",
+        f"train AS (SELECT vec_id, s, sub FROM subs WHERE vec_id < {_PQ_TRAIN_N}),",
+        # Per-sub-space farthest-point seeding: seed 1 is the lowest
+        # vec_id (same vector's slice in every sub-space); each next
+        # seed maximizes its min rounded distance to the chosen set,
+        # ties to the lowest vec_id — all partitioned by s.
+        "seeds1 AS (",
+        "  SELECT s, vec_id, sub FROM train",
+        "  WHERE vec_id = (SELECT min(vec_id) FROM train)",
+        "),",
+    ]
+    for j in range(2, k + 1):
+        parts += [
+            f"pick{j} AS (",
+            "  SELECT s, vec_id FROM (",
+            "    SELECT md.s, md.vec_id,",
+            "           row_number() OVER (PARTITION BY md.s"
+            " ORDER BY md.md DESC, md.vec_id) AS rn",
+            "    FROM (",
+            f"      SELECT t.s, t.vec_id, min({l2('t.sub', 'x.sub')}) AS md",
+            f"      FROM train t JOIN seeds{j - 1} x USING (s)",
+            "      GROUP BY t.s, t.vec_id",
+            "    ) md",
+            "  ) WHERE rn = 1",
+            "),",
+            f"seeds{j} AS (SELECT * FROM seeds{j - 1} UNION ALL",
+            f"  SELECT t.s, t.vec_id, t.sub FROM train t JOIN pick{j} USING (s, vec_id)),",
+        ]
+    parts += [
+        "c0 AS (",
+        "  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,",
+        "         list_transform(sub, x -> round(x, 6)) AS cv",
+        f"  FROM seeds{k}",
+        "),",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts += [
+            f"asg{it} AS (",
+            "  SELECT s, vec_id, sub, cid FROM (",
+            f"    SELECT p.s, p.vec_id, p.sub, c.cid, {l2('p.sub', 'c.cv')} AS d,",
+            "           row_number() OVER (PARTITION BY p.s, p.vec_id"
+            " ORDER BY " + l2("p.sub", "c.cv") + ", c.cid) AS rn",
+            f"    FROM train p JOIN {prev} c USING (s)",
+            "  ) WHERE rn = 1",
+            "),",
+            f"m{it} AS (",
+            # micro-unit update (operators/clustering.py): exact BIGINT
+            # sum then round(s/n)/1e6 — identical on both engines.
+            "  SELECT s, cid, i,",
+            "         round(sum(CAST(round(sub[i] * 1000000) AS BIGINT))"
+            " / count(*)) / 1000000.0 AS m",
+            f"  FROM asg{it}, UNNEST({rng}) t(i)",
+            "  GROUP BY s, cid, i",
+            "),",
+            f"c{it} AS (",
+            f"  SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv",
+            f"  FROM {prev} p LEFT JOIN (",
+            f"    SELECT s, cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY s, cid",
+            "  ) n USING (s, cid)",
+            "),",
+        ]
+    parts += [
+        f"q AS (SELECT s, sub AS qsub FROM subs WHERE vec_id = {_PQ_QUERY_VEC}),",
+        "lut AS (",
+        f"  SELECT c.s, c.cid, {l2('q.qsub', 'c.cv')} AS qd",
+        f"  FROM c{iters} c JOIN q USING (s)",
+        "),",
+        "afin AS (",
+        "  SELECT vec_id, s, cid FROM (",
+        f"    SELECT p.vec_id, p.s, c.cid,",
+        "           row_number() OVER (PARTITION BY p.vec_id, p.s"
+        " ORDER BY " + l2("p.sub", "c.cv") + ", c.cid) AS rn",
+        f"    FROM subs p JOIN c{iters} c USING (s)",
+        "  ) WHERE rn = 1",
+        ")",
+        "SELECT a.vec_id, round(sum(l.qd), 6) AS adc_dist",
+        "FROM afin a JOIN lut l USING (s, cid)",
+        f"WHERE a.vec_id <> {_PQ_QUERY_VEC}",
+        "GROUP BY a.vec_id",
+        "ORDER BY adc_dist, a.vec_id",
+        f"LIMIT {_PQ_TOPK}",
+    ]
+    return "\n".join(parts)
 
 
-def _duck_pq_sql() -> str:
-    ids = ", ".join(str(i) for i in _PQ_CENT_IDS)
-    l2_assign = _DUCK_L2SQ.format(a="p.sub", b="c.csub")
-    l2_query = _DUCK_L2SQ.format(a="q.sub", b="c.csub")
-    return f"""
-WITH subs AS (
-  SELECT vec_id, s,
-         embedding[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sub
-  FROM embeddings, UNNEST(range(0, {_PQ_M})) t(s)
-),
-cents AS (
-  SELECT vec_id AS cent_id, s, sub AS csub FROM subs WHERE vec_id IN ({ids})
-),
-assign AS (
-  SELECT p.vec_id, p.s, c.cent_id,
-         row_number() OVER (PARTITION BY p.vec_id, p.s
-                            ORDER BY round({l2_assign}, 6), c.cent_id) AS rnk
-  FROM subs p JOIN cents c ON p.s = c.s
-),
-lut AS (
-  SELECT c.s, c.cent_id, round({l2_query}, 6) AS qd
-  FROM cents c JOIN subs q ON q.s = c.s AND q.vec_id = {_PQ_QUERY_VEC}
-)
-SELECT a.vec_id, round(sum(l.qd), 6) AS adc_dist
-FROM assign a JOIN lut l ON a.s = l.s AND a.cent_id = l.cent_id
-WHERE a.rnk = 1 AND a.vec_id <> {_PQ_QUERY_VEC}
-GROUP BY a.vec_id
-ORDER BY adc_dist, a.vec_id
-LIMIT {_PQ_TOPK}
-"""
+def _pq_fit(e) -> tuple[list[list[list[float]]], list[list[float]]]:
+    """Train the per-sub-space codebooks on the driver over the BOUNDED
+    sample (vec_id < _PQ_TRAIN_N) and build the query's ADC lookup
+    table, replicating the DuckDB oracle's arithmetic bit for bit —
+    same recipe and rationale as ivf_ann_search._ivf_fit (sequential
+    left-to-right sums, std::round half-away, exact micro-unit means,
+    farthest-point seeding with cid order = vec_id order, empty cells
+    keep their previous codeword). Returns (codebooks[s][cid][subdim],
+    lut[s][cid])."""
+    import numpy as np
+
+    rows = (
+        e.filter(F.col("vec_id") < _PQ_TRAIN_N)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q_row = ids.index(_PQ_QUERY_VEC)
+
+    def round_away(y: "np.ndarray") -> "np.ndarray":
+        return np.copysign(np.floor(np.abs(y) + 0.5), y)
+
+    codebooks: list[list[list[float]]] = []
+    lut: list[list[float]] = []
+    for s in range(_PQ_M):
+        S = V[:, s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+
+        def dists(C: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros((S.shape[0], C.shape[0]))
+            for i in range(S.shape[1]):
+                d = S[:, i, None] - C[None, :, i]
+                acc += d * d
+            return round_away(acc * 1000000.0) / 1000000.0
+
+        seed_idx = [0]
+        min_d = None
+        while len(seed_idx) < min(_PQ_K, len(S)):
+            sd = S[seed_idx[-1]]
+            acc = np.zeros(S.shape[0])
+            for i in range(S.shape[1]):
+                d = S[:, i] - sd[i]
+                acc += d * d
+            d_new = round_away(acc * 1000000.0) / 1000000.0
+            min_d = d_new if min_d is None else np.minimum(min_d, d_new)
+            seed_idx.append(int(np.argmax(min_d)))
+        seed_idx = sorted(set(seed_idx))
+        C = round_away(S[seed_idx] * 1000000.0) / 1000000.0
+        for _ in range(_PQ_LLOYD_ITERS):
+            assign = np.argmin(dists(C), axis=1)
+            newC = C.copy()
+            for cid in range(C.shape[0]):
+                g = S[assign == cid]
+                if len(g):
+                    tot = np.sum(round_away(g * 1000000.0), axis=0)
+                    newC[cid] = round_away(tot / len(g)) / 1000000.0
+            C = newC
+        qd = dists(C)[q_row]
+        codebooks.append([[float(x) + 0.0 for x in c] for c in C])
+        lut.append([float(x) + 0.0 for x in qd])
+    return codebooks, lut
 
 
 @register(
     "pq_ann_adc",
     oracle=_duck_pq_sql(),
     doc=f"product-quantization ANN: {_PQ_M}x{_PQ_SUBDIM}-dim sub-spaces, "
-    f"{len(_PQ_CENT_IDS)} seeded centroids each; vectors collapse to "
-    f"{_PQ_M} code ids, the query builds a {_PQ_M * len(_PQ_CENT_IDS)}-row "
-    "asymmetric-distance lookup table (broadcast) and the scan sums code "
-    "lookups — raw vectors are never touched at query time",
+    f"{_PQ_K} codes each, codebooks TRAINED per sub-space "
+    f"(farthest-point + {_PQ_LLOYD_ITERS} Lloyd iterations on a bounded "
+    f"sample, vec_id < {_PQ_TRAIN_N}; driver-side fit replicating the "
+    "oracle's arithmetic — see _pq_fit); encode + per-query "
+    "asymmetric-distance lookup collapse into one shuffle-free "
+    "scan+project+top-k — raw vectors are never joined at query time; "
+    "oracle = the identical recipe unrolled in SQL",
     tags=["similarity", "ann", "pq"],
 )
 def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     e = load(spark, sf_dir, "embeddings")
-    # The model is 5 vectors (query + 4 codebook seeds) — collect them
-    # and bake codebook + per-query ADC lookup table into the plan as
-    # literals. The LUT arithmetic replicates the DuckDB oracle exactly
-    # (sequential left-to-right sums, std::round half-away): same
-    # driver-side-model pattern as ivf_ann_search._ivf_fit.
-    rows = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in e.filter(
-            F.col("vec_id").isin([_PQ_QUERY_VEC] + _PQ_CENT_IDS)
-        ).collect()
-    }
-
-    def l2sq6(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        y6 = acc * 1000000.0
-        return math.copysign(math.floor(abs(y6) + 0.5), y6) / 1000000.0
-
+    codebooks, lut = _pq_fit(e)
     # Encode + ADC in ONE shuffle-free projection: per sub-space, the
-    # nearest codebook centroid via array_min over (d, cid, qd) structs
+    # nearest codeword via array_min over (d, cid, qd) structs
     # (lexicographic = lowest rounded distance, ties to the lowest
-    # cent_id — the oracle's row_number semantics; (d, cid) is unique so
-    # qd never influences the ordering, it just rides along), then the
-    # query's precomputed sub-distance for that code. The previous shape
-    # exploded the corpus m-fold, broadcast-joined the codebook, and
-    # shuffled the code-candidate set through a window — three stages of
-    # work the literal LUT makes unnecessary at ANY corpus size (a real
-    # deployment stores codes at rest; the scan-side cost here is the
-    # same encode pass it would pay at write time).
+    # cid — the oracle's row_number semantics; (d, cid) is unique so qd
+    # never influences the ordering, it just rides along), then the
+    # query's precomputed sub-distance for that code. Built as one
+    # parsed SQL string (the Column-API build cost class measured on
+    # ivf/lsh). At any corpus size this is the same encode pass a real
+    # deployment pays at write time; codes at rest + the literal LUT
+    # make query-time scans vector-free.
     terms = []
     for s in range(_PQ_M):
         lo = s * _PQ_SUBDIM
-        qsub = rows[_PQ_QUERY_VEC][lo:lo + _PQ_SUBDIM]
         structs = []
-        for cid in _PQ_CENT_IDS:
-            csub = rows[cid][lo:lo + _PQ_SUBDIM]
-            lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in csub)
+        for cid in range(len(codebooks[s])):
+            lits = ", ".join(
+                f"CAST({x!r} AS DOUBLE)" for x in codebooks[s][cid]
+            )
             d = (
                 f"round(aggregate(zip_with(slice(embedding, {lo + 1}, "
                 f"{_PQ_SUBDIM}), array({lits}), "
@@ -564,7 +686,7 @@ def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             structs.append(
                 f"struct({d} AS d, {cid} AS cid, "
-                f"CAST({l2sq6(qsub, csub)!r} AS DOUBLE) AS qd)"
+                f"CAST({lut[s][cid]!r} AS DOUBLE) AS qd)"
             )
         terms.append(f"array_min(array({', '.join(structs)})).qd")
     adc = F.expr("round(" + " + ".join(terms) + ", 6)")

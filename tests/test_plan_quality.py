@@ -680,3 +680,35 @@ def test_lsh_bucket_occupancy_bounds_pair_space(spark):
     # ratio 2.6%.
     assert max(shares) <= 0.20, f"hot LSH bucket: {max(shares):.3f}"
     assert sum(s * s for s in shares) <= 0.10, "pair space too close to all-pairs"
+
+
+def test_pq_codebooks_have_no_dead_codes(spark):
+    # A dead (never-nearest) codeword wastes 1/k of the code space and
+    # signals the quantizer degenerated — the PQ sibling of the IVF
+    # cell-balance gate. Shares need not be uniform (sub-space marginals
+    # aren't clustered), but every code must be live.
+    import numpy as np
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import load
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.breadth_queries import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _pq_fit,
+    )
+
+    e = load(spark, SF_DIR, "embeddings")
+    codebooks, lut = _pq_fit(e)
+    assert len(codebooks) == _PQ_M and all(len(cb) == _PQ_K for cb in codebooks)
+    V = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+    for s in range(_PQ_M):
+        S = V[:, s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+        C = np.array(codebooks[s])
+        acc = np.zeros((S.shape[0], C.shape[0]))
+        for i in range(S.shape[1]):
+            d = S[:, i, None] - C[None, :, i]
+            acc += d * d
+        shares = np.bincount(np.argmin(acc, axis=1), minlength=_PQ_K) / len(S)
+        assert shares.min() > 0.0, f"sub-space {s} has a dead code: {shares}"
+        assert shares.max() <= 0.75, f"sub-space {s} code skew: {shares}"
