@@ -41,14 +41,21 @@ def _resolve_sf_dir(sf_dir: str, table: str) -> str:
 
     The driver passes absolute `/root/testdata/sfX` paths, which can be
     wiped mid-round (observed round 6: every query died at the scan and
-    the whole round's artifacts were void). If the requested table file
-    is absent, re-resolve the same scale factor through the replica
-    resolver (`testdata.sf_dir`) so queries keep returning rows.
-    Byte-identical behavior whenever the given path is populated.
+    the whole round's artifacts were void). The fallback decision is
+    DIRECTORY-level, via the same sentinel the resolver uses (the
+    biggest table): only a dir missing `lineitem.parquet` re-resolves
+    through `testdata.sf_dir`, and then EVERY table of the query reads
+    from the replica. A partially populated dir (mid-write) keeps the
+    given path even for a missing table — erroring loudly beats
+    silently joining driver orders against replica lineitem, whose keys
+    don't correspond. Byte-identical behavior whenever the given path
+    is populated.
     """
     import os
 
-    if os.path.exists(f"{sf_dir}/{table}.parquet"):
+    from ..testdata import _SENTINEL
+
+    if os.path.exists(os.path.join(sf_dir, _SENTINEL)):
         return sf_dir
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):

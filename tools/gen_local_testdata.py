@@ -364,7 +364,7 @@ def gen_embeddings(rng, n, out, dim=64, n_labels=10):
     }), out / "embeddings.parquet")
 
 
-def gen_sf(root: Path, sf: float) -> Path:
+def gen_sf(root: Path, sf: float, seed: int = 42) -> Path:
     # Build into a PROCESS-UNIQUE temp dir and rename at the end: a
     # crash mid-write must never leave a partial directory that passes
     # the resolver's populated-sentinel check (observed live: a partial
@@ -380,7 +380,7 @@ def gen_sf(root: Path, sf: float) -> Path:
     root.mkdir(parents=True, exist_ok=True)
     out = Path(tempfile.mkdtemp(prefix=f".sf{sf:g}.building.", dir=root))
     try:
-        rng = np.random.default_rng(42)
+        rng = np.random.default_rng(seed)
         n_orders = int(1_500_000 * sf)
         gen_dims(out)
         gen_customer(rng, int(200_000 * sf), out)
@@ -414,9 +414,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=str(REPO / ".localdata"))
     ap.add_argument("--sf", nargs="+", type=float, default=[0.001, 0.01, 0.1])
+    # Non-default seeds produce VARIANT replicas for divergence hunting
+    # (run the oracle gate against a fresh data shape); the resolver's
+    # on-demand generation always uses the default seed 42.
+    ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
     for sf in args.sf:
-        out = gen_sf(Path(args.root), sf)
+        out = gen_sf(Path(args.root), sf, seed=args.seed)
         sizes = {p.name: p.stat().st_size for p in sorted(out.glob("*.parquet"))}
         print(out, json.dumps(sizes))
 
