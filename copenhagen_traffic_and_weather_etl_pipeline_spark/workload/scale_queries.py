@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import load, register
-from .extension_queries import _DUCK_DOT, _DUCK_NORM, _DUCK_WORDS_CTE, _dot, _norm, _words_col
+from .extension_queries import _DUCK_WORDS_CTE, _dot, _norm, _words_col
 
 # ---------------------------------------------------------------------------
 # Window-function suite over events. The reference has no window functions

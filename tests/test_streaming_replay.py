@@ -244,3 +244,22 @@ def test_sessionize_replay_restarts_from_checkpoint(spark, tmp_path):
     got, want = _rows(out, cols), _rows(batch, cols)
     assert 0 < n_run1 < len(want)  # run 1 emitted some but not all
     assert got == want
+
+
+def test_replay_cleans_its_temp_base(spark):
+    # Bench and the driver invoke the replays repeatedly; each call must
+    # leave only the parquet sink (lazily read by the returned frame) in
+    # its mkdtemp base — staged ticks, checkpoint, AND the stage1/stage2
+    # split dirs go, and the base itself is registered for atexit
+    # removal. Before round 7 each call leaked roughly one events-table
+    # copy of staging to /tmp.
+    import glob
+    import os
+
+    df = REGISTRY["stream_join_replay"].fn(spark, SF)
+    df.count()  # materialize from the sink while it still exists
+    bases = glob.glob(os.path.join("/tmp", "cph_stream_replay_*"))
+    assert bases, "replay temp base should exist until process exit"
+    newest = max(bases, key=os.path.getmtime)
+    leftovers = sorted(os.listdir(newest))
+    assert leftovers == ["out"], f"staging leaked next to the sink: {leftovers}"
