@@ -531,7 +531,7 @@ def _duck_ivf_sql(k: int = _IVF_NLIST, iters: int = _IVF_LLOYD_ITERS) -> str:
     return "\n".join(parts)
 
 
-def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int]]:
+def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int], list[float]]:
     """Train the coarse quantizer on the driver over the BOUNDED sample
     (vec_id < _IVF_TRAIN_N — 512 x 64 doubles = 256 KB at any corpus
     scale, the same model-sized-collect class as the k-means centroids,
@@ -539,7 +539,7 @@ def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int]]:
     DuckDB oracle bit for bit: left-to-right sequential distance sums,
     std::round half-away rounding, exact BIGINT micro-unit means, ties
     to the lowest cell id, empty cells keep their previous centroid.
-    Returns (centroids, probe cell ids for the query vector).
+    Returns (centroids, probe cell ids, query vector as doubles).
 
     Why driver-side: the identical recipe expressed as Spark plan
     stages is correct but spends 3-6 s in Catalyst analysis/optimization
@@ -611,7 +611,8 @@ def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int]]:
     qd = dists(C)[q_row]
     probes = sorted(range(C.shape[0]), key=lambda cid: (qd[cid], cid))[:_IVF_NPROBE]
     cents = [[float(x) + 0.0 for x in c] for c in C]  # +0.0 kills -0.0
-    return cents, [int(p) for p in probes]
+    qv = [float(x) for x in V[q_row]]
+    return cents, [int(p) for p in probes], qv
 
 
 @register(
@@ -629,8 +630,10 @@ def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int]]:
     tags=["similarity", "ivf", "ann"],
 )
 def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load(spark, sf_dir, "embeddings")
-    cents, probe_cids = _ivf_fit(e)
+    cents, probe_cids, qv = _ivf_fit(e)
     # Assignment as array_min over (d, cid) structs: lexicographic
     # struct ordering = lowest rounded distance, ties to the lowest
     # cell id — the oracle's row_number semantics — in an expression
@@ -651,19 +654,32 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid in range(len(cents))
     )
     sel = F.expr(f"array_min(array({struct_terms}))")
-    q = e.filter(F.col("vec_id") == _IVF_QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+    # The query vector and its norm are literals too (they sit in the
+    # collected sample): the exact search is then a pure projection —
+    # no broadcast join, no second scan, the whole query one stage into
+    # TakeOrdered. The norm replicates DuckDB exactly: sequential
+    # left-to-right sum of squares, then correctly-rounded sqrt.
+    acc = 0.0
+    for x in qv:
+        acc += x * x
+    q_norm = math.sqrt(acc)
+    dot_q = (
+        "aggregate(zip_with(embedding, " + lit_arr(qv) + ", "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    cos_q = F.round(
-        _dot(F.col("embedding"), F.col("qe"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
-        4,
+    norm_v = (
+        "sqrt(aggregate(transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    cos_q = F.expr(
+        f"round({dot_q} / ({norm_v} * CAST({q_norm!r} AS DOUBLE)), 4)"
     )
     return (
         e.filter(F.col("vec_id") != _IVF_QUERY_VEC_ID)
         .withColumn("cluster", sel["cid"])
         .filter(F.col("cluster").isin([int(c) for c in probe_cids]))
-        .crossJoin(F.broadcast(q))
         .select("vec_id", cos_q.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(_IVF_K)

