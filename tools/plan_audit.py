@@ -79,11 +79,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast sides are the query point and the "
         "ground-truth top-k (point select + limit-bounded frames)"
     },
-    "ivf_ann_search": {
-        "nested_loop": "broadcast sides are the query point, the k "
-        "centroids, and the nprobe probe cells — all model-sized by "
-        "construction"
-    },
     "rolling_7d_active_users": {
         "nested_loop": "non-equi interval join against the broadcast "
         "date spine (calendar-sized: one row per day); the fact side "
