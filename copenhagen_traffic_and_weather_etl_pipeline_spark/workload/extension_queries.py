@@ -1317,7 +1317,8 @@ bytes AS (
 )
 SELECT doc_id,
        n_bytes,
-       round(avg(bv), 6) AS mean_byte,
+       coalesce(round(sum(bv) * 1000000.0 / count(bv)) / 1000000.0, 0.0)
+         AS mean_byte,
        CAST(max(bv) AS BIGINT) AS max_byte,
        substr(min(hx), 1, 8) AS header_hex
 FROM bytes
@@ -1332,7 +1333,18 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import byte_features, synthesize_binary_docs
 
     feats = byte_features(synthesize_binary_docs(load(spark, sf_dir, "documents")))
-    return feats.withColumn("mean_byte", F.round("mean_byte", 6))
+    # numpy's mean over exact uint8 ints equals DuckDB's avg bit-for-bit
+    # (both are exact-int sums < 2^53 over one double division), so the
+    # byte sum recovers exactly from mean*n (error << 0.5); the 6-dp
+    # emission then uses the shared scale-0 round — two-arg round(x, 6)
+    # diverges between engines on representable ties (SCALING.md rule 1).
+    s = F.round(F.col("mean_byte") * F.col("n_bytes")).cast("bigint")
+    return feats.withColumn(
+        "mean_byte",
+        F.coalesce(
+            F.round(s * 1000000.0 / F.col("n_bytes")) / 1000000.0, F.lit(0.0)
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -341,7 +341,9 @@ SELECT event_type,
        count(*) AS n,
        CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
             AS BIGINT) AS n_distinct_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT)))
+         / 1000000.0 AS avg_k
 FROM events GROUP BY event_type
 """,
     doc="S3 open-schema variant: the third semi-structured path — "
@@ -362,7 +364,12 @@ def variant_open_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.count_distinct("k").alias("n_distinct_k"),
-        F.round(F.avg("k"), 6).alias("avg_k"),
+        # Exact integer mean at 6 dp: sum(k)/n ties the 6-dp boundary
+        # exactly whenever n divides 2e6*sum oddly, and two-arg round
+        # diverges across engines on those ties (SCALING.md rule 1).
+        (
+            F.round(F.sum("k") * 1000000.0 / F.count("k")) / 1000000.0
+        ).alias("avg_k"),
     )
 
 
@@ -406,30 +413,54 @@ def array_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 100.0) / 100.0 AS sum_disc_price,
+       round(sum(CAST(round(l_quantity) AS BIGINT)) * 1000000.0
+             / count(l_quantity)) / 1000000.0 AS avg_qty,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000.0
+             / count(l_discount)) / 1000000.0 AS avg_disc,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="grouped agg with partial/map-side combine (TPC-H Q1 shape)",
+    doc="grouped agg with partial/map-side combine (TPC-H Q1 shape). "
+    "sum_qty/sum_base_price round a double sum at the INPUT's own 2-dp "
+    "grid — drift can't reach a boundary 0.005 away, so they stay plain. "
+    "The 6-dp means and the discounted sum (whose true values sit on a "
+    "finer grid than the rounding scale, so exact .5 ties are common) "
+    "use exact micro-unit BIGINT sums + a scale-0 round, the only "
+    "rounding both engines agree on for every double (SCALING.md rule 1)",
     tags=["agg", "groupBy"],
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    disc_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.round(F.sum(disc_u) / 100.0) / 100.0).alias("sum_disc_price"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                    * 1000000.0
+                    / F.count("l_quantity")
+                )
+                / 1000000.0
+            ).alias("avg_qty"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
+                    * 10000.0
+                    / F.count("l_discount")
+                )
+                / 1000000.0
+            ).alias("avg_disc"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -634,27 +665,41 @@ def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "above_customer_avg",
     oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(s * 10000.0 / n) / 1000000.0 AS cust_avg
 FROM (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS s,
+         count(o_totalprice) OVER (PARTITION BY o_custkey) AS n
   FROM orders
 ) t
-WHERE o_totalprice > cust_avg
+WHERE cents * n > s
 """,
-    doc="windowed analytic: orders above their customer's average",
+    doc="windowed analytic: orders above their customer's average. The "
+    "comparison runs in exact integer cents (price*n vs partition sum): "
+    "a price EQUAL to its partition mean is common with 2-dp money, and "
+    "the double avg's order-dependent ulp drift would flip `>` between "
+    "engines on exactly those rows; the emitted mean uses the micro-unit "
+    "scale-0 round (SCALING.md rule 1)",
     tags=["window", "agg"],
 )
 def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return (
-        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        o.withColumn("cents", cents)
+        .withColumn("s", F.sum("cents").over(w))
+        .withColumn("n", F.count("o_totalprice").over(w))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
         .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round("cust_avg", 6).alias("cust_avg"),
+            (F.round(F.col("s") * 10000.0 / F.col("n")) / 1000000.0).alias(
+                "cust_avg"
+            ),
         )
     )

@@ -83,22 +83,31 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
 SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id
-             ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w * 1.0
+             / count(value) OVER w) / 1000000.0 AS moving_avg
 FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """,
     doc="per-user moving average over the 4 most recent events (3 "
-    "preceding + current rows frame)",
+    "preceding + current rows frame). Inputs quantize to exact 1e-6 "
+    "BIGINTs first: windowed double sums use sliding/segment-tree "
+    "accumulation whose association order differs between engines "
+    "(SCALING.md rule 1)",
     tags=["window"],
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    mic = F.round(F.col("value") * 1000000).cast("bigint")
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        (
+            F.round(F.sum(mic).over(w) * 1.0 / F.count("value").over(w))
+            / 1000000.0
+        ).alias("moving_avg"),
     )
 
 
@@ -765,24 +774,29 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_rows,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 100.0) / 100.0 AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """,
     doc="explicit GROUPING SETS (flag), (status), () — the general form "
-    "behind rollup/cube; one shuffle computes all three groupings",
+    "behind rollup/cube; one shuffle computes all three groupings. The "
+    "discounted revenue sits on a 4-dp grid, so rounding its double sum "
+    "at 2 dp ties exactly on .005 ~1% of the time; summed as exact 1e-4 "
+    "BIGINT units instead (SCALING.md rule 1)",
     tags=["agg", "grouping-sets"],
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    disc_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
     return li.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
     ).agg(
         F.grouping_id().cast("bigint").alias("gid"),
         F.count("*").alias("n_rows"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        (F.round(F.sum(disc_u) / 100.0) / 100.0).alias("revenue"),
     )
 
 
@@ -827,16 +841,25 @@ SELECT o_orderpriority,
        count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
        round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2)
          AS finished_revenue,
-       round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 4)
-         AS open_avg
+       coalesce(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderstatus = 'O') * 100.0
+                      / count(*) FILTER (WHERE o_orderstatus = 'O'))
+                  / 10000.0, 0.0) AS open_avg
 FROM orders GROUP BY o_orderpriority
 """,
     doc="filtered aggregates (count_if / sum-where / avg-where) per "
-    "priority — all computed in one map-side partial agg pass",
+    "priority — all computed in one map-side partial agg pass. The 4-dp "
+    "money mean uses exact cent sums + scale-0 round: 2-dp inputs tie "
+    "the 4-dp boundary exactly ~5% of the time (SCALING.md rule 1); the "
+    "2-dp revenue sum rounds at the input's own grid and stays plain",
     tags=["agg", "conditional"],
 )
 def conditional_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    open_cents = F.when(
+        F.col("o_orderstatus") == "O",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
@@ -847,12 +870,14 @@ def conditional_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("finished_revenue"),
-        F.round(
-            F.coalesce(
-                F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
-                F.lit(0.0),
-            ),
-            4,
+        F.coalesce(
+            F.round(
+                F.sum(open_cents)
+                * 100.0
+                / F.count_if(F.col("o_orderstatus") == "O")
+            )
+            / 10000.0,
+            F.lit(0.0),
         ).alias("open_avg"),
     )
 
@@ -862,11 +887,13 @@ def conditional_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
        count(*) AS n_parts,
-       round(avg(p_retailprice), 4) AS avg_price
+       round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 100.0
+             / count(p_retailprice)) / 10000.0 AS avg_price
 FROM part GROUP BY 1
 """,
     doc="regexp_extract of the leading token of p_type, grouped — regex "
-    "runs inside codegen, one hash agg",
+    "runs inside codegen, one hash agg. The 4-dp money mean uses exact "
+    "cent sums + scale-0 round (SCALING.md rule 1)",
     tags=["text", "regex"],
 )
 def regexp_extract_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,7 +906,14 @@ def regexp_extract_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_head")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+                    * 100.0
+                    / F.count("p_retailprice")
+                )
+                / 10000.0
+            ).alias("avg_price"),
         )
     )
 
@@ -954,23 +988,40 @@ SELECT 'c_acctbal' AS col, count(*) AS n_rows,
        count(c_acctbal) AS n_nonnull,
        CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
        round(min(c_acctbal), 4) AS min_v, round(max(c_acctbal), 4) AS max_v,
-       round(avg(c_acctbal), 4) AS mean_v
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 100.0
+             / count(c_acctbal)) / 10000.0 AS mean_v
 FROM customer
 UNION ALL
 SELECT 'c_nationkey', count(*), count(c_nationkey),
        CAST(count(DISTINCT c_nationkey) AS BIGINT),
        round(min(c_nationkey), 4), round(max(c_nationkey), 4),
-       round(avg(c_nationkey), 4)
+       round(sum(CAST(c_nationkey AS BIGINT)) * 10000.0
+             / count(c_nationkey)) / 10000.0
 FROM customer
 """,
     doc="column profile (null count, distinct, min/max/mean) for numeric "
-    "columns in one scan each — the pre-training data-quality gate",
+    "columns in one scan each — the pre-training data-quality gate. The "
+    "mean uses the exact micro-unit pattern (sum 2-dp money as bigint "
+    "cents, one shared double division, scale-0 round): avg() accumulates "
+    "doubles in engine-dependent order, and on a mean landing within an "
+    "ulp of a 4-dp boundary Spark and DuckDB round to different sides "
+    "(seen at seed-777: 4541.4687 vs 4541.4686)",
     tags=["profiling"],
 )
 def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
 
-    def prof(col: str) -> DataFrame:
+    def prof(col: str, cent_scale: int) -> DataFrame:
+        # Exact integer units (cents for 2-dp money, the value itself
+        # for integers), so the sum is engine-order-independent; then
+        # ONE double division shared with the oracle and a scale-0
+        # round (scale-0 is multiply-free, so the engines agree on
+        # every double; two-arg round(x, 4) is not).
+        exact = (
+            F.round(F.col(col) * cent_scale).cast("bigint")
+            if cent_scale > 1
+            else F.col(col).cast("bigint")
+        )
         return c.agg(
             F.lit(col).alias("col"),
             F.count("*").alias("n_rows"),
@@ -978,10 +1029,13 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
             F.round(F.min(col), 4).alias("min_v"),
             F.round(F.max(col), 4).alias("max_v"),
-            F.round(F.avg(col), 4).alias("mean_v"),
+            (
+                F.round(F.sum(exact) * (10000.0 / cent_scale) / F.count(col))
+                / 10000.0
+            ).alias("mean_v"),
         )
 
-    return prof("c_acctbal").unionAll(prof("c_nationkey"))
+    return prof("c_acctbal", 100).unionAll(prof("c_nationkey", 1))
 
 
 @register(
