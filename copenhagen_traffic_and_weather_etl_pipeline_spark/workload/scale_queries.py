@@ -218,18 +218,23 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term, tf,
-         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+         CAST(round(tf * ln(n_docs * 1.0 / df) * 1000000) AS BIGINT) AS su
   FROM tf JOIN df USING (term) CROSS JOIN n
 ), ranked AS (
-  SELECT doc_id, term, tf, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  SELECT doc_id, term, tf, su,
+         row_number() OVER (PARTITION BY doc_id ORDER BY su DESC, term) AS rnk
   FROM scored
 )
-SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, su / 1000000.0 AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 3
 """,
-    doc="top-3 TF-IDF terms per document; df from a term-level hash agg, "
-    "score rounded before ranking, term-asc tiebreak",
+    doc="top-3 TF-IDF terms per document; df from a term-level hash agg. "
+    "The score quantizes to an exact 1e-6 BIGINT BEFORE ranking: ln() "
+    "differs between Java and libm by 1 ulp on ~6% of inputs (measured), "
+    "and mathematically-EQUAL scores from different (tf, df) pairs "
+    "(2*ln(10) vs ln(100)) would rank by engine-dependent noise; over "
+    "integers the term-asc tiebreak is deterministic on both engines",
     tags=["text", "tfidf"],
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,15 +264,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             F.round(
-                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
-            ).alias("tfidf"),
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1000000
+            )
+            .cast("bigint")
+            .alias("su"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    w = W.partitionBy("doc_id").orderBy(F.col("su").desc(), F.col("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "tfidf", "rnk")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("su") / 1000000.0).alias("tfidf"),
+            "rnk",
+        )
     )
 
 
