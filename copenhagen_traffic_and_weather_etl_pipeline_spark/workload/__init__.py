@@ -125,29 +125,78 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registry entries in insertion order per round, so each round the 50
-# slots go first to queries without a green CORRECTNESS row, then to the
-# ones whose standing evidence is oldest. Rounds 2–5 proved the full
-# union: 171/171 entries carry at least one all-green driver row.
-# Round 6's window: the 4 NEW entries (two Structured-Streaming replay
-# proofs and two Q17/Q20 decorrelation shapes — the round-5 verdict's
-# items 1 and 4), then the 46 entries whose newest green row is oldest
-# (the 30 remaining r2-era proofs and the 16 oldest r3-era ones) —
-# freshness rotation per verdict item 3.
+# slots go first to queries without a green CORRECTNESS row, then to
+# queries whose DEFINITION changed after their newest green row, then to
+# the ones whose standing evidence is oldest. Rounds 2-5 proved the full
+# 171-entry union; round 6's driver gate was void-environmental (wiped
+# /root/testdata), so nothing was re-proven then.
+# Round 7's window: the 4 entries added in round 6 (never driver-proven),
+# then the 40 entries whose (function source + oracle) hash differs from
+# the last tree a driver gate actually ran on (f0491d0, the round-5
+# state) -- the rounds-6/7 micro-unit determinism sweeps, the ANN
+# retrain (ivf/pq/lsh), the NULL-aware means, and the rational-tie
+# rounding fixes -- computed by hashing inspect.getsource(fn) + oracle
+# at both revisions, not guessed from diffs. The remaining 6 slots take
+# the stalest r2-era proofs.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # -- new this round: streaming replays + decorrelation shapes --
     "sessionize_stream_replay",
     "stream_join_replay",
     "small_qty_revenue_q17",
     "top_supplier_share_q20",
-    # -- freshness rotation: the 30 entries whose evidence dates to r2 --
+    "text_fingerprint",
+    "mm_magic_sniff",
+    "mm_binary_dedup",
+    "mm_frame_sample",
+    "range_join_value_bands",
+    "dedup_levenshtein",
+    "mm_byte_features",
+    "grouping_sets_revenue",
+    "conditional_agg_priorities",
+    "regexp_extract_types",
+    "stats_moments_orders",
+    "dedup_prefix_filter_jaccard",
+    "sliding_window_counts",
+    "tfidf_top_terms",
+    "ivf_ann_search",
+    "kmeans_clusters",
+    "zscore_by_user",
+    "corr_value_props",
+    "profile_customer",
+    "variant_open_schema_agg",
+    "pricing_summary",
+    "hourly_tumbling",
+    "above_customer_avg",
+    "text_quality",
+    "mm_image_decode",
+    "embedding_centroid_outliers",
+    "bm25_retrieval",
+    "window_moving_avg",
+    "text_normalize",
+    "dedup_semantic_kmeans",
+    "chunk_documents_overlap",
+    "trend_regression_events",
+    "winsorize_values",
+    "interpolate_hourly_values",
+    "text_entropy",
+    "pq_ann_adc",
+    "curriculum_buckets",
+    "time_rollup_multigrain",
+    "revenue_mom_growth",
+    "mutual_information_event_value",
     "global_max_agg",
     "date_roundtrip",
     "kelvin_to_celsius",
     "coord_concat",
     "json_typed_agg",
     "array_first_last",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order (the
+# r2/r3-era proofs displaced by round 7's definition-changed set), so
+# the round-8 rotation is again a window swap rather than a reshuffle.
+_NEXT_WINDOW: list[str] = [
     "top_orders",
     "semi_join_customers",
     "anti_join_customers",
@@ -162,19 +211,11 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "sim_topk_vectorized",
     "dedup_embedding_lsh",
-    "text_fingerprint",
     "mm_binary_meta",
-    "mm_magic_sniff",
-    "mm_binary_dedup",
-    "mm_frame_sample",
     "asof_join_last_purchase",
-    "range_join_value_bands",
-    "dedup_levenshtein",
     "text_pii_scrub",
     "text_strip_hotwords",
-    # -- ...and the 16 oldest r3-era proofs --
     "dedup_incremental",
-    "mm_byte_features",
     "text_token_encode",
     "dedup_method_eval",
     "window_lead_lag",
@@ -184,54 +225,12 @@ _DRIVER_WINDOW = [
     "percentile_prices",
     "approx_distinct_users",
     "window_rank_suite",
-    "grouping_sets_revenue",
     "unpivot_lineitem_metrics",
-    "conditional_agg_priorities",
-    "regexp_extract_types",
-    "stats_moments_orders",
-]
-
-# Positions 51+: the NEXT-oldest standing evidence (the remaining
-# r3-era proofs, CORRECTNESS_r03.json order) queued immediately behind
-# the driver window, so the round-8 rotation is a window swap rather
-# than a reshuffle. The r6 round was void-environmental, so the current
-# 50-entry window (4 never-driver-proven + 46 stalest) carries over to
-# round 7 unchanged.
-_NEXT_WINDOW: list[str] = [
-    "dedup_prefix_filter_jaccard",
     "pack_sequences",
     "shuffle_shards_deterministic",
     "decontaminate_ngram_overlap",
     "text_repetition_quality",
     "split_train_val_test",
-    "source_mixture_weights",
-    "sample_token_budget",
-    "window_running_total",
-    "window_time_range_sum",
-    "sliding_window_counts",
-    "sessionize_events",
-    "cube_revenue",
-    "multi_distinct_aggs",
-    "tfidf_top_terms",
-    "sample_weighted_docs",
-    "ivf_ann_search",
-    "kmeans_clusters",
-    "chain_components_recursive",
-    "scd2_intervals",
-    "topn_orders_per_customer",
-    "array_agg_orderkeys",
-    "daily_counts_gapfilled",
-    "set_intersect_all_keys",
-    "funnel_view_click_purchase",
-    "null_safe_join_brands",
-    "ratio_to_report",
-    "zscore_by_user",
-    "corr_value_props",
-    "profile_customer",
-    "anomaly_mad_events",
-    "ewma_user_value",
-    "pagerank_event_transitions",
-    "dedup_canonical_pick",
 ]
 
 
