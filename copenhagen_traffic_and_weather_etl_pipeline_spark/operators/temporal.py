@@ -73,23 +73,29 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Carry the latest right ROW as one struct, not per-column last():
+    # the struct is non-null for every right row even when its payload
+    # fields are NULL, so (a) a NULL-valued purchase still wins over an
+    # older non-null one — real ASOF row semantics, the NULL-boost gate
+    # caught per-column ignorenulls resurrecting stale values — and
+    # (b) all payload columns come from the SAME right row.
     carried = unioned.select(
         *on,
         "_ts",
         "_side",
         *[c for c in left_cols if c not in on and c != left_ts],
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in payload_cols
-        ],
+        F.last(
+            F.when(F.col("_side") == 0, F.struct(*payload_cols)),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_pay"),
     )
     return carried.filter(F.col("_side") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),
         *[c for c in left_cols if c not in on and c != left_ts],
-        *payload_cols,
+        *[F.col(f"_pay.{c}").alias(c) for c in payload_cols],
     )
 
 

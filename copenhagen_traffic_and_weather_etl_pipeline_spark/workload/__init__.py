@@ -138,6 +138,11 @@ from . import decorrelation_queries  # noqa: E402,F401
 # rounding fixes -- computed by hashing inspect.getsource(fn) + oracle
 # at both revisions, not guessed from diffs. The remaining 6 slots take
 # the stalest r2-era proofs.
+# Late-round amendment: asof_join_last_purchase (operator-level ASOF
+# NULL-payload semantic fix in operators/temporal.py — caught by the
+# NULL-boosted gate, invisible to the fn+oracle hash) and
+# mm_binary_meta (multimodal NULL-text filter) replace the two least
+# at-risk unchanged entries (global_max_agg, date_roundtrip).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -185,8 +190,8 @@ _DRIVER_WINDOW = [
     "time_rollup_multigrain",
     "revenue_mom_growth",
     "mutual_information_event_value",
-    "global_max_agg",
-    "date_roundtrip",
+    "asof_join_last_purchase",
+    "mm_binary_meta",
     "kelvin_to_celsius",
     "coord_concat",
     "json_typed_agg",
@@ -197,6 +202,8 @@ _DRIVER_WINDOW = [
 # r2/r3-era proofs displaced by round 7's definition-changed set), so
 # the round-8 rotation is again a window swap rather than a reshuffle.
 _NEXT_WINDOW: list[str] = [
+    "global_max_agg",
+    "date_roundtrip",
     "top_orders",
     "semi_join_customers",
     "anti_join_customers",
@@ -211,8 +218,6 @@ _NEXT_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "sim_topk_vectorized",
     "dedup_embedding_lsh",
-    "mm_binary_meta",
-    "asof_join_last_purchase",
     "text_pii_scrub",
     "text_strip_hotwords",
     "dedup_incremental",

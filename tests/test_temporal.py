@@ -62,3 +62,19 @@ def test_interval_join_broadcast_and_bucketed_agree(spark):
     for out in (bc, bk):
         got = {r["pid"]: r["band_id"] for r in out.collect()}
         assert got == expected
+
+
+def test_asof_join_null_payload_row_still_wins(spark):
+    """A right row whose payload is NULL is still the LATEST right row:
+    real ASOF semantics carry it (purchase happened, value unknown) —
+    per-column last(ignorenulls) would resurrect the older 5.0. Also
+    pins that multiple payload columns come from the SAME right row."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "click")], "k long, ts timestamp, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5.0, "a"), (1, _ts(15), None, "b")],
+        "k long, ts timestamp, p double, tag string",
+    )
+    row = asof_join(left, right, on=["k"]).first()
+    assert row["p"] is None and row["tag"] == "b"
