@@ -1,0 +1,117 @@
+"""Build stress variants of a testdata dir for adversarial gate runs.
+
+Two transforms over an existing sf dir (both deterministic — md5-based
+row selection, pure SQL rewrites; schemas/dtypes unchanged):
+
+  nullboost — raise NULL rates in the contract-nullable columns
+      (events.value/props ~13%, documents.text+n_chars ~8%). Round 7
+      this caught asof_join resurrecting stale payloads through
+      per-column last(ignorenulls).
+  tieboost  — force heavy duplicate keys: events.ts truncated to the
+      minute, values to 1 dp, every 10th document an exact text dup of
+      its predecessor, order/lineitem prices quantized. A query whose
+      window ORDER BY lacks a complete tiebreak diverges here (round 7:
+      175/175 clean — the tiebreaks are complete).
+
+Usage:
+    python tools/stress_testdata.py nullboost \
+        /root/repo/.localdata/sf0.01 /tmp/nullboost/sf0.01
+    SPARK_GRAFT_DATA_ROOT=/tmp/nullboost python tools/check_correctness.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _copy_rest(src: str, dst: str, rewritten: set[str]) -> None:
+    for t in TABLES:
+        if t not in rewritten:
+            shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def nullboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                  IN ('0','1') THEN NULL ELSE value END AS value,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 2, 1)
+                  IN ('2','3') THEN NULL ELSE props END AS props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                  THEN NULL ELSE text END AS text,
+             lang, source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                  THEN NULL ELSE n_chars END AS n_chars
+      FROM read_parquet('{src}/documents.parquet')
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    return {"events", "documents"}
+
+
+def tieboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT event_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ts,
+             user_id, event_type, round(value, 1) AS value, props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 AND prev.text IS NOT NULL
+                  THEN prev.text ELSE d.text END AS text,
+             d.lang, d.source,
+             CASE WHEN d.doc_id % 10 = 1 AND prev.text IS NOT NULL
+                  THEN prev.n_chars ELSE d.n_chars END AS n_chars
+      FROM read_parquet('{src}/documents.parquet') d
+      LEFT JOIN read_parquet('{src}/documents.parquet') prev
+        ON prev.doc_id = d.doc_id - 1
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice / 100) * 100 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    cols = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/lineitem.parquet')"
+    ).fetchall()]
+    sel = ", ".join(
+        "round(l_extendedprice) AS l_extendedprice"
+        if c == "l_extendedprice" else c
+        for c in cols
+    )
+    con.sql(f"COPY (SELECT {sel} FROM read_parquet('{src}/lineitem.parquet'))"
+            f" TO '{dst}/lineitem.parquet' (FORMAT PARQUET)")
+    return {"events", "documents", "orders", "lineitem"}
+
+
+def main() -> int:
+    mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    rewritten = {"nullboost": nullboost, "tieboost": tieboost}[mode](
+        con, src, dst
+    )
+    _copy_rest(src, dst, rewritten)
+    print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
