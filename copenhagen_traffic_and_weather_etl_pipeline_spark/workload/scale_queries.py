@@ -947,13 +947,18 @@ FROM orders GROUP BY o_orderstatus
 )
 def stats_moments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # Decomposed corr: F.corr's internal division throws under ANSI on a
+    # zero-variance group where DuckDB returns NULL (see corr_value_props).
+    corr_safe = F.try_divide(
+        F.covar_pop("o_totalprice", F.col("o_custkey").cast("double")),
+        F.stddev_pop("o_totalprice")
+        * F.stddev_pop(F.col("o_custkey").cast("double")),
+    )
     return o.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
         F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
         # + 0.0 rewrites IEEE -0.0 to +0.0 (signed output)
-        (F.round(
-            F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4
-        ) + F.lit(0.0)).alias("price_cust_corr"),
+        (F.round(corr_safe, 4) + F.lit(0.0)).alias("price_cust_corr"),
     )
 
 
@@ -1607,7 +1612,14 @@ WINDOW w AS (PARTITION BY user_id)
 def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    # try_divide: a user whose values are all EQUAL has sd = 0.0, and
+    # under ANSI the plain `/` raises DIVIDE_BY_ZERO where DuckDB's
+    # division returns NULL. (A single-event user is already fine: its
+    # stddev_samp is NULL on both engines, and NULL propagates.)
+    z = F.try_divide(
+        F.col("value") - F.avg("value").over(w),
+        F.stddev_samp("value").over(w),
+    )
     return e.select(
         "event_id", "user_id", (F.round(z, 4) + F.lit(0.0)).alias("value_z")
     )
@@ -1701,10 +1713,24 @@ def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+    # F.corr's INTERNAL division throws DIVIDE_BY_ZERO under ANSI when a
+    # group's column is constant (zero variance) — DuckDB's corr returns
+    # NULL there. The decomposed form routes the one risky division
+    # through try_divide (NULL-on-zero, DuckDB semantics); it equals
+    # corr mathematically and stays inside the 6-dp rounding absorb.
+    # Both inputs are masked to the PAIRWISE-complete row set first:
+    # corr drops a row when EITHER column is NULL, and a marginal
+    # stddev over a different row set shifted corr by 7e-3 relative on
+    # NULL-bearing groups (caught by the constant-boost gate).
+    vc = F.when(F.col("k").isNotNull(), F.col("value"))
+    kc = F.when(F.col("value").isNotNull(), F.col("k"))
+    corr_safe = F.try_divide(
+        F.covar_pop(vc, kc), F.stddev_pop(vc) * F.stddev_pop(kc)
+    )
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         # + 0.0 rewrites IEEE -0.0 to +0.0 on signed outputs
-        (F.round(F.corr("value", "k"), 6) + F.lit(0.0)).alias("corr_vk"),
+        (F.round(corr_safe, 6) + F.lit(0.0)).alias("corr_vk"),
         (F.round(F.covar_samp("value", "k"), 6) + F.lit(0.0)).alias("covar_vk"),
         (F.round(F.covar_pop("value", "k"), 6) + F.lit(0.0)).alias(
             "covar_pop_vk"

@@ -12,6 +12,14 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       its predecessor, order/lineitem prices quantized. A query whose
       window ORDER BY lacks a complete tiebreak diverges here (round 7:
       175/175 clean — the tiebreaks are complete).
+  constboost — zero-variance groups: one event_type gets a constant
+      value AND constant props.k; every 5th user's values are constant.
+      Under ANSI, F.corr's internal division and any plain `/` by a
+      data-dependent stddev CRASH on these where DuckDB returns NULL.
+      Round 7 this forced the try_divide zscore, the decomposed
+      pairwise-masked corr, and exposed that marginal-vs-pairwise
+      moment row sets shift corr by 7e-3 relative on NULL-bearing
+      groups.
 
 Usage:
     python tools/stress_testdata.py nullboost \
@@ -101,13 +109,29 @@ def tieboost(con, src: str, dst: str) -> set[str]:
     return {"events", "documents", "orders", "lineitem"}
 
 
+def constboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'view' THEN 42.0
+                  WHEN user_id % 5 = 0 THEN 17.5
+                  ELSE value END AS value,
+             CASE WHEN event_type = 'view' THEN '{{"k": 7}}'
+                  ELSE props END AS props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    return {"events"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    rewritten = {"nullboost": nullboost, "tieboost": tieboost}[mode](
-        con, src, dst
-    )
+    rewritten = {
+        "nullboost": nullboost,
+        "tieboost": tieboost,
+        "constboost": constboost,
+    }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
     return 0
