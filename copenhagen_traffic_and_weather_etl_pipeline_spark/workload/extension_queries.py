@@ -713,6 +713,19 @@ _DUCK_NORM = (
 )
 
 
+def _cosine(dot, denom):
+    """Cosine ratio with zero-norm (all-zero vector) tolerance: cosine
+    is undefined when either norm is 0, and a single degenerate vector
+    must not kill a 100 TB job. Spark's ANSI `/` THROWS DIVIDE_BY_ZERO
+    there; `try_divide` returns NULL — which is exactly what DuckDB's
+    `/` does (probed: 1.0/0.0 and 0.0/0.0 both -> NULL), so the
+    oracles keep plain `/`. Downstream, NULL cosines either fail the
+    `>= threshold` predicate on both engines (dedup pair queries) or
+    are dropped by an explicit IS NOT NULL on both engines before any
+    top-k / window rank, so engine NULL-ordering can never diverge."""
+    return F.try_divide(dot, denom)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -737,8 +750,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        _cosine(
+            _dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
         4,
     )
     return (
@@ -772,7 +787,8 @@ scored AS (
   WHERE e.vec_id <> {_TOPK_QUERY_VEC_ID}
 )
 SELECT vec_id, round(cos, 4) AS cosine
-FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
+FROM scored WHERE cos IS NOT NULL
+ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
 """,
     doc="brute-force cosine top-k vs query vector (broadcast 1-row query; "
     "exact ANN baseline — at scale, per-partition top-k then global merge)",
@@ -783,13 +799,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == _TOPK_QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    cos = _dot(F.col("embedding"), F.col("qe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    cos = _cosine(
+        _dot(F.col("embedding"), F.col("qe")),
+        _norm(F.col("embedding")) * _norm(F.col("qe")),
     )
     return (
         e.filter(F.col("vec_id") != _TOPK_QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos").isNotNull())
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(_TOPK_K)
         .select("vec_id", F.round("cos", 4).alias("cosine"))
@@ -817,7 +835,8 @@ scored AS (
   FROM embeddings e, q
   WHERE e.vec_id <> {_TOPK_QUERY_VEC_ID}
 )
-SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {_TOPK_K}
+SELECT vec_id, cosine FROM scored WHERE cosine IS NOT NULL
+ORDER BY cosine DESC, vec_id LIMIT {_TOPK_K}
 """,
     doc="cosine top-k via Arrow-batched numpy scoring (one matmul per "
     "columnar batch); per-partition top-k merge via TakeOrderedAndProject, "
@@ -844,11 +863,22 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = float(np.sqrt((qv * qv).sum()))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Zero-norm tolerance (same semantics as _cosine): cosine is
+        # undefined for an all-zero vector, so zero-denominator rows
+        # are dropped HERE — numpy would emit nan/inf, which Arrow
+        # ships as float values (not NULLs) and Spark sorts NaN-first,
+        # diverging from the oracle's NULL. A zero-norm QUERY vector
+        # degenerates every denominator, so the whole batch drops.
         for pdf in batches:
+            if len(pdf) == 0 or qn == 0.0:
+                continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            cos = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            denom = np.sqrt((m * m).sum(axis=1)) * qn
+            keep = denom != 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qv) / denom
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].astype("int64"), "cos": cos}
+                {"vec_id": pdf["vec_id"].astype("int64")[keep], "cos": cos[keep]}
             )
 
     scored = (
@@ -971,8 +1001,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        _cosine(
+            _dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
         4,
     )
     return (
@@ -2126,7 +2158,8 @@ j AS (
   FROM pts p JOIN cent c USING (label)
 )
 SELECT vec_id, label, cos_centroid,
-       CAST(cos_centroid < {_CENTROID_OUTLIER_COS} AS BOOLEAN) AS is_outlier
+       CAST(coalesce(cos_centroid < {_CENTROID_OUTLIER_COS}, TRUE) AS BOOLEAN)
+         AS is_outlier
 FROM j
 """,
     doc="embedding-space outlier scoring: cosine to the own-label "
@@ -2175,12 +2208,18 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (_norm(F.col("v")) * F.col("cnrm")), 4)
+    # Zero-norm vectors keep their row with NULL cos_centroid (vs
+    # dropping: the curation pass must SHOW degenerate vectors, not
+    # hide them) — try_divide's NULL matches the oracle's `/`. The
+    # boolean flag is made TOTAL (undefined cosine => outlier, which a
+    # degenerate vector is) so no engine-specific NULL-boolean
+    # representation ever reaches the compare.
+    cos = F.round(_cosine(dot, _norm(F.col("v")) * F.col("cnrm")), 4)
     return j.select(
         "vec_id",
         "label",
         cos.alias("cos_centroid"),
-        (cos < _CENTROID_OUTLIER_COS).alias("is_outlier"),
+        F.coalesce(cos < _CENTROID_OUTLIER_COS, F.lit(True)).alias("is_outlier"),
     )
 
 
@@ -2202,7 +2241,7 @@ WITH q AS (
   SELECT embedding AS qe, CAST({_duck_bucket_bits()} AS BIGINT) AS qbucket
   FROM embeddings WHERE vec_id = {_TOPK_QUERY_VEC_ID}
 ),
-scored AS (
+scored0 AS (
   SELECT e.vec_id,
          CAST({_duck_bucket_bits('e.embedding')} AS BIGINT) AS bucket_id,
          {_DUCK_DOT.format(a='e.embedding', b='qe')}
@@ -2210,6 +2249,7 @@ scored AS (
   FROM embeddings e, q
   WHERE e.vec_id <> {_TOPK_QUERY_VEC_ID}
 ),
+scored AS (SELECT * FROM scored0 WHERE cos IS NOT NULL),
 truth AS (
   SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
 ),
@@ -2237,8 +2277,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         _bucket_col(F.col("embedding")).alias("qbucket"),
     )
-    cos = _dot(F.col("embedding"), F.col("qe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    cos = _cosine(
+        _dot(F.col("embedding"), F.col("qe")),
+        _norm(F.col("embedding")) * _norm(F.col("qe")),
     )
     scored = (
         e.filter(F.col("vec_id") != _TOPK_QUERY_VEC_ID)
@@ -2249,6 +2290,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qbucket",
             cos.alias("cos"),
         )
+        .filter(F.col("cos").isNotNull())
     )
     truth = (
         scored.orderBy(F.col("cos").desc(), "vec_id")
@@ -2412,9 +2454,11 @@ WITH e AS (
 q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
 c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
 scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         round({{dot}} / (q.nrm * c.nrm), 4) AS cosine
-  FROM q JOIN c ON q.bucket_id = c.bucket_id
+  SELECT * FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round({{dot}} / (q.nrm * c.nrm), 4) AS cosine
+    FROM q JOIN c ON q.bucket_id = c.bucket_id
+  ) WHERE cosine IS NOT NULL
 ),
 ranked AS (
   SELECT q_id, c_id, cosine,
@@ -2457,10 +2501,16 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 4
+        _cosine(
+            _dot(F.col("q_emb"), F.col("c_emb")),
+            F.col("q_nrm") * F.col("c_nrm"),
+        ),
+        4,
     )
-    scored = q.join(c, "bucket_id").select(
-        "q_id", "c_id", cos.alias("cosine")
+    scored = (
+        q.join(c, "bucket_id")
+        .select("q_id", "c_id", cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
     return (

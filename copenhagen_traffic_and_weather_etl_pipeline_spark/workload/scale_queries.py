@@ -546,9 +546,11 @@ def _duck_ivf_sql(k: int = _IVF_NLIST, iters: int = _IVF_LLOYD_ITERS) -> str:
         "  SELECT a.vec_id, a.v FROM afin a JOIN probes p ON a.cluster = p.cid",
         f"  WHERE a.vec_id <> {_IVF_QUERY_VEC_ID}",
         ")",
-        f"SELECT c.vec_id, round({dot} / ({norm_c} * {norm_q}), 4) AS cosine",
-        "FROM cand c CROSS JOIN q",
-        f"ORDER BY cosine DESC, c.vec_id LIMIT {_IVF_K}",
+        "SELECT vec_id, cosine FROM (",
+        f"  SELECT c.vec_id, round({dot} / ({norm_c} * {norm_q}), 4) AS cosine",
+        "  FROM cand c CROSS JOIN q",
+        ") WHERE cosine IS NOT NULL",
+        f"ORDER BY cosine DESC, vec_id LIMIT {_IVF_K}",
     ]
     return "\n".join(parts)
 
@@ -695,14 +697,20 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
+    # try_divide: a zero-norm corpus vector (or a degenerate all-zero
+    # QUERY vector, which zeroes the whole denominator) yields NULL
+    # cosine instead of an ANSI DIVIDE_BY_ZERO that would kill the job;
+    # DuckDB's `/` returns NULL for the same rows, and both engines
+    # drop them before the top-k so NULL ordering never matters.
     cos_q = F.expr(
-        f"round({dot_q} / ({norm_v} * CAST({q_norm!r} AS DOUBLE)), 4)"
+        f"round(try_divide({dot_q}, {norm_v} * CAST({q_norm!r} AS DOUBLE)), 4)"
     )
     return (
         e.filter(F.col("vec_id") != _IVF_QUERY_VEC_ID)
         .withColumn("cluster", sel["cid"])
         .filter(F.col("cluster").isin([int(c) for c in probe_cids]))
         .select("vec_id", cos_q.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(_IVF_K)
     )
@@ -1850,7 +1858,7 @@ WHERE cosine >= {_SEMDEDUP_COS}
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import assign_clusters, kmeans_fit
-    from .extension_queries import _dot, _norm
+    from .extension_queries import _cosine, _dot, _norm
 
     e = load(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
@@ -1862,9 +1870,13 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = j.alias("a"), j.alias("b")
+    # try_divide: NULL cosine on zero-norm vectors (= DuckDB's `/`),
+    # then the >= threshold predicate drops those pairs on both engines.
     cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        _cosine(
+            _dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
         4,
     )
     return (

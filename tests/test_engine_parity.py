@@ -235,3 +235,45 @@ def test_ln_quantization_is_stable_across_engines(spark):
         for n, d in pairs
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 pin: the zero-norm (degenerate-vector) cosine class, found by
+# the degenboost stress shape. Cosine is undefined when either norm is
+# 0; Spark's ANSI `/` throws DIVIDE_BY_ZERO there — one all-zero
+# embedding would kill a 100 TB job — while DuckDB's `/` returns NULL.
+# Every cosine site therefore divides with try_divide (_cosine helper),
+# and every top-k/window rank filters NULL cosines explicitly on BOTH
+# engines so NULL ordering can never diverge.
+# ---------------------------------------------------------------------------
+
+
+def test_zero_norm_cosine_yields_null_not_error(spark):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.extension_queries import (
+        _cosine,
+        _dot,
+        _norm,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0], [1.0, 2.0, 2.0]),  # zero left norm
+            (1, [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]),  # zero right norm
+            (2, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),  # both zero (0/0)
+            (3, [3.0, 0.0, 4.0], [3.0, 0.0, 4.0]),  # well-defined
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            _cosine(
+                _dot(F.col("a"), F.col("b")), _norm(F.col("a")) * _norm(F.col("b"))
+            ).alias("c"),
+        ).collect()
+    }
+    assert rows[0] is None and rows[1] is None and rows[2] is None
+    assert abs(rows[3] - 1.0) < 1e-12
+    # and DuckDB's plain `/` agrees on the NULL rows
+    assert duckdb.sql("SELECT 0.0 / 0.0").fetchone()[0] is None

@@ -20,6 +20,18 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       pairwise-masked corr, and exposed that marginal-vs-pairwise
       moment row sets shift corr by 7e-3 relative on NULL-bearing
       groups.
+  degenboost — degenerate payloads: every 17th embedding becomes the
+      all-zero vector and every 23rd a constant vector (zero norms →
+      0/0 in every cosine; Spark ANSI double division THROWS where
+      DuckDB `/` returns NULL — one bad vector kills a 100 TB job);
+      documents gain empty-string, whitespace-only, punctuation-only,
+      and single-char texts (zero-token ratios).
+  skewboost — Zipfian hot keys: ~1/3 of orders on one custkey, ~30%
+      of lineitem on one partkey, ~1/3 of events on one user and ~25%
+      of events compressed into a single hour, ~40% of documents on
+      one source. Correct answers change but both engines must agree:
+      this stresses order-sensitive float sums over huge groups,
+      window tiebreaks over giant partitions, and the skew-join paths.
 
 Usage:
     python tools/stress_testdata.py nullboost \
@@ -123,6 +135,88 @@ def constboost(con, src: str, dst: str) -> set[str]:
     return {"events"}
 
 
+def degenboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT vec_id,
+             CASE WHEN vec_id % 17 = 0
+                  THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                  WHEN vec_id % 23 = 0
+                  THEN list_transform(embedding, x -> CAST(0.25 AS FLOAT))
+                  ELSE embedding END AS embedding,
+             label
+      FROM read_parquet('{src}/embeddings.parquet')
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 3 THEN ''
+                  WHEN doc_id % 13 = 5 THEN '   '
+                  WHEN doc_id % 13 = 7 THEN '?!,.;:!!'
+                  WHEN doc_id % 13 = 9 THEN 'x'
+                  ELSE text END AS text,
+             lang, source,
+             CASE WHEN doc_id % 13 = 3 THEN 0
+                  WHEN doc_id % 13 = 5 THEN 3
+                  WHEN doc_id % 13 = 7 THEN 8
+                  WHEN doc_id % 13 = 9 THEN 1
+                  ELSE n_chars END AS n_chars
+      FROM read_parquet('{src}/documents.parquet')
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    return {"embeddings", "documents"}
+
+
+def skewboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN (SELECT min(o_custkey)
+                        FROM read_parquet('{src}/orders.parquet'))
+                  ELSE o_custkey END AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    cols = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/lineitem.parquet')"
+    ).fetchall()]
+    sel = ", ".join(
+        f"CASE WHEN l_orderkey % 10 < 3 THEN (SELECT min(l_partkey) "
+        f"FROM read_parquet('{src}/lineitem.parquet')) "
+        "ELSE l_partkey END AS l_partkey"
+        if c == "l_partkey" else c
+        for c in cols
+    )
+    con.sql(f"COPY (SELECT {sel} FROM read_parquet('{src}/lineitem.parquet'))"
+            f" TO '{dst}/lineitem.parquet' (FORMAT PARQUET)")
+    con.sql(f"""
+    COPY (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0
+                  THEN (SELECT date_trunc('hour', min(ts))
+                        FROM read_parquet('{src}/events.parquet'))
+                       + INTERVAL (event_id % 3600) SECOND
+                  ELSE ts END AS ts,
+             CASE WHEN event_id % 3 = 0
+                  THEN (SELECT min(user_id)
+                        FROM read_parquet('{src}/events.parquet'))
+                  ELSE user_id END AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT doc_id, text, lang,
+             CASE WHEN doc_id % 5 < 2
+                  THEN (SELECT min(source)
+                        FROM read_parquet('{src}/documents.parquet'))
+                  ELSE source END AS source,
+             n_chars
+      FROM read_parquet('{src}/documents.parquet')
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    return {"orders", "lineitem", "events", "documents"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -131,6 +225,8 @@ def main() -> int:
         "nullboost": nullboost,
         "tieboost": tieboost,
         "constboost": constboost,
+        "degenboost": degenboost,
+        "skewboost": skewboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
