@@ -143,6 +143,15 @@ from . import decorrelation_queries  # noqa: E402,F401
 # NULL-boosted gate, invisible to the fn+oracle hash) and
 # mm_binary_meta (multimodal NULL-text filter) replace the two least
 # at-risk unchanged entries (global_max_agg, date_roundtrip).
+# Second amendment (degenboost zero-norm cosine hardening): of the 9
+# cosine-site definitions changed, ivf_ann_search /
+# dedup_semantic_kmeans / embedding_centroid_outliers were already in
+# the window; sim_topk_vectorized, sim_topk_bruteforce,
+# ann_recall_eval, knn_join_lsh (UDF control flow / new pre-rank
+# filters — the largest behavioral surface) take the last 4 slots from
+# the stale-but-unchanged r2 quartet; dedup_embedding_{cosine,lsh}
+# (expression-only change, NULLs already dropped by the >= threshold)
+# head _NEXT_WINDOW.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -192,16 +201,22 @@ _DRIVER_WINDOW = [
     "mutual_information_event_value",
     "asof_join_last_purchase",
     "mm_binary_meta",
-    "kelvin_to_celsius",
-    "coord_concat",
-    "json_typed_agg",
-    "array_first_last",
+    "sim_topk_vectorized",
+    "sim_topk_bruteforce",
+    "ann_recall_eval",
+    "knn_join_lsh",
 ]
 
 # Positions 51+: definition-unchanged entries in staleness order (the
 # r2/r3-era proofs displaced by round 7's definition-changed set), so
 # the round-8 rotation is again a window swap rather than a reshuffle.
 _NEXT_WINDOW: list[str] = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "kelvin_to_celsius",
+    "coord_concat",
+    "json_typed_agg",
+    "array_first_last",
     "global_max_agg",
     "date_roundtrip",
     "top_orders",
@@ -215,9 +230,6 @@ _NEXT_WINDOW: list[str] = [
     "dedup_resolve_clusters",
     "dedup_simhash",
     "dedup_simhash_hamming",
-    "dedup_embedding_cosine",
-    "sim_topk_vectorized",
-    "dedup_embedding_lsh",
     "text_pii_scrub",
     "text_strip_hotwords",
     "dedup_incremental",
