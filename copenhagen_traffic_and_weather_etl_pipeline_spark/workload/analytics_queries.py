@@ -1082,16 +1082,18 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("q12"),
         )
     )
+    # try_divide on every denominator a degenerate slice can zero
+    # (n=1 arm -> n-1 = 0; constant-valued arms -> pooled variance 0;
+    # zero-mean control -> rel_lift /0): DuckDB's `/` yields NULL on
+    # all of these, and a 3-row partition must not abort the job.
     m = s.select(
         "variant",
         "n",
         (F.col("s6") / 1e6 / F.col("n")).alias("mean"),
-        (
-            (
-                F.col("q12").cast("double") / 1e12
-                - (F.col("s6") / 1e6) * (F.col("s6") / 1e6) / F.col("n")
-            )
-            / (F.col("n") - 1)
+        F.try_divide(
+            F.col("q12").cast("double") / 1e12
+            - (F.col("s6") / 1e6) * (F.col("s6") / 1e6) / F.col("n"),
+            F.col("n") - 1,
         ).alias("var"),
     )
 
@@ -1111,12 +1113,16 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
-        F.round((F.col("mean_b") - F.col("mean_a")) / F.col("mean_a"), 6).alias(
-            "rel_lift"
-        ),
         F.round(
-            (F.col("mean_b") - F.col("mean_a"))
-            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            F.try_divide(F.col("mean_b") - F.col("mean_a"), F.col("mean_a")), 6
+        ).alias("rel_lift"),
+        F.round(
+            F.try_divide(
+                F.col("mean_b") - F.col("mean_a"),
+                F.sqrt(
+                    F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+                ),
+            ),
             6,
         ).alias("welch_t"),
     )

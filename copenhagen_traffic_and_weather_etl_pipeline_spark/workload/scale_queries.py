@@ -603,9 +603,18 @@ def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int], list[float]]:
     # chosen set (np.argmax = first max = lowest vec_id on ties, since
     # rows are vec_id-sorted). Spreads seeds across clusters so Lloyd
     # starts balanced.
+    # Run to _IVF_NLIST seeds even when the training sample is SMALLER
+    # than nlist (a near-empty partition at 100 TB): once every vector
+    # has min-distance 0 to the chosen set, argmax picks index 0, so
+    # the lowest vec_id is duplicated up to k — exactly what the
+    # oracle's pick_j CTEs do (ORDER BY md DESC, vec_id with no
+    # exclusion of already-chosen seeds). Duplicate centroids are
+    # harmless dead cells: ties assign to the lowest cid on both
+    # engines. seed_idx therefore keeps duplicates (no set()) to match
+    # the oracle's c0 row set.
     seed_idx = [0]
     min_d = None
-    while len(seed_idx) < min(_IVF_NLIST, len(V)):
+    while len(seed_idx) < _IVF_NLIST:
         s = V[seed_idx[-1]]
         acc = np.zeros(V.shape[0])
         for i in range(V.shape[1]):
@@ -614,8 +623,10 @@ def _ivf_fit(e: DataFrame) -> tuple[list[list[float]], list[int], list[float]]:
         d_new = round_away(acc * 1000000.0) / 1000000.0
         min_d = d_new if min_d is None else np.minimum(min_d, d_new)
         seed_idx.append(int(np.argmax(min_d)))
-    # cid order = vec_id order over the seed set (oracle c0 row_number).
-    seed_idx = sorted(set(seed_idx))
+    # cid order = vec_id order over the seed set (oracle c0 row_number;
+    # duplicates kept — identical cv rows, so tie-to-lowest-cid makes
+    # the copy assignment irrelevant on both engines).
+    seed_idx = sorted(seed_idx)
     C = round_away(V[seed_idx] * 1000000.0) / 1000000.0  # oracle c0: 6 dp
     for _ in range(_IVF_LLOYD_ITERS):
         # argmin returns the FIRST minimum = lowest cid on rounded ties.

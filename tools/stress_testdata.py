@@ -32,6 +32,11 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       one source. Correct answers change but both engines must agree:
       this stresses order-sensitive float sums over huge groups,
       window tiebreaks over giant partitions, and the skew-join paths.
+  tinyboost — fewer rows than the models assume: embeddings=5
+      (< nlist/topk), documents=7, events=3, orders=5, lineitem=9,
+      customer=2. Hunts driver-side fit crashes (.first() -> None,
+      k-means with k > n, BPE with no pairs) — the empty-partition
+      reality of 100 TB pipelines.
 
 Usage:
     python tools/stress_testdata.py nullboost \
@@ -217,6 +222,33 @@ def skewboost(con, src: str, dst: str) -> set[str]:
     return {"orders", "lineitem", "events", "documents"}
 
 
+def tinyboost(con, src: str, dst: str) -> set[str]:
+    """Fewer rows than the models/rankings assume: embeddings=5
+    (< nlist=8 coarse cells, < topk=10, one ANN query + 4 corpus
+    vectors), documents=7 (< BM25 topk 15, singleton vocab windows),
+    events=3, orders=5 / lineitem=9 / customer=2 (joins mostly empty).
+    At 100 TB an empty or near-empty date partition is ROUTINE — a
+    driver-side fit (.first(), k-means with k > n, BPE with no pairs
+    left) must degrade gracefully, never crash the job. Deterministic:
+    lowest primary keys kept, so vec_id/doc_id 0 survive as the fixed
+    ANN/IVF query ids."""
+    keep = {
+        "embeddings": ("vec_id", 5),
+        "documents": ("doc_id", 7),
+        "events": ("event_id", 3),
+        "orders": ("o_orderkey", 5),
+        "lineitem": ("l_orderkey, l_linenumber", 9),
+        "customer": ("c_custkey", 2),
+    }
+    for t, (key, n) in keep.items():
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"ORDER BY {key} LIMIT {n}) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return set(keep)
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -227,6 +259,7 @@ def main() -> int:
         "constboost": constboost,
         "degenboost": degenboost,
         "skewboost": skewboost,
+        "tinyboost": tinyboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
