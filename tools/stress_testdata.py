@@ -37,6 +37,12 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       customer=2. Hunts driver-side fit crashes (.first() -> None,
       k-means with k > n, BPE with no pairs) — the empty-partition
       reality of 100 TB pipelines.
+  uniboost — exotic Unicode injected into document texts by doc_id
+      class: astral-plane emoji (4-byte UTF-8), combining marks, NBSP
+      and zero-width space, CJK, RTL Hebrew, Turkish dotted I /
+      Greek sigma, precomposed-vs-decomposed accents. Hunts
+      codepoint-vs-byte-vs-grapheme divergence through the shingle /
+      fingerprint / regex / levenshtein paths (SCALING.md rule 3).
 
 Usage:
     python tools/stress_testdata.py nullboost \
@@ -249,6 +255,35 @@ def tinyboost(con, src: str, dst: str) -> set[str]:
     return set(keep)
 
 
+def uniboost(con, src: str, dst: str) -> set[str]:
+    # Injected fragments, chosen to maximize codepoint/byte/grapheme
+    # disagreement surface: each is inserted mid-text so tokenizers,
+    # shinglers, and prefix filters all cross it.
+    frags = {
+        1: "\u00c5ngstr\u00f6m \u00dcn\u00efc\u00f8d\u00e9",
+        2: "caf\u00e9\u00a0au\u00a0lait",
+        3: "\u6f22\u5b57\u30c6\u30ad\u30b9\u30c8",
+        4: "\U0001f680\U0001f525 rocket",
+        5: "de\u0301clair e\u0301tude",
+        6: "\u0130stanbul \u03a3\u039f\u03a6\u039f\u03a3",
+        7: "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d1\u05e8\u05d9\u05ea",
+        8: "zero\u200bwidth\u200bgap",
+    }
+    cases = " ".join(
+        f"WHEN doc_id % 11 = {k} THEN "
+        f"concat(substr(text, 1, 12), ' {v} ', substr(text, 13))"
+        for k, v in frags.items()
+    )
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE {cases} ELSE text END AS text,
+             lang, source, n_chars
+      FROM read_parquet('{src}/documents.parquet')
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    return {"documents"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -260,6 +295,7 @@ def main() -> int:
         "degenboost": degenboost,
         "skewboost": skewboost,
         "tinyboost": tinyboost,
+        "uniboost": uniboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
