@@ -243,17 +243,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     # tf feeds both the document-frequency aggregate and the scoring
-    # join. The two subtrees do NOT share an exchange at runtime (the
-    # join's inferred isnotnull lands on one branch only, breaking
-    # canonical equality — verified: 6 FileScans, 0 ReusedExchange),
-    # and that is ACCEPTED: the rebuilt subtree is a cheap word explode
-    # (unlike the shingle build the prefix-filter query dedups), a
-    # localCheckpoint measured slower (0.73 s vs 0.65 s median at
-    # sf0.1), and the window-over-term alternative measured only ~7%
-    # faster locally (1.14 -> 1.06 s median) while shuffling ALL of tf
-    # by term — a loss at scale, where the vocab-sized df broadcasts
-    # (Heaps' law) and tf never shuffles on term at all.
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # join, and the two subtrees do NOT share an exchange at runtime
+    # (the join's inferred isnotnull lands on one branch only,
+    # breaking canonical equality). materialize_once(tf) collapses the
+    # doubled scan+explode+agg: paired medians-of-5 at sf0.1 on
+    # replica data measured 1.24 s -> 0.92 s (the opposite call on
+    # driver data in round 5 — 0.65 s -> 0.73 s — no longer holds on
+    # corpora where tokenization dominates). The window-over-term
+    # alternative measured 0.87 s but shuffles ALL of tf by term,
+    # which Zipf-hot terms turn into straggler partitions at 100 TB —
+    # rejected; with tf materialized, df stays a vocab-sized
+    # (Heaps' law) broadcast and tf never shuffles on term at all.
+    from ..plans import materialize_once
+
+    tf = materialize_once(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
