@@ -59,6 +59,12 @@ def _resolve_sf_dir(sf_dir: str, table: str) -> str:
         return sf_dir
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
+        try:
+            float(base[2:])
+        except ValueError:
+            # Not an sf-suffixed driver path (e.g. an ad-hoc test dir
+            # that merely starts with "sf") — nothing to re-resolve.
+            return sf_dir
         from ..testdata import sf_dir as _fallback
 
         resolved = _fallback(base[2:])
@@ -152,6 +158,11 @@ from . import decorrelation_queries  # noqa: E402,F401
 # the stale-but-unchanged r2 quartet; dedup_embedding_{cosine,lsh}
 # (expression-only change, NULLs already dropped by the >= threshold)
 # head _NEXT_WINDOW.
+# Third amendment (eraboost): daily_counts_gapfilled's spine semantics
+# changed outright (31-day gap cap replaces the min/max calendar), so
+# it replaces mutual_information_event_value (a -0.0-normalization-
+# class change, pinned by unit test and validated on 10 datasets —
+# the lowest-risk changed entry in the window).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -198,7 +209,7 @@ _DRIVER_WINDOW = [
     "curriculum_buckets",
     "time_rollup_multigrain",
     "revenue_mom_growth",
-    "mutual_information_event_value",
+    "daily_counts_gapfilled",
     "asof_join_last_purchase",
     "mm_binary_meta",
     "sim_topk_vectorized",
@@ -211,6 +222,7 @@ _DRIVER_WINDOW = [
 # r2/r3-era proofs displaced by round 7's definition-changed set), so
 # the round-8 rotation is again a window swap rather than a reshuffle.
 _NEXT_WINDOW: list[str] = [
+    "mutual_information_event_value",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "kelvin_to_celsius",

@@ -500,8 +500,17 @@ hourly AS (
              / 1000000.0 AS v
   FROM e GROUP BY event_type, date_trunc('hour', ts)
 ),
-b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM e),
-spine_h AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM e),
+seq AS (SELECT h, lead(h) OVER (ORDER BY h) AS nxt FROM hrs),
+spine_h AS (
+  SELECT unnest(generate_series(
+           h,
+           CASE WHEN nxt IS NOT NULL
+                 AND (epoch(nxt) - epoch(h)) / 3600 <= 168
+                THEN nxt - INTERVAL 1 HOUR ELSE h END,
+           INTERVAL 1 HOUR)) AS h
+  FROM seq
+),
 types AS (SELECT DISTINCT event_type FROM e),
 g AS (
   SELECT t.event_type, s.h, hv.v
@@ -546,7 +555,13 @@ FROM fx
     "IGNORE NULLS, engine-portable), neighbour values joined from the "
     "spine-sized hourly aggregate. Raw data collapses to the aggregate "
     "before any window runs; the interpolation itself is exact BIGINT "
-    "micro-unit arithmetic so both engines agree bit-for-bit",
+    "micro-unit arithmetic so both engines agree bit-for-bit. The "
+    "spine is gap-capped: missing hours are generated only inside "
+    "gaps <= 168 h, so data islands stay dense and mega-gaps stay "
+    "gaps — a raw min/max spine is a denial-of-service vector (one "
+    "corrupt 2120 stamp inflates the grid 100x; eraboost's 1969..2120 "
+    "span made 6.6M output rows), while the cap bounds output at "
+    "n_present_hours x 169 however dirty the timestamps",
     tags=["timeseries", "window"],
 )
 def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,13 +574,25 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg((F.round(F.sum(mic) / F.count("value")) / 1000000.0).alias("v"))
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # Gap-capped spine: each present hour generates itself plus the
+    # missing hours to the NEXT present hour only when that gap is
+    # <= 168 h (1 week) — interpolation never bridges mega-gaps, and
+    # the spine is bounded at n_present_hours x 169 however dirty the
+    # timestamps. A raw min/max spine is a DoS vector: eraboost's
+    # 1969..2120 contamination made it 1.3M hours / 6.6M output rows.
+    # The lead() runs over DISTINCT HOURS (spine-sized, never the fact
+    # table) — the equidepth_histogram single-partition precedent.
+    hrs = e.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    seq = hrs.select("h", F.lead("h").over(W.orderBy("h")).alias("nxt"))
+    gap_ok = F.col("nxt").isNotNull() & (
+        (F.unix_timestamp("nxt") - F.unix_timestamp(F.col("h"))) / 3600 <= 168
     )
-    spine_h = bounds.select(
+    fill_end = F.when(
+        gap_ok, F.col("nxt") - F.expr("INTERVAL 1 HOUR")
+    ).otherwise(F.col("h"))
+    spine_h = seq.select(
         F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            F.sequence(F.col("h"), fill_end, F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
     types = e.select("event_type").distinct()

@@ -1364,15 +1364,17 @@ def percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_counts_gapfilled",
     oracle="""
-WITH bounds AS (
-  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
-         max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi
-  FROM events
+WITH days AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+), seq AS (
+  SELECT day, lead(day) OVER (ORDER BY day) AS nxt FROM days
 ), cal AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-                                     CAST(hi AS TIMESTAMP),
-                                     INTERVAL 1 DAY)) AS DATE) AS day
-  FROM bounds
+  SELECT CAST(unnest(generate_series(
+           CAST(day AS TIMESTAMP),
+           CAST(CASE WHEN nxt IS NOT NULL AND nxt - day <= 31
+                     THEN nxt - 1 ELSE day END AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM seq
 ), d AS (
   SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
   FROM events GROUP BY 1
@@ -1380,20 +1382,27 @@ WITH bounds AS (
 SELECT cal.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
 FROM cal LEFT JOIN d ON cal.day = d.day
 """,
-    doc="calendar gap-filling: explode sequence(min_date, max_date) into "
-    "a spine, left-join daily counts, zero-fill — the dense time series "
-    "dashboards and forecasters need; the spine is generated, never "
-    "materialized as input",
+    doc="calendar gap-filling with a 31-day gap cap: each present day "
+    "generates itself plus the zero-fill days to the next present day "
+    "ONLY when that gap is <= 31 days — data islands stay dense, "
+    "mega-gaps stay gaps. A raw min/max spine is a DoS vector (one "
+    "corrupt 1969/2120 timestamp inflates the calendar 100x — found "
+    "by the eraboost stress shape); the gap cap bounds output at "
+    "n_present_days x 32 no matter how dirty the data",
     tags=["temporal", "gapfill"],
 )
 def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    cal = (
-        e.agg(
-            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-        )
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    # lead() over DISTINCT DAYS (spine-sized, never the fact table);
+    # the window is computed in its own projection — Generate cannot
+    # host window expressions.
+    seq = days.select("day", F.lead("day").over(W.orderBy("day")).alias("nxt"))
+    fill_end = F.when(
+        F.col("nxt").isNotNull() & (F.datediff("nxt", "day") <= 31),
+        F.date_sub("nxt", 1),
+    ).otherwise(F.col("day"))
+    cal = seq.select(F.explode(F.sequence(F.col("day"), fill_end)).alias("day"))
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
     return (
         cal.join(daily, "day", "left")

@@ -88,13 +88,23 @@ def _stage_ticks(spark: SparkSession, sf_dir: str, sentinel: bool) -> tuple[str,
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
 
+    # Ingress guard: Spark's event-time watermark initializes at epoch
+    # 0 and never goes below it, so a pre-1970 timestamp is born-late
+    # and silently dropped INSIDE the stateful operator, and rows at
+    # EXACTLY epoch 0 sit on the initial-watermark boundary — the
+    # session aggregation keeps them but the stream-stream join's
+    # state-retention predicate drops them on one side (both measured
+    # on the eraboost stress shape; the batch oracle kept all of
+    # them). Production streaming ingests quarantine ts <= epoch
+    # rows BEFORE the watermark — epoch-0 is the classic unset-clock
+    # sentinel — and both oracles carry the identical predicate.
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
         "user_id",
         "event_type",
         "value",
-    )
+    ).filter(F.col("ts_us") > 0)
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     cutoff = (lo + hi) // 2
 
@@ -245,6 +255,7 @@ WITH x AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsm,
          epoch_us(CAST(ts AS TIMESTAMP)) AS us
   FROM events
+  WHERE epoch_us(CAST(ts AS TIMESTAMP)) > 0
 ), f AS (
   SELECT user_id, event_id, tsm,
          CASE WHEN us - lag(us) OVER w IS NULL
@@ -289,6 +300,8 @@ SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
        round(b.value, 6) AS purchase_value
 FROM events a JOIN events b ON a.user_id = b.user_id
 WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND epoch_us(CAST(a.ts AS TIMESTAMP)) > 0
+  AND epoch_us(CAST(b.ts AS TIMESTAMP)) > 0
   AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
   AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
 """,

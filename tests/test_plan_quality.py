@@ -356,15 +356,26 @@ def test_bloom_decontaminate_probes_are_broadcast_semi_joins(spark):
 
 def test_interpolation_windows_are_partitioned(spark):
     # Both neighbour-lookup windows run per event_type — no global
-    # (unpartitioned) window funnel over the spine.
+    # (unpartitioned) window funnel over the FACT-derived frames. The
+    # one deliberate unpartitioned window is the gap-cap lead() over
+    # DISTINCT HOURS (spine-sized; RowFrame 1,1) — SCALING.md rule 7.
     plan = plan_of(spark, "interpolate_hourly_values")
     assert "Window" in plan
     assert "PartitionBy" not in plan  # formatted plans don't use this token
     import re
 
-    # every Window node's partition spec mentions event_type
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "event_type" in m.group(1)
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    assert specs
+    unpartitioned = [s for s in specs if "event_type" not in s]
+    # the only unpartitioned window is the spine lead: a 1-row RowFrame
+    for s in unpartitioned:
+        assert "RowFrame, 1, 1" in s, f"unexpected global window: {s}"
+    assert len(unpartitioned) <= 1
+    # the neighbour-lookup (unbounded-frame) windows stay per-type
+    assert any("event_type" in s for s in specs)
 
 
 def test_trend_regression_is_single_pass_partial_agg(spark):

@@ -263,3 +263,45 @@ def test_replay_cleans_its_temp_base(spark):
     newest = max(bases, key=os.path.getmtime)
     leftovers = sorted(os.listdir(newest))
     assert leftovers == ["out"], f"staging leaked next to the sink: {leftovers}"
+
+
+def test_stage_ticks_quarantines_pre_epoch_and_epoch_zero(spark, tmp_path):
+    """Watermark-poisoning guard (eraboost): Spark's event-time
+    watermark initializes at epoch 0, so pre-1970 rows are born-late
+    (dropped inside the stateful operator) and rows at exactly epoch 0
+    sit on the initial-watermark boundary (the stream-stream join drops
+    them on one side). The staging quarantines ts <= epoch before the
+    watermark; the oracles carry the identical predicate."""
+    import json
+    import os
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.streaming_replay_queries import (
+        _cleanup_staging,
+        _stage_ticks,
+    )
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "1969-07-20 20:17:40", 1, "view", 1.0),
+            (2, "1970-01-01 00:00:00", 1, "purchase", 2.0),
+            (3, "2026-01-01 10:00:00", 1, "view", 3.0),
+            (4, "2026-01-01 10:30:00", 1, "purchase", 4.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "props", F.lit(None).cast("string")
+    ).write.parquet(f"{src}/events.parquet")
+
+    in_dir, _out, _ckpt = _stage_ticks(spark, src, sentinel=False)
+    try:
+        staged = []
+        for f in os.listdir(in_dir):
+            with open(os.path.join(in_dir, f)) as fh:
+                staged += [json.loads(line) for line in fh if line.strip()]
+        ids = sorted(r["event_id"] for r in staged)
+        assert ids == [3, 4], f"pre-epoch/epoch-0 rows must be quarantined: {ids}"
+        assert all(r["ts_us"] > 0 for r in staged)
+    finally:
+        _cleanup_staging(os.path.dirname(in_dir))

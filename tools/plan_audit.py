@@ -65,6 +65,14 @@ ALLOW: dict[str, dict[str, str]] = {
     "kaplan_meier_retention": {"single_part": _HISTOGRAM_WINDOW},
     "running_distinct_users": {"single_part": _SPINE_WINDOW},
     "revenue_mom_growth": {"single_part": _SPINE_WINDOW},
+    "daily_counts_gapfilled": {"single_part": _SPINE_WINDOW},
+    "interpolate_hourly_values": {
+        "single_part": _SPINE_WINDOW,
+        "nested_loop": "broadcast side is the gap-capped hour spine "
+        "crossed with the n_types-cardinality frame — both spine-sized "
+        "(never the fact table, which collapses to the hourly "
+        "aggregate first)",
+    },
     "skyline_orders": {
         "single_part": "global skyline window runs over per-day maxima "
         "(date-cardinality pre-aggregate), not raw orders"

@@ -37,6 +37,12 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       customer=2. Hunts driver-side fit crashes (.first() -> None,
       k-means with k > n, BPE with no pairs) — the empty-partition
       reality of 100 TB pipelines.
+  eraboost — timestamp extremes: ~8% of events moved to 1969 (negative
+      epoch micros — floor-vs-truncate division and pre-epoch
+      date_trunc/week-boundary semantics), one row pinned to epoch 0
+      exactly, ~6% to 2120 (far future); ~10% of orders to 1931/2097
+      dates. Engines must agree on every temporal op's pre-epoch
+      behavior.
   uniboost — exotic Unicode injected into document texts by doc_id
       class: astral-plane emoji (4-byte UTF-8), combining marks, NBSP
       and zero-width space, CJK, RTL Hebrew, Turkish dotted I /
@@ -284,6 +290,34 @@ def uniboost(con, src: str, dst: str) -> set[str]:
     return {"documents"}
 
 
+def eraboost(con, src: str, dst: str) -> set[str]:
+    con.sql(f"""
+    COPY (
+      SELECT event_id,
+             CASE WHEN event_id % 12 = 1
+                  THEN TIMESTAMP '1969-07-20 20:17:40'
+                       + INTERVAL (event_id % 86400) SECOND
+                  WHEN event_id % 17 = 2
+                  THEN TIMESTAMP '1970-01-01 00:00:00'
+                  WHEN event_id % 16 = 3
+                  THEN TIMESTAMP '2120-02-29 23:59:59'
+                       - INTERVAL (event_id % 3600) SECOND
+                  ELSE ts END AS ts,
+             user_id, event_type, value, props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+    COPY (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 19 = 4 THEN DATE '1931-06-15'
+                  WHEN o_orderkey % 23 = 5 THEN DATE '2097-12-31'
+                  ELSE o_orderdate END AS o_orderdate,
+             o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    return {"events", "orders"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -296,6 +330,7 @@ def main() -> int:
         "skewboost": skewboost,
         "tinyboost": tinyboost,
         "uniboost": uniboost,
+        "eraboost": eraboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
