@@ -288,37 +288,95 @@ def coord_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Hostile-JSON extraction contract (the jsonboost stress shape). On
+# web-scraped corpora a props payload can be truncated, non-JSON, a
+# bare scalar, or carry k as a string/float/bool/array — and the naive
+# forms CRASH on both engines: DuckDB's json functions THROW on
+# malformed input, and Spark's ANSI CAST throws on 'seven'. The shared
+# contract for per-path extraction: k is valid iff the extracted text
+# spells an (optionally space-padded, optionally signed) INTEGER
+# literal — regex-guarded, try_cast for overflow. The two engines reach
+# the same NULLs by different routes (e.g. {"k": 1e20}: Spark keeps
+# the raw digits and try_cast overflows to NULL; DuckDB renders it
+# '1e+20...0' which fails the regex) — pinned by
+# test_hostile_json_contract. Duplicate-key objects are OUT of
+# contract: parser-undefined (Spark from_json takes the LAST
+# occurrence, get_json_object and DuckDB the FIRST) — normalize or
+# quarantine upstream.
+# ---------------------------------------------------------------------------
+
+_SPARK_K = (
+    "try_cast(regexp_extract(get_json_object(props, '$.k'), "
+    r"'^\\s*([+-]?[0-9]+)\\s*$', 1) AS BIGINT)"
+)
+_DUCK_K = (
+    "TRY_CAST(regexp_extract(CASE WHEN props IS NOT NULL AND json_valid(props) "
+    "THEN json_extract_string(props, '$.k') END, "
+    r"'^\s*([+-]?[0-9]+)\s*$', 1) AS BIGINT)"
+)
+# from_json ('k BIGINT') accepts ONLY in-range JSON integer NUMBERS
+# (strings, floats, bools, arrays -> NULL) — mirrored via json_type.
+_DUCK_K_TYPED = (
+    "CASE WHEN props IS NOT NULL AND json_valid(props) "
+    "AND json_type(CAST(props AS JSON), '$.k') IN ('BIGINT', 'UBIGINT') "
+    "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END"
+)
+# try_variant_get(..., 'bigint') COERCES like a Spark cast: floats
+# truncate toward zero, booleans -> 1/0, strings via the integer-
+# literal rule, overflow -> NULL. Mirrored type-by-type.
+_DUCK_K_VARIANT = f"""CASE
+  WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+  WHEN json_type(CAST(props AS JSON), '$.k') IN ('BIGINT', 'UBIGINT')
+       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+  WHEN json_type(CAST(props AS JSON), '$.k') = 'DOUBLE'
+       THEN TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                     AS BIGINT)
+  WHEN json_type(CAST(props AS JSON), '$.k') = 'VARCHAR'
+       THEN TRY_CAST(regexp_extract(json_extract_string(props, '$.k'),
+                     '^\\s*([+-]?[0-9]+)\\s*$', 1) AS BIGINT)
+  WHEN json_type(CAST(props AS JSON), '$.k') = 'BOOLEAN'
+       THEN CASE WHEN json_extract_string(props, '$.k') = 'true' THEN 1 ELSE 0 END
+  ELSE NULL
+END"""
+
+
 @register(
     "json_extract",
-    oracle="""
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    oracle=f"""
+SELECT event_id, {_DUCK_K} AS k_val
 FROM events
 """,
     doc="S3/P1/P2: semi-structured payload field extraction "
-    "(deployment_function.py:83, :95-103)",
+    "(deployment_function.py:83, :95-103) under the hostile-JSON "
+    "integer contract (regex-guarded try_cast — one malformed payload "
+    "must not kill the job on either engine)",
     tags=["S3", "P1", "P2"],
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.expr(_SPARK_K).alias("k_val"),
     )
 
 
 @register(
     "json_typed_agg",
-    oracle="""
+    oracle=f"""
+WITH e AS (SELECT event_type, {_DUCK_K_TYPED} AS k FROM events)
 SELECT event_type,
        count(*) AS n,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events GROUP BY event_type
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM e GROUP BY event_type
 """,
     doc="S3 typed variant: from_json with an explicit StructType (schema "
     "enforced at parse, not per-path extraction), then aggregation over "
-    "the parsed field",
+    "the parsed field. from_json is total on hostile input (malformed "
+    "doc or non-integer k -> NULL field) and accepts ONLY in-range JSON "
+    "integer NUMBERS — the oracle mirrors that via json_type dispatch",
     tags=["S3", "agg"],
 )
 def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,15 +394,13 @@ def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "variant_open_schema_agg",
-    oracle="""
+    oracle=f"""
+WITH e AS (SELECT event_type, ({_DUCK_K_VARIANT}) AS k FROM events)
 SELECT event_type,
        count(*) AS n,
-       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS n_distinct_k,
-       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0
-             / count(CAST(json_extract_string(props, '$.k') AS BIGINT)))
-         / 1000000.0 AS avg_k
-FROM events GROUP BY event_type
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       round(sum(k) * 1000000.0 / count(k)) / 1000000.0 AS avg_k
+FROM e GROUP BY event_type
 """,
     doc="S3 open-schema variant: the third semi-structured path — "
     "parse_json to Spark 4's VARIANT type (binary-encoded, no declared "
@@ -357,9 +413,14 @@ FROM events GROUP BY event_type
 )
 def variant_open_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # try_ forms end-to-end: parse_json THROWS on malformed input and
+    # variant_get on an uncastable value — one bad payload in 100 TB
+    # must yield NULL, not abort. try_variant_get coerces like a cast
+    # (floats truncate, bools -> 1/0, integer-literal strings parse,
+    # overflow -> NULL); the oracle mirrors it type-by-type.
     v = e.select(
         "event_type",
-        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from . import load, register
 from .extension_queries import _DUCK_WORDS_CTE, _dot, _norm, _words_col
+from .reference_queries import _DUCK_K as _REF_DUCK_K
+from .reference_queries import _SPARK_K as _REF_SPARK_K
 
 # ---------------------------------------------------------------------------
 # Window-function suite over events. The reference has no window functions
@@ -1721,10 +1723,10 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corr_value_props",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT event_type, value,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         {_REF_DUCK_K} AS k
   FROM events
 )
 SELECT event_type,
@@ -1741,10 +1743,12 @@ FROM e GROUP BY event_type
     tags=["agg", "stats"],
 )
 def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k under the hostile-JSON integer contract (reference_queries
+    # _SPARK_K): the naive gjo+CAST crashes under ANSI on {"k":"seven"}.
     e = load(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.expr(_REF_SPARK_K).alias("k"),
     )
     # F.corr's INTERNAL division throws DIVIDE_BY_ZERO under ANSI when a
     # group's column is constant (zero variance) — DuckDB's corr returns

@@ -277,3 +277,65 @@ def test_zero_norm_cosine_yields_null_not_error(spark):
     assert abs(rows[3] - 1.0) < 1e-12
     # and DuckDB's plain `/` agrees on the NULL rows
     assert duckdb.sql("SELECT 0.0 / 0.0").fetchone()[0] is None
+
+
+# ---------------------------------------------------------------------------
+# Round-7 pin: the hostile-JSON extraction contract (jsonboost shape).
+# DuckDB's json functions THROW on malformed documents and Spark's
+# ANSI CAST throws on non-numeric strings; each extraction path has
+# its own total, cross-engine-identical contract (reference_queries):
+#   _SPARK_K/_DUCK_K     per-path gjo: integer-literal regex + try_cast
+#   from_json/_DUCK_K_TYPED  only in-range JSON integer NUMBERS
+#   try_variant_get/_DUCK_K_VARIANT  cast-style coercion by JSON type
+# Duplicate-key objects are OUT of contract (parser-undefined: Spark
+# from_json takes the LAST occurrence, DuckDB the FIRST).
+# ---------------------------------------------------------------------------
+
+_HOSTILE_PROPS = [
+    '{"k": 7', "not json at all", "", '{"k": "seven"}', '{"k": [1, 2]}',
+    '{"k": {"a": 1}}', "[1, 2, 3]", "7", "null", '{"K": 7}', '{"k": 7.9}',
+    '{"k": true}', '{"k": false}', '{"k": 1e3}', '{"k": "0x7"}',
+    '{"k": "  -42  "}', '{"k": 99999999999999999999}', '{"k": null}',
+    '{"k": "7"}', '{"k": "+7"}', '{"k": -0.5}', '{"k": "7.9"}',
+    '{"k": 12}', None,
+]
+
+
+def test_hostile_json_contract(spark):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.reference_queries import (
+        _DUCK_K,
+        _DUCK_K_TYPED,
+        _DUCK_K_VARIANT,
+        _SPARK_K,
+    )
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_HOSTILE_PROPS)], "i int, props string"
+    )
+    got = {
+        r["i"]: (r["a"], r["b"], r["c"])
+        for r in df.select(
+            "i",
+            F.expr(_SPARK_K).alias("a"),
+            F.from_json("props", "k bigint").getField("k").alias("b"),
+            F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias(
+                "c"
+            ),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, props VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(_HOSTILE_PROPS))
+    )
+    want = {
+        i: (a, b, c)
+        for i, a, b, c in con.sql(
+            f"SELECT i, {_DUCK_K} AS a, {_DUCK_K_TYPED} AS b, "
+            f"({_DUCK_K_VARIANT}) AS c FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # and the well-formed row extracts the value, proving the guards
+    # aren't just NULL-ing everything
+    assert got[22] == (12, 12, 12)

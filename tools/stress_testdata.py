@@ -37,6 +37,17 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       customer=2. Hunts driver-side fit crashes (.first() -> None,
       k-means with k > n, BPE with no pairs) — the empty-partition
       reality of 100 TB pipelines.
+  jsonboost — hostile events.props JSON: truncated objects, non-JSON
+      text, empty strings, bare scalars, wrong-case keys, string /
+      float / bool / array / object / huge-number k values, quoted
+      and space-padded numerics. DuckDB's json functions THROW on
+      malformed input and Spark's ANSI CAST throws on non-numeric
+      strings — a single bad payload kills the job on either engine
+      unless every extraction goes through the validity-guarded
+      contract. (Duplicate-key objects are deliberately excluded:
+      dup-key JSON is parser-undefined — Spark from_json takes the
+      LAST occurrence, DuckDB json_extract the FIRST — a real
+      pipeline normalizes or quarantines them upstream.)
   eraboost — timestamp extremes: ~8% of events moved to 1969 (negative
       epoch micros — floor-vs-truncate division and pre-epoch
       date_trunc/week-boundary semantics), one row pinned to epoch 0
@@ -318,6 +329,42 @@ def eraboost(con, src: str, dst: str) -> set[str]:
     return {"events", "orders"}
 
 
+def jsonboost(con, src: str, dst: str) -> set[str]:
+    frags = [
+        '{"k": 7',                        # truncated
+        "not json at all",
+        "",
+        '{"k": "seven"}',
+        '{"k": [1, 2]}',
+        '{"k": {"a": 1}}',
+        "[1, 2, 3]",                      # array root
+        "7",                              # bare scalar
+        "null",
+        '{"K": 7}',                       # wrong-case key
+        '{"k": 7.9}',
+        '{"k": true}',
+        '{"k": 1e3}',
+        '{"k": "0x7"}',
+        '{"k": "  -42  "}',
+        '{"k": 99999999999999999999}',
+        '{"k": null}',
+        '{"k": "7"}',
+        '{"k": "+7"}',
+        '{"k": -0.5}',
+    ]
+    whens = " ".join(
+        f"WHEN event_id % 41 = {i} THEN '{f.replace(chr(39), chr(39)*2)}'"
+        for i, f in enumerate(frags)
+    )
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts, user_id, event_type, value,
+             CASE {whens} ELSE props END AS props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    return {"events"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -331,6 +378,7 @@ def main() -> int:
         "tinyboost": tinyboost,
         "uniboost": uniboost,
         "eraboost": eraboost,
+        "jsonboost": jsonboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
