@@ -719,19 +719,27 @@ def ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # QUERY vector, which zeroes the whole denominator) yields NULL
     # cosine instead of an ANSI DIVIDE_BY_ZERO that would kill the job;
     # DuckDB's `/` returns NULL for the same rows, and both engines
-    # drop them before the top-k so NULL ordering never matters.
+    # drop them before the top-k so NULL ordering never matters. The
+    # exclusion runs BELOW the scoring projection: the query norm is a
+    # driver-held float (empty result when 0, matching the oracle's
+    # all-NULL cosines), and corpus zero-norms are caught by a short-
+    # circuit exists() — filtering the aliased cosine afterwards would
+    # re-evaluate the interpreted higher-order dot+norm per row.
     cos_q = F.expr(
         f"round(try_divide({dot_q}, {norm_v} * CAST({q_norm!r} AS DOUBLE)), 4)"
     )
-    return (
+    out = (
         e.filter(F.col("vec_id") != _IVF_QUERY_VEC_ID)
+        .filter(F.expr("exists(embedding, x -> x != 0)"))
         .withColumn("cluster", sel["cid"])
         .filter(F.col("cluster").isin([int(c) for c in probe_cids]))
         .select("vec_id", cos_q.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(_IVF_K)
     )
+    if q_norm == 0.0:
+        out = out.filter(F.lit(False))
+    return out
 
 
 # ---------------------------------------------------------------------------
