@@ -568,14 +568,22 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_customers",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
 """,
-    doc="left-anti join (NOT EXISTS)",
+    doc="left-anti join (NOT EXISTS) against a filtered right side — "
+        "customers with no order above 400k. The filter keeps the result "
+        "non-empty on every data generation (an unfiltered NOT-EXISTS was "
+        "0 rows on the 2026-08-15 driver data, where every custkey has "
+        "orders; the 400k cut leaves ~200 rows there and ~850 on the "
+        "replica), so the gate exercises real anti-join output, and it "
+        "shows the filter-below-anti-join plan shape.",
     tags=["join", "anti"],
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
