@@ -135,101 +135,55 @@ from . import decorrelation_queries  # noqa: E402,F401
 # queries whose DEFINITION changed after their newest green row, then to
 # the ones whose standing evidence is oldest. Rounds 2-5 proved the full
 # 171-entry union; round 6's driver gate was void-environmental (wiped
-# /root/testdata), so nothing was re-proven then.
-# Round 7's window: the 4 entries added in round 6 (never driver-proven),
-# then the 40 entries whose (function source + oracle) hash differs from
-# the last tree a driver gate actually ran on (f0491d0, the round-5
-# state) -- the rounds-6/7 micro-unit determinism sweeps, the ANN
-# retrain (ivf/pq/lsh), the NULL-aware means, and the rational-tie
-# rounding fixes -- computed by hashing inspect.getsource(fn) + oracle
-# at both revisions, not guessed from diffs. The remaining 6 slots take
-# the stalest r2-era proofs.
-# Late-round amendment: asof_join_last_purchase (operator-level ASOF
-# NULL-payload semantic fix in operators/temporal.py — caught by the
-# NULL-boosted gate, invisible to the fn+oracle hash) and
-# mm_binary_meta (multimodal NULL-text filter) replace the two least
-# at-risk unchanged entries (global_max_agg, date_roundtrip).
-# Second amendment (degenboost zero-norm cosine hardening): of the 9
-# cosine-site definitions changed, ivf_ann_search /
-# dedup_semantic_kmeans / embedding_centroid_outliers were already in
-# the window; sim_topk_vectorized, sim_topk_bruteforce,
-# ann_recall_eval, knn_join_lsh (UDF control flow / new pre-rank
-# filters — the largest behavioral surface) take the last 4 slots from
-# the stale-but-unchanged r2 quartet; dedup_embedding_{cosine,lsh}
-# (expression-only change, NULLs already dropped by the >= threshold)
-# head _NEXT_WINDOW.
-# Third amendment (eraboost): daily_counts_gapfilled's spine semantics
-# changed outright (31-day gap cap replaces the min/max calendar), so
-# it replaces mutual_information_event_value (a -0.0-normalization-
-# class change, pinned by unit test and validated on 10 datasets —
-# the lowest-risk changed entry in the window).
+# /root/testdata); round 7 re-proved 50 (all green) including every
+# entry whose definition had drifted since round 5.
+# Round 8's window, by the same policy (newest-green histogram after
+# r7: 21 entries at r2, 31 at r3, 34 at r4, 39 at r5, 50 at r7):
+#   1. anti_join_customers — its right side gained a >400k totalprice
+#      filter after the r7 gate ran, so its only green row (r2) covers
+#      a superseded definition; the single changed-and-unproven entry.
+#   2. mutual_information_event_value — the r7 -0.0-normalization
+#      change was deliberately deferred (r7 third amendment); its r5
+#      green row predates the change.
+#   3. dedup_prefix_filter_jaccard — its PPJoin length/positional
+#      filter constants were re-derived this round from the effective
+#      rounded threshold 0.7999995 (ADVICE r7), changing the fn source
+#      after its r7 green row.
+#   4-10. the seven entries the new freshness hash (tools/freshness.py:
+#      fn source + oracle + imported engine modules, computed at each
+#      entry's newest-green-round tree) flagged as changed-since-green
+#      that the round-7 hand rotation missed: ab_test_lift,
+#      local_supply_revenue, pmi_token_pairs, decontaminate_bloom
+#      (fn changed in the round-5 micro-unit sweep AFTER their r4 green
+#      rows — invisible to r7's current-vs-f0491d0 compare),
+#      json_extract (fn+oracle changed since its r5 green), and
+#      dedup_canonical_pick / dedup_incremental_replay (operators/dedup
+#      dependency drift from the r6/r7 hardening — the "asof blind
+#      spot" class).
+#   11-50. the staleness tail: all 20 remaining r2-era entries, then
+#      20 of the 31 r3-era entries. Changed-but-unproven outranks
+#      stale-but-unchanged, so the ten r3 entries deferred to round 9
+#      (heads of _NEXT_WINDOW) are the lowest-risk holdovers:
+#      integer/key/seeded-md5 outputs with no float surface,
+#      definitions hash-unchanged since their green rows, and all
+#      covered by the full local gate this round.
+# Freshness is now enforced in CI: tests/test_window_freshness.py
+# recomputes each entry's definition hash against
+# tools/window_freshness.json and fails if a changed or never-proven
+# entry is missing from this window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "sessionize_stream_replay",
-    "stream_join_replay",
-    "small_qty_revenue_q17",
-    "top_supplier_share_q20",
-    "text_fingerprint",
-    "mm_magic_sniff",
-    "mm_binary_dedup",
-    "mm_frame_sample",
-    "range_join_value_bands",
-    "dedup_levenshtein",
-    "mm_byte_features",
-    "grouping_sets_revenue",
-    "conditional_agg_priorities",
-    "regexp_extract_types",
-    "stats_moments_orders",
-    "dedup_prefix_filter_jaccard",
-    "sliding_window_counts",
-    "tfidf_top_terms",
-    "ivf_ann_search",
-    "kmeans_clusters",
-    "zscore_by_user",
-    "corr_value_props",
-    "profile_customer",
-    "variant_open_schema_agg",
-    "pricing_summary",
-    "hourly_tumbling",
-    "above_customer_avg",
-    "text_quality",
-    "mm_image_decode",
-    "embedding_centroid_outliers",
-    "bm25_retrieval",
-    "window_moving_avg",
-    "text_normalize",
-    "dedup_semantic_kmeans",
-    "chunk_documents_overlap",
-    "trend_regression_events",
-    "winsorize_values",
-    "interpolate_hourly_values",
-    "text_entropy",
-    "pq_ann_adc",
-    "curriculum_buckets",
-    "time_rollup_multigrain",
-    "revenue_mom_growth",
-    "daily_counts_gapfilled",
-    "asof_join_last_purchase",
-    "mm_binary_meta",
-    "sim_topk_vectorized",
-    "sim_topk_bruteforce",
-    "ann_recall_eval",
-    "knn_join_lsh",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order (the
-# r2/r3-era proofs displaced by round 7's definition-changed set), so
-# the round-8 rotation is again a window swap rather than a reshuffle.
-# anti_join_customers heads the list: its definition changed late in
-# round 7 (filtered right side so the result is non-empty on the
-# returned 2026-08-15 driver data), but the change is the lowest-risk
-# class in the repo — integer/string output, no float surface, locally
-# gate-verified on both data generations — so it yields its window
-# claim to the higher-risk changed entries already in slots 5-50.
-_NEXT_WINDOW: list[str] = [
     "anti_join_customers",
     "mutual_information_event_value",
+    "dedup_prefix_filter_jaccard",
+    "ab_test_lift",
+    "local_supply_revenue",
+    "pmi_token_pairs",
+    "decontaminate_bloom",
+    "json_extract",
+    "dedup_canonical_pick",
+    "dedup_incremental_replay",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "kelvin_to_celsius",
@@ -251,7 +205,6 @@ _NEXT_WINDOW: list[str] = [
     "text_pii_scrub",
     "text_strip_hotwords",
     "dedup_incremental",
-    "text_token_encode",
     "dedup_method_eval",
     "window_lead_lag",
     "stratified_sample",
@@ -262,10 +215,61 @@ _NEXT_WINDOW: list[str] = [
     "window_rank_suite",
     "unpivot_lineitem_metrics",
     "pack_sequences",
-    "shuffle_shards_deterministic",
     "decontaminate_ngram_overlap",
     "text_repetition_quality",
+    "set_intersect_all_keys",
+    "window_time_range_sum",
+    "ratio_to_report",
+    "chain_components_recursive",
+    "anomaly_mad_events",
+    "ewma_user_value",
+    "pagerank_event_transitions",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# four r3 holdovers deferred this round, then the r4-era tail — so the
+# round-9 rotation is again a window swap rather than a reshuffle.
+_NEXT_WINDOW: list[str] = [
+    "shuffle_shards_deterministic",
     "split_train_val_test",
+    "sample_weighted_docs",
+    "text_token_encode",
+    "scd2_intervals",
+    "topn_orders_per_customer",
+    "array_agg_orderkeys",
+    "funnel_view_click_purchase",
+    "null_safe_join_brands",
+    "multi_distinct_aggs",
+    "embedding_norm_stats",
+    "histogram_prices",
+    "hash_sample_orders",
+    "percentile_by_priority",
+    "window_first_last",
+    "set_except_all_keys",
+    "approx_quantile_value",
+    "source_mixture_weights",
+    "sample_token_budget",
+    "quality_filter_cascade",
+    "bpe_pair_merges",
+    "cohort_retention",
+    "attribution_first_touch",
+    "funnel_latency_percentiles",
+    "time_weighted_avg_value",
+    "gaps_islands_activity",
+    "exists_over_balance",
+    "skyline_orders",
+    "map_agg_event_counts",
+    "mode_return_priority",
+    "web_url_canonicalize",
+    "web_domain_caps",
+    "web_blocklist_filter",
+    "hashed_feature_buckets",
+    "dq_expectations",
+    "running_distinct_users",
+    "ship_delay_by_priority",
+    "rolling_7d_active_users",
+    "window_distribution_funcs",
+    "skew_profile",
 ]
 
 

@@ -1984,8 +1984,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr_all = per_doc.select(
         "doc_id", F.transform("toks", lambda t: t["shh"]).alias("shs")
     )
+    # The emitted predicate is round(jaccard, 6) >= 0.8, which accepts
+    # any true jaccard >= 0.7999995 (HALF_UP at the 6th decimal). All
+    # three pruning filters below are therefore derived from the
+    # EFFECTIVE threshold t' = 0.7999995 = 1599999/2000000 — exact
+    # integer arithmetic, 64-bit literals — so they are unconditionally
+    # exact w.r.t. the rounded predicate (no reliance on a corpus-size
+    # bound; a pair with true jaccard in [0.7999995, 0.8) survives).
     n = F.size("shs")
-    pref_len = (n - F.expr("(8 * size(shs) + 9) div 10") + 1).cast("int")
+    pref_len = (n - F.expr("(1599999L * size(shs) + 1999999) div 2000000") + 1).cast("int")
     # Prefix tokens with their 1-based sorted position and the doc's
     # shingle count: the positional/length filters below need (pos, n)
     # on both join sides.
@@ -2000,23 +2007,24 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix.alias("b"),
             (F.col("a.shh") == F.col("b.shh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # Length filter: jaccard >= 0.8 forces the doc sizes within
-            # [0.8x, 1.25x] of each other (5*min >= 4*max).
-            & (F.col("a.n") * 4 <= F.col("b.n") * 5)
-            & (F.col("b.n") * 4 <= F.col("a.n") * 5)
+            # Length filter: true jaccard >= t' forces the doc sizes
+            # within [t'x, x/t'] of each other (min >= t' * max).
+            & F.expr("a.n * 1599999L <= b.n * 2000000L")
+            & F.expr("b.n * 1599999L <= a.n * 2000000L")
             # Positional filter: both arrays share one global
             # (df, shh) sort order, so a collision at positions
             # (i, j) bounds the intersection by 1 + min(na-i, nb-j);
-            # jaccard >= 0.8 needs i >= ceil(4*(na+nb)/9). A pair
-            # survives if ANY of its collisions passes — a superset of
-            # classic first-collision PPJoin, still exact.
+            # jaccard >= t' needs i >= ceil(t'*(na+nb)/(1+t')) with
+            # t'/(1+t') = 1599999/3599999. A pair survives if ANY of
+            # its collisions passes — a superset of classic
+            # first-collision PPJoin, still exact.
             & (
                 F.lit(1)
                 + F.least(
                     F.col("a.n") - F.col("a.pos"),
                     F.col("b.n") - F.col("b.pos"),
                 )
-                >= F.expr("(4 * (a.n + b.n) + 8) div 9")
+                >= F.expr("(1599999L * (a.n + b.n) + 3599998) div 3599999")
             ),
         )
         .select(
