@@ -474,11 +474,9 @@ def _duck_ivf_sql(k: int = _IVF_NLIST, iters: int = _IVF_LLOYD_ITERS) -> str:
         f"round(list_sum(list_transform({rng}, "
         "i -> (t.v[i] - s.v[i]) * (t.v[i] - s.v[i]))), 6)"
     )
-    parts = [
-        "WITH pts AS (",
-        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
-        "  FROM embeddings",
-        "),",
+    from ._oracle_helpers import PTS_CTE_LINES, lloyd_iter_ctes
+
+    parts = PTS_CTE_LINES + [
         f"train AS (SELECT vec_id, v FROM pts WHERE vec_id < {_IVF_TRAIN_N}),",
         # Farthest-point (k-center greedy) seeding: seed 1 is the lowest
         # vec_id; each next seed maximizes its min rounded distance to
@@ -506,36 +504,7 @@ def _duck_ivf_sql(k: int = _IVF_NLIST, iters: int = _IVF_LLOYD_ITERS) -> str:
         "),",
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
-        parts += [
-            f"a{it} AS (",
-            f"  SELECT p.vec_id, p.v, c.cid, {dist} AS d",
-            f"  FROM train p CROSS JOIN {prev} c",
-            "),",
-            f"s{it} AS (",
-            "  SELECT vec_id, v, cid AS cluster FROM (",
-            "    SELECT vec_id, v, cid,",
-            "           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
-            f"    FROM a{it}",
-            "  ) WHERE rn = 1",
-            "),",
-            f"m{it} AS (",
-            # micro-unit update (operators/clustering.py): exact BIGINT
-            # sum then round(s/n)/1e6 — identical on both engines.
-            "  SELECT cluster AS cid, i,",
-            "         round(sum(CAST(round(v[i] * 1000000) AS BIGINT))"
-            " / count(*)) / 1000000.0 AS m",
-            f"  FROM s{it}, UNNEST({rng}) AS t(i)",
-            "  GROUP BY cluster, i",
-            "),",
-            f"c{it} AS (",
-            f"  SELECT {prev}.cid,",
-            f"         coalesce(n.cv, {prev}.cv) AS cv",
-            f"  FROM {prev} LEFT JOIN (",
-            f"    SELECT cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY cid",
-            "  ) n USING (cid)",
-            "),",
-        ]
+        parts += lloyd_iter_ctes(it, "train", dist, rng)
     parts += [
         "afin AS (",
         "  SELECT vec_id, v, cid AS cluster FROM (",
@@ -1148,11 +1117,9 @@ def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         f"round(list_sum(list_transform({rng}, "
         "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))), 6)"
     )
-    parts = [
-        "WITH pts AS (",
-        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
-        "  FROM embeddings",
-        "),",
+    from ._oracle_helpers import PTS_CTE_LINES, lloyd_iter_ctes
+
+    parts = PTS_CTE_LINES + [
         "c0 AS (",
         "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,",
         "         list_transform(v, x -> round(x, 6)) AS cv",
@@ -1160,38 +1127,7 @@ def _duck_kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         "),",
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
-        parts += [
-            f"a{it} AS (",
-            f"  SELECT p.vec_id, p.v, c.cid, {dist} AS d",
-            f"  FROM pts p CROSS JOIN {prev} c",
-            "),",
-            f"s{it} AS (",
-            "  SELECT vec_id, v, cid AS cluster FROM (",
-            "    SELECT vec_id, v, cid,",
-            "           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn",
-            f"    FROM a{it}",
-            "  ) WHERE rn = 1",
-            "),",
-            f"m{it} AS (",
-            # micro-unit update (see operators/clustering.py): exact
-            # BIGINT sum, then round(s/n)/1e6 — identical integers on
-            # both engines, so no aggregation-order drift can cross a
-            # rounding boundary.
-            "  SELECT cluster AS cid, i,",
-            "         round(sum(CAST(round(v[i] * 1000000) AS BIGINT))"
-            " / count(*)) / 1000000.0 AS m",
-            f"  FROM s{it}, UNNEST({rng}) AS t(i)",
-            "  GROUP BY cluster, i",
-            "),",
-            f"c{it} AS (",
-            f"  SELECT {prev}.cid,",
-            f"         coalesce(n.cv, {prev}.cv) AS cv",
-            f"  FROM {prev} LEFT JOIN (",
-            f"    SELECT cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY cid",
-            "  ) n USING (cid)",
-            "),",
-        ]
+        parts += lloyd_iter_ctes(it, "pts", dist, rng)
     parts += [
         "fin AS (",
         f"  SELECT p.vec_id, c.cid, {dist} AS d",
