@@ -7,12 +7,15 @@ exactly ONE JSON line:
 
 Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
-collect-to-driver or disk cost), best of 2 runs so one GC pause or
-compile hiccup can't skew a round-over-round comparison; when the two
-runs disagree by more than 1.5x AND more than 0.2 s absolute (the
-signature of ambient load on a query big enough for it to matter,
-which back-to-back runs don't defend against) a third attempt is taken
-and the minimum kept. Session startup is excluded.
+collect-to-driver or disk cost). Reps: 2 pass-separated runs; queries
+under 1.2 s get 7 total (scheduler jitter is a large fraction of their
+runtime — single-shot readings produced phantom 1.3-1.5x regressions
+in rounds 6-7), 1.2-3 s get 5; queries over 3 s whose two runs
+disagree by >1.5x and >0.2 s get a tie-breaking third. Per-query
+value = MIN across reps
+(contention only adds time; keeps comparability with
+BENCH_BASELINE.json); median/IQR/rep-count are published per query
+under "query_stats". Session startup is excluded.
 
 Usage: python bench.py [query ...]
 """
@@ -128,7 +131,7 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def time_set(qnames: list[str]) -> dict[str, float]:
+    def time_set(qnames: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
         # Best-of-2 with the two attempts separated by a FULL pass over
         # the set, not back-to-back: ambient host contention on this VM
         # varies on a minutes timescale (uniform 1.4-1.9x inflation of
@@ -141,20 +144,49 @@ def main() -> int:
                 runs[name].append(time_one(name))
         for name in qnames:
             r = runs[name]
+            # Sub-second queries are where single-shot noise has twice
+            # produced phantom 1.3-1.5x "regressions" that repeated
+            # timings rebutted (rounds 6-7 triage): scheduler jitter of
+            # ~0.1-0.2 s is a large FRACTION of a 0.3 s query. Take 7
+            # total reps so the published min/median are stable
+            # round-over-round (cheap: 5 extra sub-second runs). The
+            # 1.2 s cutoff deliberately overshoots "sub-second" so
+            # threshold-straddling queries (equidepth_histogram sits
+            # at ~0.9-1.1 s) don't fall back to 2 noisy reps.
+            if min(r) < 1.2:
+                r.extend(time_one(name) for _ in range(5))
+            # The 1.2-3 s mid-range is the next noisiest class (2-3
+            # reps left dedup_minhash_lsh/bpe_pair_merges 1.4-1.6x
+            # apart across consecutive round-8 runs): 5 total reps.
+            elif min(r) < 3.0:
+                r.extend(time_one(name) for _ in range(3))
             # >1.5x apart means one attempt was measured under ambient
             # load — take a tie-breaking third before keeping the min.
-            if max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
+            elif max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
                 r.append(time_one(name))
-        return {n: round(min(r), 3) for n, r in runs.items()}
+        # Headline per-query stat stays MIN (ambient contention only
+        # ever ADDS time on this shared host, so min is the estimator
+        # closest to the query's true cost, and it keeps round-over-
+        # round comparability with BENCH_BASELINE.json). Median and
+        # IQR are published alongside so each artifact carries its own
+        # dispersion evidence.
+        stats = {}
+        for n, r in runs.items():
+            s = sorted(r)
+            k = len(s)
+            med = s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
+            iqr = s[(3 * k) // 4] - s[k // 4] if k >= 4 else max(s) - min(s)
+            stats[n] = {"median": round(med, 3), "iqr": round(iqr, 3), "reps": k}
+        return {n: round(min(r), 3) for n, r in runs.items()}, stats
 
     def cpu_ticks() -> list[int]:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:]]
 
     ticks0 = cpu_ticks()
-    timings = time_set(names)
+    timings, stats = time_set(names)
     total = round(sum(timings.values()), 3)
-    ext_timings = time_set(extended)
+    ext_timings, ext_stats = time_set(extended)
     ticks1 = cpu_ticks()
     # Ambient-interference telemetry: on this shared-host VM the
     # hypervisor steals cycles under sustained full-width load
@@ -195,7 +227,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "extended_queries": ext_timings,
+                "extended_query_stats": ext_stats,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf_val,
                 "steal_pct": steal_pct,

@@ -167,6 +167,13 @@ from . import decorrelation_queries  # noqa: E402,F401
 #      integer/key/seeded-md5 outputs with no float surface,
 #      definitions hash-unchanged since their green rows, and all
 #      covered by the full local gate this round.
+# Late-round amendment: the streaming-replay harness was re-staged this
+# round (single partitionBy write, sentinel riding tick 2, state
+# partitions 32->8 — verdict item 6), so sessionize_stream_replay and
+# stream_join_replay re-enter the window for re-proof despite their r7
+# green rows, displacing the two lowest-risk remaining r3 holdovers
+# (set_intersect_all_keys, chain_components_recursive — integer-key
+# outputs, definitions unchanged).
 # Freshness is now enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash against
 # tools/window_freshness.json and fails if a changed or never-proven
@@ -174,6 +181,8 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    "sessionize_stream_replay",
+    "stream_join_replay",
     "anti_join_customers",
     "mutual_information_event_value",
     "dedup_prefix_filter_jaccard",
@@ -217,10 +226,8 @@ _DRIVER_WINDOW = [
     "pack_sequences",
     "decontaminate_ngram_overlap",
     "text_repetition_quality",
-    "set_intersect_all_keys",
     "window_time_range_sum",
     "ratio_to_report",
-    "chain_components_recursive",
     "anomaly_mad_events",
     "ewma_user_value",
     "pagerank_event_transitions",
@@ -230,6 +237,8 @@ _DRIVER_WINDOW = [
 # four r3 holdovers deferred this round, then the r4-era tail — so the
 # round-9 rotation is again a window swap rather than a reshuffle.
 _NEXT_WINDOW: list[str] = [
+    "set_intersect_all_keys",
+    "chain_components_recursive",
     "shuffle_shards_deterministic",
     "split_train_val_test",
     "sample_weighted_docs",

@@ -74,15 +74,21 @@ _TICK_SCHEMA = "event_id long, ts_us long, user_id long, event_type string, valu
 
 def _stage_ticks(spark: SparkSession, sf_dir: str, sentinel: bool) -> tuple[str, str, str]:
     """Write the events table as two time-split JSON ticks (plus an
-    optional far-future sentinel tick) into a fresh temp dir; returns
+    optional far-future sentinel row) into a fresh temp dir; returns
     (input_dir, output_dir, checkpoint_dir).
 
-    The split/write runs distributed (coalesce(1) only binds the final
-    JSON serialization of each half); the sole driver-side collect is
-    the 1-row min/max bounds — model-sized, like the k-means centroids.
-    File mtimes are stamped in tick order because the file source
-    processes oldest-first; the final result is split-order-independent
-    anyway (module docstring), this just keeps the replay faithful.
+    The split/write runs distributed as ONE job: `partitionBy("tick")`
+    splits both halves in a single scan (round 7 staged each half with
+    its own coalesce(1) write = two scans + two jobs; staging was ~40%
+    of the replay floor). Each tick directory gets exactly one part
+    file per writing task that holds that tick value — `repartition(2,
+    "tick")` bounds that at one — and the file source needs one file
+    per tick for `maxFilesPerTrigger=1` to mean one micro-batch per
+    tick. The sole driver-side collect is the 1-row min/max bounds —
+    model-sized, like the k-means centroids. File mtimes are stamped in
+    tick order because the file source processes oldest-first; the
+    final result is split-order-independent anyway (module docstring),
+    this just keeps the replay faithful.
     """
     base = tempfile.mkdtemp(prefix="cph_stream_replay_")
     in_dir = os.path.join(base, "in")
@@ -109,25 +115,46 @@ def _stage_ticks(spark: SparkSession, sf_dir: str, sentinel: bool) -> tuple[str,
     cutoff = (lo + hi) // 2
 
     now = time.time()
-    ticks = [ev.filter(F.col("ts_us") < cutoff), ev.filter(F.col("ts_us") >= cutoff)]
-    for i, tick in enumerate(ticks, start=1):
-        stage = os.path.join(base, f"stage{i}")
-        tick.coalesce(1).write.json(stage)
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+    stage = os.path.join(base, "stage")
+    (
+        ev.withColumn(
+            "tick", F.when(F.col("ts_us") < cutoff, F.lit(1)).otherwise(F.lit(2))
+        )
+        .repartition(2, "tick")
+        .write.partitionBy("tick")
+        .json(stage)
+    )
+    for i in (1, 2):
+        tick_dir = os.path.join(stage, f"tick={i}")
         dst = os.path.join(in_dir, f"{i:02d}.json")
-        shutil.move(os.path.join(stage, part), dst)
+        # A degenerate corpus (every event at one timestamp — the
+        # tinyboost class) leaves tick 1 empty; partitionBy writes no
+        # directory for an absent value, so stage an empty tick file
+        # (a 0-row micro-batch, same as the old per-tick empty write).
+        if os.path.isdir(tick_dir):
+            part = next(f for f in os.listdir(tick_dir) if f.startswith("part-"))
+            shutil.move(os.path.join(tick_dir, part), dst)
+        else:
+            open(dst, "w").close()
         os.utime(dst, (now - 60 + i * 10, now - 60 + i * 10))
     if sentinel:
         # One fake far-future row (user_id -1, filtered out of the
         # result) advances the watermark past every real session so the
-        # final no-data micro-batch flushes the state store.
-        dst = os.path.join(in_dir, "99.json")
-        with open(dst, "w") as f:
+        # final no-data micro-batch flushes the state store. Appended
+        # to the LAST tick's file rather than staged as its own tick:
+        # the watermark update happens at micro-batch end either way,
+        # and the no-data batch does the flush — one fewer stateful
+        # micro-batch (32 fewer state-store tasks at the old pinning).
+        tick2 = os.path.join(in_dir, "02.json")
+        with open(tick2, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            ends_nl = f.read(1) == b"\n"
+        with open(tick2, "a") as f:
             f.write(
-                '{"event_id": -1, "ts_us": %d, "user_id": -1, '
-                '"event_type": "sentinel", "value": 0.0}' % (hi + 60 * 86400 * _US)
+                '%s{"event_id": -1, "ts_us": %d, "user_id": -1, '
+                '"event_type": "sentinel", "value": 0.0}\n'
+                % ("" if ends_nl else "\n", hi + 60 * 86400 * _US)
             )
-        os.utime(dst, (now - 60 + 40, now - 60 + 40))
     return in_dir, os.path.join(base, "out"), os.path.join(base, "ckpt")
 
 
@@ -140,7 +167,7 @@ def _read_tick_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-_REPLAY_STATE_PARTITIONS = 32
+_REPLAY_STATE_PARTITIONS = 8
 
 
 def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str):
@@ -153,10 +180,12 @@ def _drain(stream_df: DataFrame, out_dir: str, ckpt_dir: str):
     micro-batch then runs that many state-store tasks. The replay's
     state is testdata-sized, so a session at Spark's default 200
     multiplies pure task-launch overhead: measured at sf0.01, 200
-    partitions took 24 s (sessions) / 43 s (join) vs 13 s each at 32.
-    Pin the replay to min(session, 32) for its own run and restore the
-    session conf after — a production streaming job sizes state
-    partitions to its cluster; this pins only the replay harness.
+    partitions took 24 s (sessions) / 43 s (join) vs 13 s each at 32,
+    and 8 shaves the floor further (round-8 measurements in
+    ROUND8_NOTES.md) while still exercising multi-partition state
+    merge. Pin the replay to min(session, 8) for its own run and
+    restore the session conf after — a production streaming job sizes
+    state partitions to its cluster; this pins only the replay harness.
     """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
@@ -275,7 +304,9 @@ FROM s GROUP BY user_id, sidx
 """,
     doc="REAL Structured Streaming session_window run (streaming/"
     "sessions.py semantics): events stream in as two time-split "
-    "micro-batches + a sentinel flush tick; native gap sessionization "
+    "micro-batches (a far-future sentinel row rides the second tick "
+    "to advance the watermark; the final no-data micro-batch flushes "
+    "state); native gap sessionization "
     "merges cross-batch state in the state store; the drained parquet "
     "sink must equal DuckDB's batch gaps-and-islands closure "
     "(session_end = last event + gap; an event at exactly the gap "

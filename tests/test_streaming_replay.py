@@ -140,10 +140,11 @@ def test_session_window_gap_boundary_extends(spark, tmp_path):
 def test_replay_runs_multiple_stateful_micro_batches(spark):
     """Engine-level evidence that the replays exercise REAL cross-batch
     streaming state (not a single-batch batch-equivalent): the drained
-    session query must have run one micro-batch per tick file (2 ticks +
-    sentinel) plus the watermark-flush no-data batch, with state-store
-    rows carried between batches; the join query must run its two ticks
-    through a symmetric stateful join."""
+    session query must have run one micro-batch per tick file (2 ticks;
+    the sentinel flush row rides tick 2 since round 8) plus the
+    watermark-flush no-data batch, with state-store rows carried
+    between batches; the join query must run its two ticks through a
+    symmetric stateful join."""
     from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.streaming_replay_queries import (
         _drain,
         _join_streams,
@@ -155,7 +156,7 @@ def test_replay_runs_multiple_stateful_micro_batches(spark):
     q = _drain(_session_stream(spark, in_dir), out_dir, ckpt)
     progress = [p for p in q.recentProgress if p is not None]
     data_batches = [p for p in progress if p["numInputRows"] > 0]
-    assert len(data_batches) >= 3  # tick1, tick2, sentinel — one batch each
+    assert len(data_batches) >= 2  # tick1, tick2(+sentinel) — one batch each
     state = [
         op
         for p in progress
