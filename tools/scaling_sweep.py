@@ -72,6 +72,25 @@ SUPERLINEAR_EXPECTED = {
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--extra-sf",
+        default="0.3",
+        help="one more scale decade run only for the costliest queries "
+        "(resolved through the replica generator if the driver has no "
+        "such dir); pass '' to skip",
+    )
+    ap.add_argument(
+        "--extra-top",
+        type=int,
+        default=10,
+        help="how many of the most-expensive-at-sf0.1 queries get the "
+        "extra-sf column",
+    )
+    args = ap.parse_args()
+
     from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
     from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
 
@@ -81,41 +100,69 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    def time_best2(q: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     for sf in SFS:
         sf_dir = resolve_sf(str(sf))
         for q in QUERIES:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            results[q][sf] = best
+            results[q][sf] = time_best2(q, sf_dir)
 
+    # One more decade for the most expensive queries: sf0.001->0.1
+    # ratios can flatter a plan while fixed overhead dominates; the
+    # extra step checks the growth rate where data actually dominates.
+    extra: dict[str, float] = {}
+    extra_sf = args.extra_sf
+    if extra_sf:
+        top = sorted(QUERIES, key=lambda q: -results[q]["0.1"])[: args.extra_top]
+        sf_dir = resolve_sf(extra_sf)
+        for q in top:
+            extra[q] = time_best2(q, sf_dir)
+
+    step = float(extra_sf) / 0.1 if extra_sf else None
     print("# SCALING_SWEEP — measured wall time across scale factors\n")
     print(
         "Best-of-2 full materialization (noop sink) per query per SF on "
         "local[32]. `x10 ratio` = t(sf0.1)/t(sf0.01) over a 10x data "
         "step: << 10 means fixed overhead still dominates, ~10 is "
         "linear-in-data, > 10 is super-linear and annotated with why. "
+        f"The {args.extra_top} costliest queries get one more decade "
+        f"(sf{extra_sf}, replica data): `x{step:g} ratio` compares to "
+        f"the linear expectation {step:g}. "
         "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
     )
-    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | x10 ratio | note |")
-    print("|---|---|---|---|---|---|")
+    print(
+        f"| query | sf0.001 s | sf0.01 s | sf0.1 s | x10 ratio "
+        f"| sf{extra_sf} s | x{step:g} ratio | note |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     flagged = 0
     for q in QUERIES:
         r = results[q]
         ratio = r["0.1"] / r["0.01"] if r["0.01"] > 0 else float("nan")
         note = ""
-        if ratio > 10:
+        superlinear = ratio > 10
+        if q in extra:
+            eratio = extra[q] / r["0.1"] if r["0.1"] > 0 else float("nan")
+            ecols = f" {extra[q]:.2f} | {eratio:.1f} |"
+            superlinear = superlinear or (step and eratio > step)
+        else:
+            ecols = " — | — |"
+        if superlinear:
             note = SUPERLINEAR_EXPECTED.get(q, "**UNEXPECTED super-linear**")
             if q not in SUPERLINEAR_EXPECTED:
                 flagged += 1
         print(
             f"| {q} | {r['0.001']:.2f} | {r['0.01']:.2f} | {r['0.1']:.2f} "
-            f"| {ratio:.1f} | {note} |"
+            f"| {ratio:.1f} |{ecols} {note} |"
         )
     print(
         f"\nUnexpected super-linear queries: **{flagged}**"
