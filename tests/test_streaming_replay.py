@@ -306,3 +306,42 @@ def test_stage_ticks_quarantines_pre_epoch_and_epoch_zero(spark, tmp_path):
         assert all(r["ts_us"] > 0 for r in staged)
     finally:
         _cleanup_staging(os.path.dirname(in_dir))
+
+
+def test_stage_ticks_single_timestamp_corpus(spark, tmp_path):
+    """Degenerate corpus: every event at ONE timestamp. The time-split
+    cutoff lands on that instant, so tick 1 is empty — partitionBy
+    writes no directory for an absent value and the stager must supply
+    an empty tick file (a 0-row micro-batch) so the replay still drains
+    and equals the batch closure (here: one session per user)."""
+    import os
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.streaming_replay_queries import (
+        _drain,
+        _session_stream,
+        _stage_ticks,
+    )
+
+    src = tmp_path / "sf-degen"
+    src.mkdir()
+    one_ts = "2026-08-15 12:00:00"
+    spark.range(0, 6).select(
+        F.col("id").alias("event_id"),
+        F.lit(one_ts).cast("timestamp").alias("ts"),
+        (F.col("id") % 2).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    ).write.parquet(str(src / "events.parquet"))
+    # the loader's replica fallback needs the sentinel table present
+    spark.range(1).selectExpr("id AS l_orderkey").write.parquet(
+        str(src / "lineitem.parquet")
+    )
+
+    in_dir, out_dir, ckpt = _stage_ticks(spark, str(src), sentinel=True)
+    files = sorted(os.listdir(in_dir))
+    assert files == ["01.json", "02.json"]
+    assert os.path.getsize(os.path.join(in_dir, "01.json")) == 0  # empty tick
+    _drain(_session_stream(spark, in_dir), out_dir, ckpt)
+    out = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    got = _rows(out, ["user_id", "n_events"])
+    assert got == [(0, 3), (1, 3)]  # one session per user, all events in it
