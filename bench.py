@@ -142,27 +142,31 @@ def main() -> int:
         for _pass in range(2):
             for name in qnames:
                 runs[name].append(time_one(name))
+        # Short queries are where single-shot noise has twice produced
+        # phantom 1.3-1.5x "regressions" that repeated timings rebutted
+        # (rounds 6-7 triage): scheduler jitter of ~0.1-0.2 s is a
+        # large FRACTION of a 0.3 s query. Take 7 total reps under
+        # 1.2 s (the cutoff deliberately overshoots "sub-second" so
+        # threshold-straddlers like equidepth_histogram don't fall back
+        # to 2 noisy reps) and 5 total in the 1.2-3 s mid-range (2-3
+        # reps left dedup_minhash_lsh/bpe_pair_merges 1.4-1.6x apart
+        # across consecutive round-8 runs). The extra reps run as
+        # INTERLEAVED passes over the whole set, like the first two —
+        # back-to-back reps of one query would all share the same
+        # multi-minute ambient-contention window, making the published
+        # median/IQR report a contended value as the stable center.
+        extra = {n: (5 if min(r) < 1.2 else 3 if min(r) < 3.0 else 0)
+                 for n, r in runs.items()}
+        for _pass in range(max(extra.values(), default=0)):
+            for name in qnames:
+                if extra[name] > _pass:
+                    runs[name].append(time_one(name))
         for name in qnames:
             r = runs[name]
-            # Sub-second queries are where single-shot noise has twice
-            # produced phantom 1.3-1.5x "regressions" that repeated
-            # timings rebutted (rounds 6-7 triage): scheduler jitter of
-            # ~0.1-0.2 s is a large FRACTION of a 0.3 s query. Take 7
-            # total reps so the published min/median are stable
-            # round-over-round (cheap: 5 extra sub-second runs). The
-            # 1.2 s cutoff deliberately overshoots "sub-second" so
-            # threshold-straddling queries (equidepth_histogram sits
-            # at ~0.9-1.1 s) don't fall back to 2 noisy reps.
-            if min(r) < 1.2:
-                r.extend(time_one(name) for _ in range(5))
-            # The 1.2-3 s mid-range is the next noisiest class (2-3
-            # reps left dedup_minhash_lsh/bpe_pair_merges 1.4-1.6x
-            # apart across consecutive round-8 runs): 5 total reps.
-            elif min(r) < 3.0:
-                r.extend(time_one(name) for _ in range(3))
-            # >1.5x apart means one attempt was measured under ambient
-            # load — take a tie-breaking third before keeping the min.
-            elif max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
+            # >1.5x apart on a 3s+ query means one attempt was measured
+            # under ambient load — take a tie-breaking third before
+            # keeping the min.
+            if len(r) == 2 and max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
                 r.append(time_one(name))
         # Headline per-query stat stays MIN (ambient contention only
         # ever ADDS time on this shared host, so min is the estimator

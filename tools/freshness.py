@@ -63,11 +63,6 @@ ROUND_REVS = {
     7: "6609c87",
 }
 
-_IMPORT_RE = re.compile(
-    rf"from (?:\.\.|{PKG}\.)([A-Za-z_][\w.]*) import"
-)
-
-
 def _module_file(pkg_root: Path, dotted: str) -> Path | None:
     """``operators.dedup`` -> operators/dedup.py or operators/dedup/__init__.py."""
     rel = dotted.replace(".", "/")
@@ -77,20 +72,83 @@ def _module_file(pkg_root: Path, dotted: str) -> Path | None:
     return None
 
 
-def _toplevel_engine_imports(module_path: Path) -> set[str]:
-    """Dotted engine-module names imported at a workload module's top level."""
-    tree = ast.parse(module_path.read_text())
+def _imports_in_nodes(nodes, cur_pkg: list[str]) -> set[str]:
+    """Package-relative dotted names of first-party modules imported by
+    the given AST nodes, resolved from ALL import forms: relative
+    ``from ..X.Y import`` / ``from .X import`` / ``from .. import X``
+    (level arithmetic against ``cur_pkg``, the importing module's
+    package location), and absolute ``from <pkg>.X import`` /
+    ``import <pkg>.X`` / ``from <pkg> import X``. Names that do not
+    resolve to a module file under the package (e.g. ``from . import
+    load`` — a function) are dropped downstream via _module_file."""
     out: set[str] = set()
-    for node in tree.body:
-        if isinstance(node, ast.ImportFrom) and node.module:
-            if node.level == 2:  # from ..X import ...
-                out.add(node.module)
-            elif node.level == 0 and node.module.startswith(PKG + "."):
-                out.add(node.module[len(PKG) + 1 :])
-    return out
+    for node in nodes:
+        if isinstance(node, ast.ImportFrom):
+            if node.level > 0:
+                if node.level - 1 > len(cur_pkg):
+                    continue  # escapes the package root — not first-party
+                base = cur_pkg[: len(cur_pkg) - (node.level - 1)]
+                if node.module:
+                    out.add(".".join(base + node.module.split(".")))
+                else:  # from <base> import X, Y — X, Y may be modules
+                    out.update(".".join(base + [a.name]) for a in node.names)
+            elif node.module:
+                if node.module == PKG:
+                    out.update(a.name for a in node.names)
+                elif node.module.startswith(PKG + "."):
+                    out.add(node.module[len(PKG) + 1 :])
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG + "."):
+                    out.add(a.name[len(PKG) + 1 :])
+    return {d for d in out if d}
+
+
+def _pkg_location(module_path: Path, pkg_root: Path) -> list[str]:
+    """The package a module's relative imports resolve against: for
+    x/y.py the containing package ['x']; for x/__init__.py the package
+    itself ['x'] (both are ``rel.parts[:-1]``)."""
+    return list(module_path.relative_to(pkg_root).parts[:-1])
+
+
+def _is_engine_dep(dotted: str) -> bool:
+    """Workload modules are registries of MANY entries (and import each
+    other for shared helpers); hashing a whole sibling registry into an
+    entry's definition would flip ~all entries on every unrelated edit.
+    Per-entry workload drift is already captured by the fn source and
+    the materialized oracle string (which embeds any cross-module
+    oracle composition), so the dep closure covers engine modules
+    only. Cross-module Spark-side helper calls remain the documented
+    intra-registry limitation, covered behaviorally by the local
+    175-entry gate."""
+    return dotted != "workload" and not dotted.startswith("workload.")
+
+
+def _transitive_deps(direct: set[str], pkg_root: Path) -> set[str]:
+    """Close the dep set over first-party imports: an entry depending
+    on operators/dedup.py also depends on everything dedup.py imports
+    (e.g. plans.materialize_once) — a semantic fix there changes the
+    entry's behavior just as surely. Round 8's review caught that the
+    direct-only hash left this gap open."""
+    seen: set[str] = set()
+    frontier = {d for d in direct if _is_engine_dep(d) and _module_file(pkg_root, d)}
+    while frontier:
+        dep = frontier.pop()
+        if dep in seen:
+            continue
+        seen.add(dep)
+        f = _module_file(pkg_root, dep)
+        if f is None:
+            continue
+        tree = ast.parse(f.read_text())
+        for sub in _imports_in_nodes(ast.walk(tree), _pkg_location(f, pkg_root)):
+            if sub not in seen and _is_engine_dep(sub) and _module_file(pkg_root, sub):
+                frontier.add(sub)
+    return seen
 
 
 def compute_hashes(repo: Path) -> dict[str, str]:
+    repo = repo.resolve()
     sys.path.insert(0, str(repo))
     import importlib
     import inspect
@@ -112,13 +170,21 @@ def compute_hashes(repo: Path) -> dict[str, str]:
         src = inspect.getsource(fn)
         mod_file = Path(inspect.getsourcefile(fn))
         mod_key = str(mod_file)
+        cur_pkg = _pkg_location(mod_file, pkg_root)
         if mod_key not in module_imports:
-            module_imports[mod_key] = _toplevel_engine_imports(mod_file)
-        deps = set(module_imports[mod_key])
-        deps |= {m.group(1) for m in _IMPORT_RE.finditer(src)}
-        # `from . import load, register` style (workload-internal) is
-        # level-1 and deliberately excluded: the shared loader is part
-        # of the harness, not a per-entry definition.
+            # Module TOP-LEVEL imports apply to every entry the module
+            # defines; imports inside OTHER functions of the module do
+            # not (per-entry precision — a dep used only by a sibling
+            # query must not flip this entry's hash).
+            tree = ast.parse(mod_file.read_text())
+            module_imports[mod_key] = _imports_in_nodes(tree.body, cur_pkg)
+        direct = set(module_imports[mod_key])
+        # Imports anywhere inside THIS entry's function (any form —
+        # full AST walk of the fn source, not a regex).
+        direct |= _imports_in_nodes(ast.walk(ast.parse(src)), cur_pkg)
+        # Harness names that do not resolve to module files (e.g.
+        # `from . import load, register`) drop out inside the closure.
+        deps = _transitive_deps(direct, pkg_root)
         parts = [src, spec.oracle or ""]
         parts += [f"{d}\x00{module_src(d)}" for d in sorted(deps)]
         hashes[name] = hashlib.sha256("\x00\x01".join(parts).encode()).hexdigest()
@@ -144,23 +210,33 @@ def newest_green_rounds(repo: Path) -> dict[str, int]:
 
 
 def _hashes_at_rev(rev: str) -> dict[str, str]:
-    wt = Path(f"/tmp/freshness_wt_{rev}")
-    subprocess.run(
-        ["git", "worktree", "add", "--detach", str(wt), rev],
-        cwd=REPO, check=True, capture_output=True,
-    )
+    import tempfile
+
+    # Fresh dir per call: a fixed path would collide with leftovers
+    # from a killed prior run (git refuses to add over a registered
+    # worktree) or a concurrent one.
+    wt = Path(tempfile.mkdtemp(prefix=f"freshness_wt_{rev}_")) / "tree"
+
+    def run(cmd, **kw):
+        r = subprocess.run(cmd, capture_output=True, text=True, **kw)
+        if r.returncode != 0:
+            raise SystemExit(
+                f"{' '.join(cmd)} failed (rc={r.returncode}):\n{r.stderr}"
+            )
+        return r
+
+    run(["git", "worktree", "add", "--detach", str(wt), rev], cwd=REPO)
     try:
-        out = subprocess.run(
+        out = run(
             [sys.executable, str(REPO / "tools" / "freshness.py"),
              "--dump", "--repo", str(wt)],
-            check=True, capture_output=True, text=True,
         )
         return json.loads(out.stdout)
     finally:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", str(wt)],
-            cwd=REPO, check=True, capture_output=True,
-        )
+        run(["git", "worktree", "remove", "--force", str(wt)], cwd=REPO)
+        import shutil
+
+        shutil.rmtree(wt.parent, ignore_errors=True)
 
 
 def build_baseline() -> None:
@@ -168,6 +244,14 @@ def build_baseline() -> None:
     by_round: dict[int, list[str]] = {}
     for name, rnd in newest.items():
         by_round.setdefault(rnd, []).append(name)
+    missing = sorted(set(by_round) - set(ROUND_REVS))
+    if missing:
+        raise SystemExit(
+            f"ROUND_REVS has no git rev for green round(s) {missing} — "
+            "a new CORRECTNESS_r*.json landed; add the round's verdict "
+            "commit to ROUND_REVS in tools/freshness.py, then rerun "
+            "--baseline."
+        )
     baseline: dict[str, dict] = {}
     for rnd, names in sorted(by_round.items()):
         rev = ROUND_REVS[rnd]

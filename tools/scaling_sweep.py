@@ -129,21 +129,27 @@ def main() -> int:
 
     step = float(extra_sf) / 0.1 if extra_sf else None
     print("# SCALING_SWEEP — measured wall time across scale factors\n")
+    extra_blurb = (
+        f"The {args.extra_top} costliest queries get one more decade "
+        f"(sf{extra_sf}, replica data): `x{step:g} ratio` compares to "
+        f"the linear expectation {step:g}. "
+        if extra_sf
+        else ""
+    )
     print(
         "Best-of-2 full materialization (noop sink) per query per SF on "
         "local[32]. `x10 ratio` = t(sf0.1)/t(sf0.01) over a 10x data "
         "step: << 10 means fixed overhead still dominates, ~10 is "
         "linear-in-data, > 10 is super-linear and annotated with why. "
-        f"The {args.extra_top} costliest queries get one more decade "
-        f"(sf{extra_sf}, replica data): `x{step:g} ratio` compares to "
-        f"the linear expectation {step:g}. "
-        "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
+        + extra_blurb
+        + "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
     )
+    extra_head = f"| sf{extra_sf} s | x{step:g} ratio " if extra_sf else ""
     print(
         f"| query | sf0.001 s | sf0.01 s | sf0.1 s | x10 ratio "
-        f"| sf{extra_sf} s | x{step:g} ratio | note |"
+        f"{extra_head}| note |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|" + ("---|---|" if extra_sf else "") + "---|")
     flagged = 0
     for q in QUERIES:
         r = results[q]
@@ -153,9 +159,12 @@ def main() -> int:
         if q in extra:
             eratio = extra[q] / r["0.1"] if r["0.1"] > 0 else float("nan")
             ecols = f" {extra[q]:.2f} | {eratio:.1f} |"
-            superlinear = superlinear or (step and eratio > step)
+            # Growth-vs-linear only means something on an UPWARD step:
+            # below sf0.1 fixed overhead dominates and the ratio floor
+            # sits near 1 regardless of the plan.
+            superlinear = superlinear or (step and step > 1 and eratio > step)
         else:
-            ecols = " — | — |"
+            ecols = " — | — |" if extra_sf else ""
         if superlinear:
             note = SUPERLINEAR_EXPECTED.get(q, "**UNEXPECTED super-linear**")
             if q not in SUPERLINEAR_EXPECTED:
