@@ -10,9 +10,9 @@ Timing is per-query wall clock around a full materialization
 collect-to-driver or disk cost). Reps: 2 pass-separated runs; queries
 under 1.2 s get 7 total (scheduler jitter is a large fraction of their
 runtime — single-shot readings produced phantom 1.3-1.5x regressions
-in rounds 6-7), 1.2-3 s get 5; queries over 3 s whose two runs
-disagree by >1.5x and >0.2 s get a tie-breaking third. Per-query
-value = MIN across reps
+in rounds 6-7), 1.2-3 s get 5, and 3 s+ get 3; the extra reps run as
+interleaved passes over the set so they don't share one ambient-
+contention window. Per-query value = MIN across reps
 (contention only adds time; keeps comparability with
 BENCH_BASELINE.json); median/IQR/rep-count are published per query
 under "query_stats". Session startup is excluded.
@@ -155,19 +155,15 @@ def main() -> int:
         # back-to-back reps of one query would all share the same
         # multi-minute ambient-contention window, making the published
         # median/IQR report a contended value as the stable center.
-        extra = {n: (5 if min(r) < 1.2 else 3 if min(r) < 3.0 else 0)
+        # Even the 3s+ tier gets one extra pass: two reps of
+        # triangle_count_coorder landed 1.38x apart across consecutive
+        # round-8 runs without tripping the old 1.5x tie-break rule.
+        extra = {n: (5 if min(r) < 1.2 else 3 if min(r) < 3.0 else 1)
                  for n, r in runs.items()}
         for _pass in range(max(extra.values(), default=0)):
             for name in qnames:
                 if extra[name] > _pass:
                     runs[name].append(time_one(name))
-        for name in qnames:
-            r = runs[name]
-            # >1.5x apart on a 3s+ query means one attempt was measured
-            # under ambient load — take a tie-breaking third before
-            # keeping the min.
-            if len(r) == 2 and max(r) > 1.5 * min(r) and max(r) - min(r) > 0.2:
-                r.append(time_one(name))
         # Headline per-query stat stays MIN (ambient contention only
         # ever ADDS time on this shared host, so min is the estimator
         # closest to the query's true cost, and it keeps round-over-
