@@ -88,3 +88,112 @@ def test_baseline_rounds_match_correctness_artifacts():
         "window_freshness.json is out of date (baseline round vs ledger): "
         f"{stale} — rerun `python tools/freshness.py --baseline`"
     )
+
+
+def test_import_resolution_covers_all_forms(tmp_path):
+    """The dependency extractor must resolve every Python import form —
+    a silently-ignored form would let engine drift pass the freshness
+    gate (round-8 review finding)."""
+    import ast
+
+    from freshness import PKG, _imports_in_nodes, _module_file
+
+    src = "\n".join(
+        [
+            "from ..operators.dedup import minhash_signature",   # rel dotted
+            "from ..plans import materialize_once",               # rel module
+            "from .. import schemas",                             # bare rel pkg
+            "from ._oracle_helpers import lloyd_iter_ctes",       # sibling
+            "from copenhagen_traffic_and_weather_etl_pipeline_spark.operators import flatten",
+            "from copenhagen_traffic_and_weather_etl_pipeline_spark import testdata",
+            "import copenhagen_traffic_and_weather_etl_pipeline_spark.sinks",
+            "import os",                                          # third-party: ignored
+            "from pyspark.sql import functions as F",             # third-party: ignored
+        ]
+    )
+    raw = _imports_in_nodes(ast.walk(ast.parse(src)), ["workload"])
+    # Imported NAMES that are functions (materialize_once, ...) are
+    # emitted as candidates and dropped by the same file-resolution
+    # filter the pipeline applies — assert on the resolved set.
+    pkg_root = REPO / PKG
+    got = {d for d in raw if _module_file(pkg_root, d)}
+    assert got == {
+        "operators.dedup",
+        "plans",
+        "schemas",
+        "workload._oracle_helpers",
+        "operators",           # the subpackage __init__
+        "operators.flatten",   # ...and the submodule actually imported
+        "testdata",
+        "sinks",
+    }
+
+
+def test_transitive_closure_reaches_indirect_engine_deps():
+    """operators/dedup.py imports from plans/ — an entry that imports
+    only operators.dedup must still hash plans' source (the round-7
+    asof-class blind spot the closure exists to cover). Workload
+    registry modules must stay excluded even when imported directly."""
+    from freshness import PKG, _transitive_deps
+
+    pkg_root = REPO / PKG
+    closure = _transitive_deps({"operators.dedup"}, pkg_root)
+    assert "operators.dedup" in closure
+    assert "plans" in closure, "indirect plans dep not reached"
+    assert not any(d == "workload" or d.startswith("workload.") for d in closure)
+
+    # A direct workload-module dep is dropped entirely (per-entry drift
+    # there is captured by fn source + materialized oracle instead).
+    assert _transitive_deps({"workload.extension_queries"}, pkg_root) == set()
+
+
+def test_hash_flips_on_dep_module_edit(tmp_path, monkeypatch):
+    """End-to-end on a synthetic package: editing a transitively-
+    imported engine module must flip an entry's hash even when the
+    entry's own source and direct import are untouched."""
+    import json
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
+    (pkg / "workload").mkdir(parents=True)
+    (pkg / "operators").mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "plans.py").write_text("def helper():\n    return 1\n")
+    (pkg / "operators" / "__init__.py").write_text("")
+    (pkg / "operators" / "op.py").write_text(
+        "from ..plans import helper\n\ndef run():\n    return helper()\n"
+    )
+    (pkg / "workload" / "__init__.py").write_text(
+        textwrap.dedent(
+            """
+            REGISTRY = {}
+
+            class Spec:
+                def __init__(self, fn):
+                    self.fn = fn
+                    self.oracle = "SELECT 1"
+
+            def q(spark, sf_dir):
+                from ..operators.op import run
+                return run()
+
+            REGISTRY["q"] = Spec(q)
+            """
+        )
+    )
+
+    def dump():
+        out = subprocess.run(
+            [_sys.executable, str(REPO / "tools" / "freshness.py"),
+             "--dump", "--repo", str(tmp_path)],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)
+
+    h1 = dump()["q"]
+    # Edit the INDIRECT dep only.
+    (pkg / "plans.py").write_text("def helper():\n    return 2\n")
+    h2 = dump()["q"]
+    assert h1 != h2, "indirect engine-module edit did not flip the hash"

@@ -82,21 +82,37 @@ def _imports_in_nodes(nodes, cur_pkg: list[str]) -> set[str]:
     resolve to a module file under the package (e.g. ``from . import
     load`` — a function) are dropped downstream via _module_file."""
     out: set[str] = set()
+
+    def add_from(mod: str | None, names) -> None:
+        # The imported names may themselves be modules (``from
+        # <pkg>.operators import flatten``) — emit both the module and
+        # each module.name candidate; names that are mere functions
+        # don't resolve to files and drop out at the _module_file
+        # filter downstream.
+        if mod:
+            out.add(mod)
+            out.update(f"{mod}.{a.name}" for a in names)
+        else:
+            out.update(a.name for a in names)
+
     for node in nodes:
         if isinstance(node, ast.ImportFrom):
             if node.level > 0:
                 if node.level - 1 > len(cur_pkg):
                     continue  # escapes the package root — not first-party
                 base = cur_pkg[: len(cur_pkg) - (node.level - 1)]
-                if node.module:
-                    out.add(".".join(base + node.module.split(".")))
-                else:  # from <base> import X, Y — X, Y may be modules
-                    out.update(".".join(base + [a.name]) for a in node.names)
+                mod = ".".join(base + node.module.split(".")) if node.module else (
+                    ".".join(base) if base else None
+                )
+                if node.module or base:
+                    add_from(mod, node.names)
+                else:  # from <root> import X — X must be a module
+                    out.update(a.name for a in node.names)
             elif node.module:
                 if node.module == PKG:
                     out.update(a.name for a in node.names)
                 elif node.module.startswith(PKG + "."):
-                    out.add(node.module[len(PKG) + 1 :])
+                    add_from(node.module[len(PKG) + 1 :], node.names)
         elif isinstance(node, ast.Import):
             for a in node.names:
                 if a.name.startswith(PKG + "."):
