@@ -238,6 +238,26 @@ def main() -> int:
             }
         )
     )
+    # Truncation-proof trailer (round-8 VERDICT: the driver keeps only
+    # the TAIL of stdout, and the full line above is ~6 KB, so a 2000-
+    # char capture window lost the headline total from BENCH_r08.json).
+    # This second line is <200 chars and contract-shaped, so any tail
+    # window that holds one full line holds the totals. Consumers that
+    # parse the FIRST json line are unaffected.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "sf": sf_val,
+                "extended_total": round(sum(ext_timings.values()), 3),
+                "steal_pct": steal_pct,
+                "trailer": True,
+            }
+        )
+    )
     return 0
 
 

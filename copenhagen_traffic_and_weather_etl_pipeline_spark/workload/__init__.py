@@ -137,106 +137,36 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 8's window, by the same policy (newest-green histogram after
-# r7: 21 entries at r2, 31 at r3, 34 at r4, 39 at r5, 50 at r7):
-#   1. anti_join_customers — its right side gained a >400k totalprice
-#      filter after the r7 gate ran, so its only green row (r2) covers
-#      a superseded definition; the single changed-and-unproven entry.
-#   2. mutual_information_event_value — the r7 -0.0-normalization
-#      change was deliberately deferred (r7 third amendment); its r5
-#      green row predates the change.
-#   3. dedup_prefix_filter_jaccard — its PPJoin length/positional
-#      filter constants were re-derived this round from the effective
-#      rounded threshold 0.7999995 (ADVICE r7), changing the fn source
-#      after its r7 green row.
-#   4-10. the seven entries the new freshness hash (tools/freshness.py:
-#      fn source + oracle + imported engine modules, computed at each
-#      entry's newest-green-round tree) flagged as changed-since-green
-#      that the round-7 hand rotation missed: ab_test_lift,
-#      local_supply_revenue, pmi_token_pairs, decontaminate_bloom
-#      (fn changed in the round-5 micro-unit sweep AFTER their r4 green
-#      rows — invisible to r7's current-vs-f0491d0 compare),
-#      json_extract (fn+oracle changed since its r5 green), and
-#      dedup_canonical_pick / dedup_incremental_replay (operators/dedup
-#      dependency drift from the r6/r7 hardening — the "asof blind
-#      spot" class).
-#   11-50. the staleness tail: all 20 remaining r2-era entries, then
-#      20 of the 31 r3-era entries. Changed-but-unproven outranks
-#      stale-but-unchanged, so the ten r3 entries deferred to round 9
-#      (heads of _NEXT_WINDOW) are the lowest-risk holdovers:
-#      integer/key/seeded-md5 outputs with no float surface,
-#      definitions hash-unchanged since their green rows, and all
-#      covered by the full local gate this round.
-# Late-round amendment: the streaming-replay harness was re-staged this
-# round (single partitionBy write, sentinel riding tick 2, state
-# partitions 32->8 — verdict item 6), so sessionize_stream_replay and
-# stream_join_replay re-enter the window for re-proof despite their r7
-# green rows, displacing the two lowest-risk remaining r3 holdovers
-# (set_intersect_all_keys, chain_components_recursive — integer-key
-# outputs, definitions unchanged).
-# Freshness is now enforced in CI: tests/test_window_freshness.py
+# Round 9's window, by the same policy (newest-green histogram after
+# r8's 50/50 gate: 12 entries at r3, 30 at r4, 36 at r5, 47 at r7,
+# 50 at r8 — tools/window_freshness.json is the machine-checked
+# ledger):
+#   1-2. dedup_prefix_filter_jaccard and dedup_method_eval — the ONLY
+#      changed-since-green entries (tools/freshness.py drift check):
+#      round 9 re-derived the ORACLE's prefix cut from the effective
+#      rounded threshold t' = 1599999/2000000 (ADVICE r8 — the Spark
+#      side already used it; the oracle kept the 0.8-derived cut,
+#      unreachable below ~400k shingles but a silent corpus-size
+#      assumption). dedup_method_eval embeds that oracle at import
+#      time, so its materialized oracle drifted with it.
+#   3-44. the staleness tail, verbatim the round-8 _NEXT_WINDOW order:
+#      the 12 r3-era entries, then all 30 r4-era entries — after this
+#      round's gate no pre-r5 evidence remains.
+#   45-50. six r5-era entries, highest-float-surface first (float and
+#      randomized outputs are where hash-compare drift risk lives;
+#      integer/key outputs are the safe holdovers):
+#      benford_price_digits, equidepth_histogram,
+#      kaplan_meier_retention, ngram_lm_perplexity,
+#      record_linkage_score, triangle_count_doulion.
+# Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash against
 # tools/window_freshness.json and fails if a changed or never-proven
 # entry is missing from this window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "sessionize_stream_replay",
-    "stream_join_replay",
-    "anti_join_customers",
-    "mutual_information_event_value",
     "dedup_prefix_filter_jaccard",
-    "ab_test_lift",
-    "local_supply_revenue",
-    "pmi_token_pairs",
-    "decontaminate_bloom",
-    "json_extract",
-    "dedup_canonical_pick",
-    "dedup_incremental_replay",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "kelvin_to_celsius",
-    "coord_concat",
-    "json_typed_agg",
-    "array_first_last",
-    "global_max_agg",
-    "date_roundtrip",
-    "top_orders",
-    "semi_join_customers",
-    "set_except_status",
-    "set_intersect_status",
-    "rollup_lineitem",
-    "pivot_event_counts",
-    "distinct_flags",
-    "dedup_resolve_clusters",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "text_pii_scrub",
-    "text_strip_hotwords",
-    "dedup_incremental",
     "dedup_method_eval",
-    "window_lead_lag",
-    "stratified_sample",
-    "salted_group_count",
-    "salted_join_segments",
-    "percentile_prices",
-    "approx_distinct_users",
-    "window_rank_suite",
-    "unpivot_lineitem_metrics",
-    "pack_sequences",
-    "decontaminate_ngram_overlap",
-    "text_repetition_quality",
-    "window_time_range_sum",
-    "ratio_to_report",
-    "anomaly_mad_events",
-    "ewma_user_value",
-    "pagerank_event_transitions",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# four r3 holdovers deferred this round, then the r4-era tail — so the
-# round-9 rotation is again a window swap rather than a reshuffle.
-_NEXT_WINDOW: list[str] = [
     "set_intersect_all_keys",
     "chain_components_recursive",
     "shuffle_shards_deterministic",
@@ -279,6 +209,49 @@ _NEXT_WINDOW: list[str] = [
     "rolling_7d_active_users",
     "window_distribution_funcs",
     "skew_profile",
+    "benford_price_digits",
+    "equidepth_histogram",
+    "kaplan_meier_retention",
+    "ngram_lm_perplexity",
+    "record_linkage_score",
+    "triangle_count_doulion",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 30 remaining r5-era entries (alphabetical within the round cohort) —
+# so the round-10 rotation is again a window swap, one round from full
+# r7+ freshness.
+_NEXT_WINDOW: list[str] = [
+    "assign_contiguous_ids",
+    "compaction_plan",
+    "countmin_token_counts",
+    "cube_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "fk_containment_profile",
+    "flagship_latest_snapshot",
+    "geo_cell_density",
+    "heavy_hitters_tokens",
+    "incremental_agg_merge",
+    "incremental_join_view",
+    "k_anonymity_customers",
+    "kmv_set_intersection",
+    "latest_per_key",
+    "merge_upsert_cdc",
+    "nearest_station_events",
+    "outer_join_order_counts",
+    "scalar_subquery_latest",
+    "sessionize_events",
+    "sim_ann_lsh_buckets",
+    "snapshot_diff_cdf",
+    "text_lang_id",
+    "text_token_stats",
+    "triangle_count_coorder",
+    "using_join_enriched",
+    "window_running_total",
+    "zonemap_prune_estimate",
+    "zorder_cluster_key",
 ]
 
 

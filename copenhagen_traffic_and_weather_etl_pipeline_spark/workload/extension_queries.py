@@ -1897,7 +1897,7 @@ ranked AS (
 ),
 prefix AS (
   SELECT doc_id, shh FROM ranked
-  WHERE rn <= n - (8 * n + 9) // 10 + 1
+  WHERE rn <= n - (1599999 * n + 1999999) // 2000000 + 1
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -1919,8 +1919,12 @@ WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.8
 """,
     doc="EXACT jaccard >= 0.8 near-dup pairs via prefix filtering "
     "(PPJoin family): shingles ranked rarest-first per doc, candidates "
-    "only from collisions within the first n - ceil(0.8*n) + 1 tokens "
-    "(integer cut (8n+9) div 10 on both engines), then exact "
+    "only from collisions within the first n - ceil(t'*n) + 1 tokens, "
+    "where t' = 0.7999995 = 1599999/2000000 is the EFFECTIVE threshold "
+    "of the emitted round(jaccard,6) >= 0.8 predicate — integer cut "
+    "(1599999*n + 1999999) div 2000000 on both engines, so the prefix "
+    "bound is exact w.r.t. the rounded predicate at any corpus size "
+    "(no n <= ~400k assumption on either side). Then exact "
     "verification on candidates. No stop-shingle cap and no recall "
     "loss: hot shingles sort last and never generate candidates — the "
     "self-join is keyed by globally-RARE tokens, the opposite of the "

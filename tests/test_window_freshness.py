@@ -147,6 +147,75 @@ def test_transitive_closure_reaches_indirect_engine_deps():
     assert _transitive_deps({"workload.extension_queries"}, pkg_root) == set()
 
 
+def test_round_revs_derived_from_git_log():
+    """Round→rev resolution is derived from the `round N: verdict...`
+    commit subjects (round-8 ADVICE: no manual ROUND_REVS edit per
+    round), newest-first wins, with ROUND_REVS as explicit override."""
+    from freshness import _parse_round_revs, round_revs
+
+    log = "\n".join(
+        [
+            "aaa1111 round 9: verdict/advice/correctness/bench",
+            "bbb2222 round 9: verdict (stale duplicate — must lose)",
+            "ccc3333 round 9: end-of-round snapshot (ignored)",
+            "ddd4444 Fix something round 2: not-at-start (ignored)",
+            "eee5555 round 8: verdict/advice/correctness/bench",
+        ]
+    )
+    assert _parse_round_revs(log) == {9: "aaa1111", 8: "eee5555"}
+
+    # Against the real repo log: every historical verdict commit
+    # resolves, and matches the hand-verified pins rounds 1-8 used.
+    revs = round_revs()
+    assert revs[1] == "634b8d0" and revs[5] == "f0491d0"
+    assert revs[7] == "6609c87" and revs[8] == "11b1cdb"
+
+
+def test_compute_hashes_refuses_mixed_trees(tmp_path):
+    """With the package already imported (as in this process),
+    compute_hashes for a DIFFERENT tree must refuse rather than hash
+    fn sources from the import and dep sources from the argument
+    (round-8 ADVICE)."""
+    import pytest
+
+    from freshness import compute_hashes
+
+    (tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark").mkdir()
+    with pytest.raises(RuntimeError, match="already imported"):
+        compute_hashes(tmp_path)
+
+
+def test_module_level_imports_include_guarded_blocks(tmp_path):
+    """Imports under top-level try:/if: count as module-level for the
+    freshness hash; imports inside functions/classes do not (round-8
+    ADVICE: tree.body alone was blind to guarded imports)."""
+    import ast
+    import textwrap
+
+    from freshness import _imports_in_nodes, _module_level_nodes
+
+    src = textwrap.dedent(
+        """
+        try:
+            from ..operators import flatten
+        except ImportError:
+            from ..operators import dedup
+        if True:
+            with open("x") as f:
+                from ..plans import materialize_once
+        def fn():
+            from ..schemas import TRAFFIC_SCHEMA  # per-entry, not module
+        class C:
+            from ..sinks import append_sink  # class body: excluded
+        """
+    )
+    got = _imports_in_nodes(_module_level_nodes(ast.parse(src)), ["workload"])
+    assert "operators.flatten" in got and "operators.dedup" in got
+    assert "plans" in got
+    assert not any("schemas" in d for d in got)
+    assert not any("sinks" in d for d in got)
+
+
 def test_hash_flips_on_dep_module_edit(tmp_path, monkeypatch):
     """End-to-end on a synthetic package: editing a transitively-
     imported engine module must flip an entry's hash even when the

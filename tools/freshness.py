@@ -52,16 +52,40 @@ PKG = "copenhagen_traffic_and_weather_etl_pipeline_spark"
 
 # Tree each round's driver gate ran against: the round-N verdict commit
 # (artifact-only on top of the builder's final tree, so the package
-# contents are identical to what the gate imported).
-ROUND_REVS = {
-    1: "634b8d0",
-    2: "0db5145",
-    3: "7218bc7",
-    4: "e54faa2",
-    5: "f0491d0",
-    # round 6 was void (wiped testdata) — no entry's newest green is 6.
-    7: "6609c87",
+# contents are identical to what the gate imported). Derived from the
+# git log automatically — every round boundary lands as a commit whose
+# subject starts "round N: verdict" — so a new round needs no manual
+# edit here. ROUND_REVS holds explicit OVERRIDES only (e.g. if a
+# round's gate ran against a tree other than its verdict commit).
+ROUND_REVS: dict[int, str] = {
+    # round 6 was void (wiped testdata) — no entry's newest green is 6,
+    # so its derived rev is never dereferenced.
 }
+
+_ROUND_SUBJECT = re.compile(r"^([0-9a-f]+) round (\d+): verdict")
+
+
+def _parse_round_revs(log_text: str) -> dict[int, str]:
+    """Newest 'round N: verdict...' commit per round from ``git log
+    --format='%h %s'`` output (newest-first, so first hit wins)."""
+    out: dict[int, str] = {}
+    for line in log_text.splitlines():
+        m = _ROUND_SUBJECT.match(line)
+        if m and int(m.group(2)) not in out:
+            out[int(m.group(2))] = m.group(1)
+    return out
+
+
+def round_revs() -> dict[int, str]:
+    r = subprocess.run(
+        ["git", "log", "--format=%h %s"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        raise SystemExit(f"git log failed (rc={r.returncode}):\n{r.stderr}")
+    derived = _parse_round_revs(r.stdout)
+    derived.update(ROUND_REVS)
+    return derived
 
 def _module_file(pkg_root: Path, dotted: str) -> Path | None:
     """``operators.dedup`` -> operators/dedup.py or operators/dedup/__init__.py."""
@@ -163,8 +187,44 @@ def _transitive_deps(direct: set[str], pkg_root: Path) -> set[str]:
     return seen
 
 
+def _module_level_nodes(tree: ast.Module) -> list[ast.stmt]:
+    """Every node at module level, descending through top-level Try /
+    If / With blocks but NOT into function or class bodies — so a
+    guarded ``try: from ..operators import x`` counts as a module-level
+    import (round-8 ADVICE: ``tree.body`` alone missed those) while
+    imports inside sibling functions stay per-entry."""
+    out: list = []
+
+    def visit(node) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)
+            ):
+                continue
+            out.append(child)
+            visit(child)
+
+    visit(tree)
+    return out
+
+
 def compute_hashes(repo: Path) -> dict[str, str]:
     repo = repo.resolve()
+    # inspect.getsource reads from the module ALREADY in sys.modules; if
+    # the package was imported from a different tree, fn sources would
+    # come from that tree while dep-module sources are read from
+    # ``repo`` — a silently mixed hash (round-8 ADVICE). Callers wanting
+    # another tree must use the ``--dump --repo`` subprocess path.
+    loaded = sys.modules.get(PKG)
+    if loaded is not None:
+        loaded_root = Path(loaded.__file__).resolve().parent.parent
+        if loaded_root != repo:
+            raise RuntimeError(
+                f"{PKG} is already imported from {loaded_root}, not {repo} — "
+                "compute_hashes would mix trees; run "
+                f"`{sys.executable} tools/freshness.py --dump --repo {repo}` "
+                "in a subprocess instead."
+            )
     sys.path.insert(0, str(repo))
     import importlib
     import inspect
@@ -191,9 +251,12 @@ def compute_hashes(repo: Path) -> dict[str, str]:
             # Module TOP-LEVEL imports apply to every entry the module
             # defines; imports inside OTHER functions of the module do
             # not (per-entry precision — a dep used only by a sibling
-            # query must not flip this entry's hash).
+            # query must not flip this entry's hash). "Top level"
+            # includes guarded imports under module-level Try/If.
             tree = ast.parse(mod_file.read_text())
-            module_imports[mod_key] = _imports_in_nodes(tree.body, cur_pkg)
+            module_imports[mod_key] = _imports_in_nodes(
+                _module_level_nodes(tree), cur_pkg
+            )
         direct = set(module_imports[mod_key])
         # Imports anywhere inside THIS entry's function (any form —
         # full AST walk of the fn source, not a regex).
@@ -260,17 +323,19 @@ def build_baseline() -> None:
     by_round: dict[int, list[str]] = {}
     for name, rnd in newest.items():
         by_round.setdefault(rnd, []).append(name)
-    missing = sorted(set(by_round) - set(ROUND_REVS))
+    revs = round_revs()
+    missing = sorted(set(by_round) - set(revs))
     if missing:
         raise SystemExit(
-            f"ROUND_REVS has no git rev for green round(s) {missing} — "
-            "a new CORRECTNESS_r*.json landed; add the round's verdict "
-            "commit to ROUND_REVS in tools/freshness.py, then rerun "
+            f"no git rev resolvable for green round(s) {missing} — the "
+            "round's `round N: verdict...` commit is not in the log "
+            "(not yet committed?); commit it or add an explicit "
+            "override to ROUND_REVS in tools/freshness.py, then rerun "
             "--baseline."
         )
     baseline: dict[str, dict] = {}
     for rnd, names in sorted(by_round.items()):
-        rev = ROUND_REVS[rnd]
+        rev = revs[rnd]
         hashes = _hashes_at_rev(rev)
         for name in names:
             if name in hashes:
