@@ -1,9 +1,13 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-exactly ONE JSON line:
+one full JSON line
 
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+followed by a <200-char contract-shaped trailer line carrying just the
+totals, so a bounded tail capture of stdout always retains them (the
+full line is ~6 KB and round 8's 2000-char capture lost its head).
 
 Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
