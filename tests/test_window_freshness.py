@@ -38,6 +38,9 @@ from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (  # noqa
 )
 
 BASELINE = json.loads((REPO / "tools" / "window_freshness.json").read_text())
+# v1 (False) or v2 helper-closure (True) — current hashes must be
+# computed in the same mode the baseline was built with.
+HELPERS_MODE = BASELINE.get("__meta__", {}).get("helpers", False)
 
 
 def test_window_shape():
@@ -53,7 +56,7 @@ def test_window_shape():
 
 
 def test_changed_or_unproven_entries_are_in_window():
-    current = compute_hashes(REPO)
+    current = compute_hashes(REPO, include_helpers=HELPERS_MODE)
     needs_slot: dict[str, str] = {}
     for name in REGISTRY:
         rec = BASELINE.get(name)
@@ -145,6 +148,92 @@ def test_transitive_closure_reaches_indirect_engine_deps():
     # A direct workload-module dep is dropped entirely (per-entry drift
     # there is captured by fn source + materialized oracle instead).
     assert _transitive_deps({"workload.extension_queries"}, pkg_root) == set()
+
+
+def test_helper_closure_resolves_constants_functions_and_reexports():
+    """v2 hash mode must reach: same-module constants, same-module
+    sibling query fns called directly, cross-module helpers imported
+    at module top level, fn-level imports from _oracle_helpers, and
+    the shared workload loader reached via `from . import load`."""
+    import inspect
+
+    from freshness import PKG, _ModuleIndex, _helper_closure, _pkg_location
+
+    pkg_root = REPO / PKG
+    idx = _ModuleIndex(pkg_root)
+
+    def keys_for(entry):
+        spec = REGISTRY[entry]
+        src = inspect.getsource(spec.fn)
+        mf = Path(inspect.getsourcefile(spec.fn))
+        mod = ".".join(
+            mf.relative_to(pkg_root).with_suffix("").parts
+        ).removesuffix(".__init__")
+        parts = _helper_closure(
+            spec.fn.__name__, src, mod, _pkg_location(mf, pkg_root), idx
+        )
+        return {p.split("\x00")[0] for p in parts}
+
+    ks = keys_for("sessionize_events")
+    assert "workload.scale_queries:_SESSION_GAP_US" in ks  # same-module constant
+    assert "workload:load" in ks  # shared loader via `from . import load`
+    assert "workload:_resolve_sf_dir" in ks  # transitive through load
+
+    ks = keys_for("dedup_method_eval")
+    assert "workload.extension_queries:dedup_minhash_lsh" in ks  # direct sibling call
+    assert "workload.extension_queries:_words_col" in ks  # transitive helper
+
+    ks = keys_for("ivf_ann_search")
+    assert "workload._oracle_helpers:lloyd_iter_ctes" in ks  # fn-level import
+
+
+def test_helpers_mode_hash_flips_on_helper_edit(tmp_path):
+    """End-to-end on a synthetic package: editing a module-level helper
+    CONSTANT used by the entry fn flips the v2 hash and leaves the v1
+    hash unchanged (the exact blind spot v2 exists to close)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
+    (pkg / "workload").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+
+    def write_workload(gap: int) -> None:
+        (pkg / "workload" / "__init__.py").write_text(
+            textwrap.dedent(
+                f"""
+                REGISTRY = {{}}
+
+                class Spec:
+                    def __init__(self, fn):
+                        self.fn = fn
+                        self.oracle = "SELECT 1"
+
+                _GAP = {gap}
+
+                def q(spark, sf_dir):
+                    return _GAP
+
+                REGISTRY["q"] = Spec(q)
+                """
+            )
+        )
+
+    def dump(helpers: bool):
+        cmd = [_sys.executable, str(REPO / "tools" / "freshness.py"),
+               "--dump", "--repo", str(tmp_path)]
+        if helpers:
+            cmd.append("--helpers")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout)["q"]
+
+    write_workload(30)
+    v1_a, v2_a = dump(False), dump(True)
+    write_workload(60)
+    v1_b, v2_b = dump(False), dump(True)
+    assert v1_a == v1_b, "v1 must NOT see the helper-constant edit"
+    assert v2_a != v2_b, "v2 must flip on the helper-constant edit"
 
 
 def test_round_revs_derived_from_git_log():

@@ -18,16 +18,23 @@ over everything that determines its behavior:
     the round-7 "asof blind spot" where an operator-level semantic fix
     was invisible to a fn+oracle hash.
 
-Known limitation (documented, reviewed per-round): an intra-module
-helper called by the fn but defined outside it is not hashed unless the
-oracle captures it; the local 175-entry oracle gate still covers such
-drift behaviorally.
+v1 limitation and the opt-in v2 mode: in v1 an intra-module helper
+called by the fn but defined outside it is not hashed unless the
+oracle captures it; the local 175-entry oracle gate covers such drift
+behaviorally. ``--helpers`` (v2) closes it by also hashing the source
+segments of every module-level workload definition the fn reaches by
+name (transitively, across workload modules). v2 invalidates more
+standing evidence than one driver window can re-prove (measured round
+9: 83 entries, dominated by the r6/r7 ``load`` loader change), so the
+checked-in baseline stays v1 until the round-10 rotation makes the
+v2-stale cohort fit one window; the baseline records its mode in
+``__meta__`` and CI follows it automatically.
 
 Usage:
-    python tools/freshness.py --dump [--repo DIR]
+    python tools/freshness.py --dump [--repo DIR] [--helpers]
         Print one JSON object {entry: hash} for the tree at DIR
         (default: this repo).
-    python tools/freshness.py --baseline
+    python tools/freshness.py --baseline [--helpers]
         Rebuild tools/window_freshness.json: for each entry, its
         newest green driver round (from CORRECTNESS_r*.json) and its
         definition hash AT THAT ROUND'S TREE (via a temporary git
@@ -187,6 +194,148 @@ def _transitive_deps(direct: set[str], pkg_root: Path) -> set[str]:
     return seen
 
 
+def _workload_family(dotted: str) -> bool:
+    return dotted == "workload" or dotted.startswith("workload.")
+
+
+class _ModuleIndex:
+    """Per-workload-module helper resolution index: top-level
+    definitions (name -> source segment) and the import map (local
+    name -> (target module dotted, original name)). Backs the opt-in
+    ``include_helpers`` hash mode, which closes v1's documented
+    limitation: an intra-module helper (function, constant, CTE
+    string) called by the entry fn but defined outside it was not
+    hashed unless the materialized oracle captured it."""
+
+    def __init__(self, pkg_root: Path):
+        self.pkg_root = pkg_root
+        self._cache: dict[str, tuple[dict, dict]] = {}
+
+    def get(self, dotted: str) -> tuple[dict, dict]:
+        if dotted in self._cache:
+            return self._cache[dotted]
+        f = _module_file(self.pkg_root, dotted)
+        if f is None:
+            self._cache[dotted] = ({}, {})
+            return self._cache[dotted]
+        text = f.read_text()
+        tree = ast.parse(text)
+        cur_pkg = _pkg_location(f, self.pkg_root)
+        defs: dict[str, str] = {}
+        imports: dict[str, tuple[str, str]] = {}
+        # Own walker (unlike _module_level_nodes, which deliberately
+        # DROPS def nodes): yields module-level def statements
+        # themselves and descends through non-def blocks so guarded
+        # assigns/imports under top-level try/if/with count too.
+        nodes: list = []
+        stack = list(tree.body)
+        while stack:
+            node = stack.pop()
+            nodes.append(node)
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)
+            ):
+                stack.extend(
+                    c
+                    for c in ast.iter_child_nodes(node)
+                    if isinstance(c, (ast.stmt, ast.ExceptHandler))
+                )
+        for node in nodes:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                defs[node.name] = ast.get_source_segment(text, node) or ""
+            elif isinstance(node, ast.Assign):
+                seg = ast.get_source_segment(text, node) or ""
+                for t in node.targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            defs[n.id] = seg
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                defs[node.target.id] = ast.get_source_segment(text, node) or ""
+            elif isinstance(node, ast.ImportFrom):
+                self._add_from(node, cur_pkg, imports)
+        self._cache[dotted] = (defs, imports)
+        return self._cache[dotted]
+
+    def _add_from(self, node: ast.ImportFrom, cur_pkg: list[str], out: dict) -> None:
+        if node.level > 0:
+            if node.level - 1 > len(cur_pkg):
+                return
+            base = cur_pkg[: len(cur_pkg) - (node.level - 1)]
+            mod = ".".join(base + node.module.split(".")) if node.module else ".".join(base)
+        elif node.module and node.module == PKG:
+            mod = ""
+        elif node.module and node.module.startswith(PKG + "."):
+            mod = node.module[len(PKG) + 1 :]
+        else:
+            return  # third-party
+        for a in node.names:
+            out[a.asname or a.name] = (mod, a.name)
+
+    def imports_in_src(self, src: str, cur_pkg: list[str]) -> dict:
+        """Import map for names imported INSIDE a source block (an
+        entry fn body or a helper segment)."""
+        out: dict[str, tuple[str, str]] = {}
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return out
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                self._add_from(node, cur_pkg, out)
+        return out
+
+
+def _names_used(src: str) -> set[str]:
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return set()
+    return {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+
+
+def _helper_closure(
+    fn_name: str, fn_src: str, mod_dotted: str, cur_pkg: list[str], idx: _ModuleIndex
+) -> list[str]:
+    """Sorted ``module:name\\x00segment`` hash parts for every
+    module-level workload-family definition the entry fn reaches by
+    name — transitively through helpers and through ``from .sibling
+    import helper`` re-exports. Engine-module names need no entry
+    here: v1's dep closure already hashes those modules whole."""
+    out: dict[tuple[str, str], str] = {}
+    seen: set[tuple[str, str]] = {(mod_dotted, fn_name)}
+    overlay0 = idx.imports_in_src(fn_src, cur_pkg)
+    stack: list[tuple[str, str, dict]] = [
+        (mod_dotted, n, overlay0) for n in _names_used(fn_src)
+    ]
+    while stack:
+        mod, name, overlay = stack.pop()
+        if (mod, name) in seen:
+            continue
+        seen.add((mod, name))
+        defs, imports = idx.get(mod)
+        tgt = overlay.get(name) or imports.get(name)
+        if tgt is not None:
+            tmod, oname = tgt
+            if _workload_family(tmod) or tmod == "":
+                tmod = tmod or "workload"
+                # ``from . import X`` may bind a MODULE, not a name:
+                # engine submodules are covered by v1's dep closure and
+                # whole workload registries stay excluded by design.
+                if _module_file(idx.pkg_root, f"{tmod}.{oname}"):
+                    continue
+                stack.append((tmod, oname, {}))
+            continue
+        if name in defs:
+            seg = defs[name]
+            out[(mod, name)] = seg
+            f = _module_file(idx.pkg_root, mod)
+            seg_pkg = _pkg_location(f, idx.pkg_root) if f else cur_pkg
+            seg_overlay = idx.imports_in_src(seg, seg_pkg)
+            for sub in _names_used(seg):
+                stack.append((mod, sub, seg_overlay))
+    return [f"{m}:{n}\x00{s}" for (m, n), s in sorted(out.items())]
+
+
 def _module_level_nodes(tree: ast.Module) -> list[ast.stmt]:
     """Every node at module level, descending through top-level Try /
     If / With blocks but NOT into function or class bodies — so a
@@ -208,7 +357,18 @@ def _module_level_nodes(tree: ast.Module) -> list[ast.stmt]:
     return out
 
 
-def compute_hashes(repo: Path) -> dict[str, str]:
+def compute_hashes(repo: Path, include_helpers: bool = False) -> dict[str, str]:
+    """Entry-definition hashes. ``include_helpers`` (v2 mode) folds in
+    the source segments of every module-level workload helper the fn
+    reaches by name (see _helper_closure). v2 is strictly stricter —
+    measured round 9: it invalidates 83 entries' pre-existing evidence
+    (the shared ``load``/``_resolve_sf_dir`` loader changed in r6/r7,
+    flipping ALL pre-r7 evidence at once), more than one 50-slot
+    driver window can re-prove — so the checked-in baseline stays v1
+    until round 10, when the remaining v2-stale cohort (~33 entries)
+    fits a single window and CI can switch via --baseline --helpers
+    (the baseline records its mode in "__meta__" and the CI test
+    follows it)."""
     repo = repo.resolve()
     # inspect.getsource reads from the module ALREADY in sys.modules; if
     # the package was imported from a different tree, fn sources would
@@ -231,6 +391,7 @@ def compute_hashes(repo: Path) -> dict[str, str]:
 
     workload = importlib.import_module(f"{PKG}.workload")
     pkg_root = repo / PKG
+    idx = _ModuleIndex(pkg_root) if include_helpers else None
     module_imports: dict[str, set[str]] = {}
     src_cache: dict[str, str] = {}
 
@@ -266,6 +427,11 @@ def compute_hashes(repo: Path) -> dict[str, str]:
         deps = _transitive_deps(direct, pkg_root)
         parts = [src, spec.oracle or ""]
         parts += [f"{d}\x00{module_src(d)}" for d in sorted(deps)]
+        if idx is not None:
+            mod_dotted = ".".join(
+                mod_file.relative_to(pkg_root).with_suffix("").parts
+            ).removesuffix(".__init__")
+            parts += _helper_closure(fn.__name__, src, mod_dotted, cur_pkg, idx)
         hashes[name] = hashlib.sha256("\x00\x01".join(parts).encode()).hexdigest()
     return hashes
 
@@ -288,7 +454,7 @@ def newest_green_rounds(repo: Path) -> dict[str, int]:
     return newest
 
 
-def _hashes_at_rev(rev: str) -> dict[str, str]:
+def _hashes_at_rev(rev: str, include_helpers: bool = False) -> dict[str, str]:
     import tempfile
 
     # Fresh dir per call: a fixed path would collide with leftovers
@@ -306,11 +472,11 @@ def _hashes_at_rev(rev: str) -> dict[str, str]:
 
     run(["git", "worktree", "add", "--detach", str(wt), rev], cwd=REPO)
     try:
-        out = run(
-            [sys.executable, str(REPO / "tools" / "freshness.py"),
-             "--dump", "--repo", str(wt)],
-        )
-        return json.loads(out.stdout)
+        cmd = [sys.executable, str(REPO / "tools" / "freshness.py"),
+               "--dump", "--repo", str(wt)]
+        if include_helpers:
+            cmd.append("--helpers")
+        return json.loads(run(cmd).stdout)
     finally:
         run(["git", "worktree", "remove", "--force", str(wt)], cwd=REPO)
         import shutil
@@ -318,7 +484,7 @@ def _hashes_at_rev(rev: str) -> dict[str, str]:
         shutil.rmtree(wt.parent, ignore_errors=True)
 
 
-def build_baseline() -> None:
+def build_baseline(include_helpers: bool = False) -> None:
     newest = newest_green_rounds(REPO)
     by_round: dict[int, list[str]] = {}
     for name, rnd in newest.items():
@@ -333,10 +499,14 @@ def build_baseline() -> None:
             "override to ROUND_REVS in tools/freshness.py, then rerun "
             "--baseline."
         )
-    baseline: dict[str, dict] = {}
+    baseline: dict[str, dict] = {
+        # The CI test recomputes current hashes in the SAME mode the
+        # baseline was built with (sort_keys puts __meta__ first).
+        "__meta__": {"helpers": include_helpers},
+    }
     for rnd, names in sorted(by_round.items()):
         rev = revs[rnd]
-        hashes = _hashes_at_rev(rev)
+        hashes = _hashes_at_rev(rev, include_helpers)
         for name in names:
             if name in hashes:
                 baseline[name] = {"round": rnd, "rev": rev, "hash": hashes[name]}
@@ -345,20 +515,33 @@ def build_baseline() -> None:
                 baseline[name] = {"round": rnd, "rev": rev, "hash": None}
     out = REPO / "tools" / "window_freshness.json"
     out.write_text(json.dumps(baseline, indent=1, sort_keys=True) + "\n")
-    print(f"wrote {out} ({len(baseline)} entries)")
+    print(f"wrote {out} ({len(baseline) - 1} entries, helpers={include_helpers})")
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--dump", action="store_true")
     p.add_argument("--baseline", action="store_true")
+    p.add_argument(
+        "--helpers",
+        action="store_true",
+        help="v2 hash mode: also fold in the source segments of every "
+        "module-level workload helper the entry fn reaches by name "
+        "(see compute_hashes docstring for the round-10 switch plan)",
+    )
     p.add_argument("--repo", default=str(REPO))
     args = p.parse_args()
     if args.dump:
-        print(json.dumps(compute_hashes(Path(args.repo)), indent=1, sort_keys=True))
+        print(
+            json.dumps(
+                compute_hashes(Path(args.repo), include_helpers=args.helpers),
+                indent=1,
+                sort_keys=True,
+            )
+        )
         return 0
     if args.baseline:
-        build_baseline()
+        build_baseline(include_helpers=args.helpers)
         return 0
     p.print_help()
     return 1
