@@ -529,8 +529,52 @@ def main() -> int:
         "module-level workload helper the entry fn reaches by name "
         "(see compute_hashes docstring for the round-10 switch plan)",
     )
+    p.add_argument(
+        "--drift",
+        action="store_true",
+        help="report entries whose CURRENT definition hash differs from "
+        "the checked-in baseline (window-rotation planning). Hash mode: "
+        "the baseline's recorded __meta__ mode, or --helpers to preview "
+        "drift under v2 before switching the ledger.",
+    )
     p.add_argument("--repo", default=str(REPO))
     args = p.parse_args()
+    if args.drift:
+        baseline = json.loads((REPO / "tools" / "window_freshness.json").read_text())
+        base_mode = baseline.get("__meta__", {}).get("helpers", False)
+        mode = args.helpers or base_mode
+        current = compute_hashes(Path(args.repo), include_helpers=mode)
+        if mode != base_mode:
+            # Previewing a different hash mode: the baseline's recorded
+            # hashes are incomparable — recompute each entry's hash at
+            # its green-round tree in the REQUESTED mode (worktree per
+            # round, like --baseline does). Slower but apples-to-apples.
+            by_round: dict[int, list[str]] = {}
+            for name, rec in baseline.items():
+                if name != "__meta__":
+                    by_round.setdefault(rec["round"], []).append(name)
+            revs = round_revs()
+            green_hashes: dict[str, str | None] = {}
+            for rnd, names in sorted(by_round.items()):
+                at_rev = _hashes_at_rev(revs[rnd], include_helpers=mode)
+                for n in names:
+                    green_hashes[n] = at_rev.get(n)
+        else:
+            green_hashes = {
+                n: rec["hash"] for n, rec in baseline.items() if n != "__meta__"
+            }
+        out = {}
+        for name, h in sorted(current.items()):
+            rec = baseline.get(name)
+            if rec is None:
+                out[name] = {"why": "no baseline record"}
+            elif green_hashes.get(name) is None:
+                out[name] = {"why": f"unresolvable at green r{rec['round']}",
+                             "round": rec["round"], "rev": rec["rev"]}
+            elif green_hashes[name] != h:
+                out[name] = {"why": "drifted", "round": rec["round"], "rev": rec["rev"]}
+        print(json.dumps({"mode_helpers": mode, "n": len(out), "entries": out}, indent=1))
+        return 0
     if args.dump:
         print(
             json.dumps(
