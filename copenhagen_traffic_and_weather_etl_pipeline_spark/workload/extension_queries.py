@@ -1929,12 +1929,14 @@ WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.8
     "loss: hot shingles sort last and never generate candidates — the "
     "self-join is keyed by globally-RARE tokens, the opposite of the "
     "skew that kills naive shingle joins. The Spark side additionally "
-    "applies PPJoin's exact-recall length filter (0.8*na <= nb <= "
-    "na/0.8, integer form 4*na <= 5*nb AND 4*nb <= 5*na) and "
-    "positional filter (a collision at sorted positions i,j can yield "
-    "overlap at most 1 + min(na-i, nb-j), which must reach "
-    "ceil(4*(na+nb)/9), the minimum intersection for jaccard >= 0.8) "
-    "inside the candidate join. Both prune candidates only — the "
+    "applies PPJoin's exact-recall length filter (t'*na <= nb AND "
+    "t'*nb <= na, integer form na*1599999 <= nb*2000000 AND "
+    "nb*1599999 <= na*2000000) and positional filter (a collision at "
+    "sorted positions i,j can yield overlap at most 1 + min(na-i, "
+    "nb-j), which must reach ceil(t'*(na+nb)/(1+t')) = "
+    "(1599999*(na+nb) + 3599998) div 3599999, the minimum "
+    "intersection for rounded jaccard >= 0.8) inside the candidate "
+    "join. Both prune candidates only — the "
     "exact array_intersect verification is unchanged, so the output "
     "is identical and the oracle needs no mirror. Measured on the "
     "2026-08-15 driver corpus (31-word vocabulary, the boilerplate "

@@ -150,41 +150,141 @@ def test_transitive_closure_reaches_indirect_engine_deps():
     assert _transitive_deps({"workload.extension_queries"}, pkg_root) == set()
 
 
-def test_helper_closure_resolves_constants_functions_and_reexports():
-    """v2 hash mode must reach: same-module constants, same-module
-    sibling query fns called directly, cross-module helpers imported
-    at module top level, fn-level imports from _oracle_helpers, and
-    the shared workload loader reached via `from . import load`."""
+def _closure_for(entry):
     import inspect
 
     from freshness import PKG, _ModuleIndex, _helper_closure, _pkg_location
 
     pkg_root = REPO / PKG
     idx = _ModuleIndex(pkg_root)
+    spec = REGISTRY[entry]
+    src = inspect.getsource(spec.fn)
+    mf = Path(inspect.getsourcefile(spec.fn))
+    mod = ".".join(
+        mf.relative_to(pkg_root).with_suffix("").parts
+    ).removesuffix(".__init__")
+    parts, engine_deps = _helper_closure(
+        spec.fn.__name__, src, mod, _pkg_location(mf, pkg_root), idx
+    )
+    return {p.split("\x00")[0] for p in parts}, engine_deps
 
-    def keys_for(entry):
-        spec = REGISTRY[entry]
-        src = inspect.getsource(spec.fn)
-        mf = Path(inspect.getsourcefile(spec.fn))
-        mod = ".".join(
-            mf.relative_to(pkg_root).with_suffix("").parts
-        ).removesuffix(".__init__")
-        parts = _helper_closure(
-            spec.fn.__name__, src, mod, _pkg_location(mf, pkg_root), idx
-        )
-        return {p.split("\x00")[0] for p in parts}
 
-    ks = keys_for("sessionize_events")
+def test_helper_closure_resolves_constants_functions_and_reexports():
+    """v2 hash mode must reach: same-module constants, same-module
+    sibling query fns called directly, cross-module helpers imported
+    at module top level, fn-level imports from _oracle_helpers, and
+    the shared workload loader reached via `from . import load`."""
+    ks, _ = _closure_for("sessionize_events")
     assert "workload.scale_queries:_SESSION_GAP_US" in ks  # same-module constant
     assert "workload:load" in ks  # shared loader via `from . import load`
     assert "workload:_resolve_sf_dir" in ks  # transitive through load
 
-    ks = keys_for("dedup_method_eval")
+    ks, _ = _closure_for("dedup_method_eval")
     assert "workload.extension_queries:dedup_minhash_lsh" in ks  # direct sibling call
     assert "workload.extension_queries:_words_col" in ks  # transitive helper
 
-    ks = keys_for("ivf_ann_search")
+    ks, _ = _closure_for("ivf_ann_search")
     assert "workload._oracle_helpers:lloyd_iter_ctes" in ks  # fn-level import
+
+
+def test_helper_closure_collects_engine_deps_from_helper_bodies():
+    """Engine modules imported only INSIDE a reached helper's body must
+    surface as deps — v1's dep closure sees only the entry fn and the
+    module top level, so without this an edit to plans/ reached solely
+    through a helper (triangle queries via _materialized_edges) or to
+    testdata reached through load->_resolve_sf_dir would escape the v2
+    hash (round-9 review finding, confirmed live before the fix)."""
+    _, deps = _closure_for("triangle_count_coorder")
+    assert "plans" in deps, "plans import inside _materialized_edges missed"
+
+    _, deps = _closure_for("sessionize_events")
+    assert "testdata" in deps, "testdata import inside _resolve_sf_dir missed"
+
+
+def test_names_used_excludes_locally_bound_names():
+    """A local variable shadowing a module-level helper must not pull
+    that helper into the hash: any binding makes the name local to the
+    whole scope, so loads never read the module definition (round-9
+    review finding)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        def q(spark, sf_dir):
+            prefix = 1          # shadows a module-level `prefix`
+            n = prefix + other  # `other` is a real module-level read
+            for item in rows:   # `item` bound, `rows` read
+                n += item
+            return n
+        """
+    )
+    got = _names_used(src)
+    assert "other" in got and "rows" in got
+    assert "prefix" not in got and "item" not in got and "n" not in got
+    assert "spark" not in got and "sf_dir" not in got  # params bound
+
+
+def test_helper_closure_dual_resolution_of_one_name(tmp_path):
+    """The same name resolving to TWO different definitions (a sibling
+    import inside the entry fn vs the module's own top-level def used
+    by another helper) must include BOTH segments — dedup is keyed by
+    resolved target, not usage site (round-9 review finding)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
+    (pkg / "workload").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "workload" / "sib.py").write_text("def X():\n    return 'sibling'\n")
+
+    def write_main(local_x: str, sibling_x: str) -> None:
+        (pkg / "workload" / "__init__.py").write_text(
+            textwrap.dedent(
+                f"""
+                REGISTRY = {{}}
+
+                class Spec:
+                    def __init__(self, fn):
+                        self.fn = fn
+                        self.oracle = "SELECT 1"
+
+                def X():
+                    return {local_x!r}
+
+                def B():
+                    return X()
+
+                def q(spark, sf_dir):
+                    from .sib import X
+                    return (X(), B())
+
+                REGISTRY["q"] = Spec(q)
+                """
+            )
+        )
+        (pkg / "workload" / "sib.py").write_text(
+            f"def X():\n    return {sibling_x!r}\n"
+        )
+
+    def dump():
+        out = subprocess.run(
+            [_sys.executable, str(REPO / "tools" / "freshness.py"),
+             "--dump", "--repo", str(tmp_path), "--helpers"],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)["q"]
+
+    write_main("local", "sibling")
+    h0 = dump()
+    write_main("local-EDITED", "sibling")
+    h_local = dump()
+    write_main("local", "sibling-EDITED")
+    h_sib = dump()
+    assert h0 != h_local, "module-local X (used via helper B) not hashed"
+    assert h0 != h_sib, "sibling X (fn-level import) not hashed"
 
 
 def test_helpers_mode_hash_flips_on_helper_edit(tmp_path):
@@ -237,27 +337,38 @@ def test_helpers_mode_hash_flips_on_helper_edit(tmp_path):
 
 
 def test_round_revs_derived_from_git_log():
-    """Round→rev resolution is derived from the `round N: verdict...`
-    commit subjects (round-8 ADVICE: no manual ROUND_REVS edit per
-    round), newest-first wins, with ROUND_REVS as explicit override."""
+    """Round→rev resolution is derived from the exact `round N:
+    verdict/advice/correctness/bench` commit subjects (round-8 ADVICE:
+    no manual ROUND_REVS edit per round). Only the exact subject
+    matches — a later 'round N: verdict errata' must NOT re-pin the
+    round — and with duplicates the OLDEST wins (the gate ran against
+    the tree the round's first verdict commit sits on). ROUND_REVS
+    stays the explicit override."""
     from freshness import _parse_round_revs, round_revs
 
     log = "\n".join(
         [
+            # git log is newest-first; the oldest round-9 commit is last.
+            "bbb2222 round 9: verdict/advice/correctness/bench",
+            "ccc3333 round 9: verdict errata — must not match at all",
+            "ddd4444 round 9: end-of-round snapshot (ignored)",
+            "eee5555 Fix something round 2: not-at-start (ignored)",
+            "fff6666 round 8: verdict/advice/correctness/bench",
             "aaa1111 round 9: verdict/advice/correctness/bench",
-            "bbb2222 round 9: verdict (stale duplicate — must lose)",
-            "ccc3333 round 9: end-of-round snapshot (ignored)",
-            "ddd4444 Fix something round 2: not-at-start (ignored)",
-            "eee5555 round 8: verdict/advice/correctness/bench",
         ]
     )
-    assert _parse_round_revs(log) == {9: "aaa1111", 8: "eee5555"}
+    assert _parse_round_revs(log) == {9: "aaa1111", 8: "fff6666"}
 
     # Against the real repo log: every historical verdict commit
     # resolves, and matches the hand-verified pins rounds 1-8 used.
+    # %h abbreviation length is config-dependent (core.abbrev), so
+    # compare by mutual prefix rather than exact 7-char equality.
+    def same(a: str, b: str) -> bool:
+        return a.startswith(b) or b.startswith(a)
+
     revs = round_revs()
-    assert revs[1] == "634b8d0" and revs[5] == "f0491d0"
-    assert revs[7] == "6609c87" and revs[8] == "11b1cdb"
+    assert same(revs[1], "634b8d0") and same(revs[5], "f0491d0")
+    assert same(revs[7], "6609c87") and same(revs[8], "11b1cdb")
 
 
 def test_compute_hashes_refuses_mixed_trees(tmp_path):

@@ -69,17 +69,37 @@ ROUND_REVS: dict[int, str] = {
     # so its derived rev is never dereferenced.
 }
 
-_ROUND_SUBJECT = re.compile(r"^([0-9a-f]+) round (\d+): verdict")
+# Exact subject, not a prefix: a loose 'round N: verdict' match would
+# let any later commit (e.g. 'round 8: verdict errata') silently
+# re-pin a historical round's evidence tree (round-9 review finding).
+_ROUND_SUBJECT = re.compile(
+    r"^([0-9a-f]+) round (\d+): verdict/advice/correctness/bench$"
+)
 
 
 def _parse_round_revs(log_text: str) -> dict[int, str]:
-    """Newest 'round N: verdict...' commit per round from ``git log
-    --format='%h %s'`` output (newest-first, so first hit wins)."""
+    """Round -> verdict-commit rev from ``git log --format='%h %s'``
+    output. Only the exact driver subject matches, and the OLDEST
+    commit per round wins — the gate ran against the builder's
+    end-of-round tree, which the round's FIRST verdict commit sits
+    directly on; any later same-subject commit is not the evidence
+    tree. Duplicates are reported so a deliberate re-pin goes through
+    the explicit ROUND_REVS override, never silently."""
     out: dict[int, str] = {}
-    for line in log_text.splitlines():
+    for line in reversed(log_text.splitlines()):  # oldest first
         m = _ROUND_SUBJECT.match(line)
-        if m and int(m.group(2)) not in out:
-            out[int(m.group(2))] = m.group(1)
+        if not m:
+            continue
+        rnd = int(m.group(2))
+        if rnd in out:
+            print(
+                f"[freshness] WARNING: multiple 'round {rnd}: verdict...' "
+                f"commits; keeping oldest {out[rnd]}, ignoring {m.group(1)} "
+                "(use ROUND_REVS to override)",
+                file=sys.stderr,
+            )
+            continue
+        out[rnd] = m.group(1)
     return out
 
 
@@ -212,10 +232,18 @@ class _ModuleIndex:
         self._cache: dict[str, tuple[dict, dict]] = {}
 
     def get(self, dotted: str) -> tuple[dict, dict]:
+        """dotted '' means the package-root __init__ (``from <pkg>
+        import X`` / ``from .. import X`` out of a workload submodule)
+        — distinct from 'workload', the workload package __init__
+        (round-9 review finding)."""
         if dotted in self._cache:
             return self._cache[dotted]
-        f = _module_file(self.pkg_root, dotted)
-        if f is None:
+        f = (
+            self.pkg_root / "__init__.py"
+            if dotted == ""
+            else _module_file(self.pkg_root, dotted)
+        )
+        if f is None or not f.exists():
             self._cache[dotted] = ({}, {})
             return self._cache[dotted]
         text = f.read_text()
@@ -286,54 +314,113 @@ class _ModuleIndex:
 
 
 def _names_used(src: str) -> set[str]:
+    """Load-context names MINUS locally-bound ones (params, assignment
+    and comprehension targets, with/except aliases). Python scoping
+    makes any name bound anywhere in a scope local to it, so a load of
+    a bound name never reads the module-level definition — including
+    the shadowed helper would spuriously fold an unrelated definition
+    into the hash and burn a driver-window slot on every edit to it
+    (round-9 review finding). Import-bound names are deliberately NOT
+    subtracted: they resolve through the import overlay instead."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return set()
-    return {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    loads: set[str] = set()
+    bound: set[str] = set()
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Name):
+            (loads if isinstance(n.ctx, ast.Load) else bound).add(n.id)
+        elif isinstance(n, ast.arg):
+            bound.add(n.arg)
+        elif isinstance(n, ast.ExceptHandler) and n.name:
+            bound.add(n.name)
+    return loads - bound
 
 
 def _helper_closure(
     fn_name: str, fn_src: str, mod_dotted: str, cur_pkg: list[str], idx: _ModuleIndex
-) -> list[str]:
-    """Sorted ``module:name\\x00segment`` hash parts for every
-    module-level workload-family definition the entry fn reaches by
-    name — transitively through helpers and through ``from .sibling
-    import helper`` re-exports. Engine-module names need no entry
-    here: v1's dep closure already hashes those modules whole."""
+) -> tuple[list[str], set[str]]:
+    """(hash parts, engine deps) for the entry fn's helper closure.
+
+    Hash parts: sorted ``module:name\\x00segment`` for every
+    module-level workload-family definition the fn reaches by name —
+    transitively through helpers and through ``from .sibling import
+    helper`` re-exports. Engine deps: first-party non-workload modules
+    imported INSIDE any reached helper segment (e.g. ``from ..plans
+    import materialize_once`` in a helper body) — v1's dep closure
+    only sees the entry fn and module top level, so without feeding
+    these back an engine edit reached solely through a helper would
+    escape the hash (round-9 review finding, confirmed live on
+    ``_materialized_edges``/``_resolve_sf_dir``)."""
     out: dict[tuple[str, str], str] = {}
-    seen: set[tuple[str, str]] = {(mod_dotted, fn_name)}
-    overlay0 = idx.imports_in_src(fn_src, cur_pkg)
-    stack: list[tuple[str, str, dict]] = [
-        (mod_dotted, n, overlay0) for n in _names_used(fn_src)
-    ]
-    while stack:
-        mod, name, overlay = stack.pop()
-        if (mod, name) in seen:
-            continue
-        seen.add((mod, name))
-        defs, imports = idx.get(mod)
-        tgt = overlay.get(name) or imports.get(name)
-        if tgt is not None:
+    engine_deps: set[str] = set()
+    visited: set[tuple[str, str]] = set()  # resolved DEF targets
+
+    def resolve(mod: str, name: str, overlay: dict) -> tuple[str, str] | None:
+        """Follow import chains to the defining (module, name), or None
+        for unresolvable / module-object / engine targets (engine
+        targets are recorded as deps). Keyed by TARGET, not usage site:
+        the same local name may resolve differently via a segment
+        overlay vs the module import map (round-9 review finding)."""
+        hops: set[tuple[str, str]] = set()
+        while True:
+            if (mod, name) in hops:
+                return None
+            hops.add((mod, name))
+            defs, imports = idx.get(mod)
+            tgt = overlay.get(name) or imports.get(name)
+            overlay = {}  # the segment overlay applies to the first hop only
+            if tgt is None:
+                return (mod, name) if name in defs else None
             tmod, oname = tgt
-            if _workload_family(tmod) or tmod == "":
-                tmod = tmod or "workload"
-                # ``from . import X`` may bind a MODULE, not a name:
-                # engine submodules are covered by v1's dep closure and
-                # whole workload registries stay excluded by design.
-                if _module_file(idx.pkg_root, f"{tmod}.{oname}"):
-                    continue
-                stack.append((tmod, oname, {}))
-            continue
-        if name in defs:
-            seg = defs[name]
-            out[(mod, name)] = seg
-            f = _module_file(idx.pkg_root, mod)
-            seg_pkg = _pkg_location(f, idx.pkg_root) if f else cur_pkg
-            seg_overlay = idx.imports_in_src(seg, seg_pkg)
-            for sub in _names_used(seg):
-                stack.append((mod, sub, seg_overlay))
-    return [f"{m}:{n}\x00{s}" for (m, n), s in sorted(out.items())]
+            if not (_workload_family(tmod) or tmod == ""):
+                engine_deps.add(tmod)
+                return None
+            # '' = package ROOT __init__, kept distinct from the
+            # workload package __init__ ('workload').
+            sub = f"{tmod}.{oname}" if tmod else oname
+            if _module_file(idx.pkg_root, sub):
+                # Binds a MODULE object, not a name: engine submodules
+                # are v1-dep territory; whole workload registries stay
+                # excluded by design.
+                if _is_engine_dep(sub):
+                    engine_deps.add(sub)
+                return None
+            mod, name = tmod, oname
+
+    def scan(src: str, mod: str, src_pkg: list[str]) -> None:
+        # Engine modules imported anywhere inside this block (any
+        # import form) feed v1's transitive dep closure.
+        try:
+            src_tree = ast.walk(ast.parse(src))
+        except SyntaxError:
+            src_tree = iter(())
+        engine_deps.update(
+            d
+            for d in _imports_in_nodes(src_tree, src_pkg)
+            if _is_engine_dep(d) and _module_file(idx.pkg_root, d)
+        )
+        overlay = idx.imports_in_src(src, src_pkg)
+        for used in _names_used(src):
+            tgt = resolve(mod, used, overlay)
+            if tgt is None or tgt in visited:
+                continue
+            visited.add(tgt)
+            tmod, tname = tgt
+            seg = idx.get(tmod)[0][tname]
+            out[tgt] = seg
+            if tmod == "":
+                seg_pkg: list[str] = []
+            else:
+                f = _module_file(idx.pkg_root, tmod)
+                seg_pkg = _pkg_location(f, idx.pkg_root) if f else src_pkg
+            scan(seg, tmod, seg_pkg)
+
+    visited.add((mod_dotted, fn_name))
+    scan(fn_src, mod_dotted, cur_pkg)
+    parts = [f"{m}:{n}\x00{s}" for (m, n), s in sorted(out.items())]
+    return parts, engine_deps
 
 
 def _module_level_nodes(tree: ast.Module) -> list[ast.stmt]:
@@ -424,14 +511,21 @@ def compute_hashes(repo: Path, include_helpers: bool = False) -> dict[str, str]:
         direct |= _imports_in_nodes(ast.walk(ast.parse(src)), cur_pkg)
         # Harness names that do not resolve to module files (e.g.
         # `from . import load, register`) drop out inside the closure.
-        deps = _transitive_deps(direct, pkg_root)
-        parts = [src, spec.oracle or ""]
-        parts += [f"{d}\x00{module_src(d)}" for d in sorted(deps)]
+        helper_parts: list[str] = []
         if idx is not None:
             mod_dotted = ".".join(
                 mod_file.relative_to(pkg_root).with_suffix("").parts
             ).removesuffix(".__init__")
-            parts += _helper_closure(fn.__name__, src, mod_dotted, cur_pkg, idx)
+            helper_parts, helper_engine_deps = _helper_closure(
+                fn.__name__, src, mod_dotted, cur_pkg, idx
+            )
+            # Engine modules imported only inside helper bodies join
+            # the transitive dep closure (round-9 review finding).
+            direct |= helper_engine_deps
+        deps = _transitive_deps(direct, pkg_root)
+        parts = [src, spec.oracle or ""]
+        parts += [f"{d}\x00{module_src(d)}" for d in sorted(deps)]
+        parts += helper_parts
         hashes[name] = hashlib.sha256("\x00\x01".join(parts).encode()).hexdigest()
     return hashes
 
