@@ -226,6 +226,107 @@ def test_names_used_excludes_locally_bound_names():
     assert "spark" not in got and "sf_dir" not in got  # params bound
 
 
+def test_names_used_is_scope_sensitive():
+    """A name bound only in a NESTED scope (lambda param, comprehension
+    target) must not suppress a genuine enclosing-scope read of a
+    module-level helper — the reviewer's live counterexample against
+    the flat-walk subtract (round-9 second-pass finding)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        def q(spark, sf_dir):
+            parts = [w for w in words]
+            vals = sorted(rows, key=lambda t: t.ts)
+            return t(w)   # module-level t and w, despite inner binders
+        """
+    )
+    got = _names_used(src)
+    assert {"t", "w", "words", "rows", "sorted"} <= got
+    assert "parts" not in got and "vals" not in got
+
+    # global declaration: a module read even though assigned locally.
+    src2 = "def q():\n    global CFG\n    CFG = 1\n    return CFG\n"
+    assert "CFG" in _names_used(src2)
+
+    # decorator/default expressions evaluate in the enclosing scope.
+    src3 = "def q():\n    @deco\n    def inner(x=default_val):\n        return x\n    return inner\n"
+    got3 = _names_used(src3)
+    assert {"deco", "default_val"} <= got3 and "x" not in got3
+
+
+def test_module_index_segments_include_decorators():
+    """A reached sibling query fn's segment must include its
+    @register(...) decorator block — a behavior-wrapping decorator (or
+    the registered doc/oracle text) is part of the definition (round-9
+    second-pass finding: get_source_segment starts at the def line)."""
+    from freshness import PKG, _ModuleIndex
+
+    idx = _ModuleIndex(REPO / PKG)
+    defs, _ = idx.get("workload.extension_queries")
+    seg, _lineno = defs["dedup_minhash_lsh"]
+    # get_source_segment on a decorator expression omits the "@".
+    assert seg.lstrip().startswith("register(")
+    assert "def dedup_minhash_lsh" in seg
+
+
+def test_resolve_honors_module_binding_order(tmp_path):
+    """If a module imports a name and LATER defines it, the def is the
+    runtime binding — the v2 hash must flip on edits to the local def,
+    not the dead import target (round-9 second-pass finding)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
+    (pkg / "workload").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+
+    def write(local_body: str, sibling_body: str) -> None:
+        (pkg / "workload" / "sib.py").write_text(
+            f"def helper():\n    return {sibling_body!r}\n"
+        )
+        (pkg / "workload" / "__init__.py").write_text(
+            textwrap.dedent(
+                f"""
+                from .sib import helper
+
+                REGISTRY = {{}}
+
+                class Spec:
+                    def __init__(self, fn):
+                        self.fn = fn
+                        self.oracle = "SELECT 1"
+
+                def helper():   # defined AFTER the import: runtime binding
+                    return {local_body!r}
+
+                def q(spark, sf_dir):
+                    return helper()
+
+                REGISTRY["q"] = Spec(q)
+                """
+            )
+        )
+
+    def dump():
+        out = subprocess.run(
+            [_sys.executable, str(REPO / "tools" / "freshness.py"),
+             "--dump", "--repo", str(tmp_path), "--helpers"],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)["q"]
+
+    write("local", "sibling")
+    h0 = dump()
+    write("local-EDITED", "sibling")
+    assert dump() != h0, "edit to the live local def did not flip the hash"
+    write("local", "sibling-EDITED")
+    assert dump() == h0, "edit to the dead import target flipped the hash"
+
+
 def test_helper_closure_dual_resolution_of_one_name(tmp_path):
     """The same name resolving to TWO different definitions (a sibling
     import inside the entry fn vs the module's own top-level def used
@@ -238,7 +339,6 @@ def test_helper_closure_dual_resolution_of_one_name(tmp_path):
     pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
     (pkg / "workload").mkdir(parents=True)
     (pkg / "__init__.py").write_text("")
-    (pkg / "workload" / "sib.py").write_text("def X():\n    return 'sibling'\n")
 
     def write_main(local_x: str, sibling_x: str) -> None:
         (pkg / "workload" / "__init__.py").write_text(

@@ -230,6 +230,7 @@ class _ModuleIndex:
     def __init__(self, pkg_root: Path):
         self.pkg_root = pkg_root
         self._cache: dict[str, tuple[dict, dict]] = {}
+        self._src_cache: dict[tuple, tuple[set, dict, set]] = {}
 
     def get(self, dotted: str) -> tuple[dict, dict]:
         """dotted '' means the package-root __init__ (``from <pkg>
@@ -249,8 +250,12 @@ class _ModuleIndex:
         text = f.read_text()
         tree = ast.parse(text)
         cur_pkg = _pkg_location(f, self.pkg_root)
-        defs: dict[str, str] = {}
-        imports: dict[str, tuple[str, str]] = {}
+        # defs: name -> (segment, lineno); imports: name -> (target
+        # module, original name, lineno). Linenos let resolution honor
+        # runtime binding order when a module both imports and defines
+        # one name.
+        defs: dict[str, tuple[str, int]] = {}
+        imports: dict[str, tuple[str, str, int]] = {}
         # Own walker (unlike _module_level_nodes, which deliberately
         # DROPS def nodes): yields module-level def statements
         # themselves and descends through non-def blocks so guarded
@@ -268,17 +273,32 @@ class _ModuleIndex:
                     for c in ast.iter_child_nodes(node)
                     if isinstance(c, (ast.stmt, ast.ExceptHandler))
                 )
+        def put_def(name: str, node, seg: str) -> None:
+            # Keep the LAST binding by source position (runtime wins —
+            # round-9 review finding on def-after-import precedence).
+            if name not in defs or node.lineno > defs[name][1]:
+                defs[name] = (seg, node.lineno)
+
         for node in nodes:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-                defs[node.name] = ast.get_source_segment(text, node) or ""
+                # Include decorators: @register(...)'s oracle/doc and
+                # any behavior-wrapping decorator are part of a reached
+                # helper's definition; ast.get_source_segment starts at
+                # the def line and would drop them (round-9 review
+                # finding).
+                seg = "\n".join(
+                    [ast.get_source_segment(text, d) or "" for d in node.decorator_list]
+                    + [ast.get_source_segment(text, node) or ""]
+                )
+                put_def(node.name, node, seg)
             elif isinstance(node, ast.Assign):
                 seg = ast.get_source_segment(text, node) or ""
                 for t in node.targets:
                     for n in ast.walk(t):
                         if isinstance(n, ast.Name):
-                            defs[n.id] = seg
+                            put_def(n.id, node, seg)
             elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-                defs[node.target.id] = ast.get_source_segment(text, node) or ""
+                put_def(node.target.id, node, ast.get_source_segment(text, node) or "")
             elif isinstance(node, ast.ImportFrom):
                 self._add_from(node, cur_pkg, imports)
         self._cache[dotted] = (defs, imports)
@@ -297,12 +317,17 @@ class _ModuleIndex:
         else:
             return  # third-party
         for a in node.names:
-            out[a.asname or a.name] = (mod, a.name)
+            # Last binding wins here too (dict insertion order follows
+            # source order within a module's walker output only for
+            # imports_in_src's ast.walk; guard with lineno explicitly).
+            prev = out.get(a.asname or a.name)
+            if prev is None or node.lineno >= prev[2]:
+                out[a.asname or a.name] = (mod, a.name, node.lineno)
 
     def imports_in_src(self, src: str, cur_pkg: list[str]) -> dict:
         """Import map for names imported INSIDE a source block (an
         entry fn body or a helper segment)."""
-        out: dict[str, tuple[str, str]] = {}
+        out: dict[str, tuple[str, str, int]] = {}
         try:
             tree = ast.parse(src)
         except SyntaxError:
@@ -312,30 +337,143 @@ class _ModuleIndex:
                 self._add_from(node, cur_pkg, out)
         return out
 
+    def analyze_src(
+        self, src: str, src_pkg: tuple[str, ...]
+    ) -> tuple[set, dict, set]:
+        """(names used, import overlay, engine deps imported inside)
+        for one source block — cached, so shared helper segments are
+        parsed once per index rather than once per entry."""
+        key = (src, src_pkg)
+        hit = self._src_cache.get(key)
+        if hit is not None:
+            return hit
+        try:
+            walked = list(ast.walk(ast.parse(src)))
+        except SyntaxError:
+            walked = []
+        engine = {
+            d
+            for d in _imports_in_nodes(iter(walked), list(src_pkg))
+            if _is_engine_dep(d) and _module_file(self.pkg_root, d)
+        }
+        res = (_names_used(src), self.imports_in_src(src, list(src_pkg)), engine)
+        self._src_cache[key] = res
+        return res
+
 
 def _names_used(src: str) -> set[str]:
-    """Load-context names MINUS locally-bound ones (params, assignment
-    and comprehension targets, with/except aliases). Python scoping
-    makes any name bound anywhere in a scope local to it, so a load of
-    a bound name never reads the module-level definition — including
-    the shadowed helper would spuriously fold an unrelated definition
-    into the hash and burn a driver-window slot on every edit to it
-    (round-9 review finding). Import-bound names are deliberately NOT
-    subtracted: they resolve through the import overlay instead."""
+    """Names whose Load may reach MODULE level: per-scope free-variable
+    analysis, not a flat walk. A flat subtract is wrong in BOTH
+    directions (round-9 review findings): counting locally-bound names
+    spuriously folds shadowed module helpers into the hash (wasted
+    driver-window slots), and subtracting scope-insensitively lets a
+    lambda param / comprehension target suppress a genuine
+    enclosing-scope read of a module helper (silent under-inclusion in
+    a drift gate). Rules, biased toward over-inclusion when ambiguous:
+
+    - per scope, bound = params, Store/Del targets, except-aliases,
+      nested def/class names; loads of bound names stay local;
+    - nested scopes: free names propagate outward minus each enclosing
+      scope's bindings; decorators, default values, and the FIRST
+      comprehension iterable evaluate in the ENCLOSING scope (Python
+      semantics — keeps their loads from being eaten by inner params);
+    - ``global X`` makes X a module read (and never locally bound);
+      ``nonlocal X`` can never be a module read — excluded;
+    - import aliases are NOT treated as bound: they resolve through
+      the import overlay instead."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return set()
-    loads: set[str] = set()
-    bound: set[str] = set()
-    for n in ast.walk(tree):
-        if isinstance(n, ast.Name):
-            (loads if isinstance(n.ctx, ast.Load) else bound).add(n.id)
-        elif isinstance(n, ast.arg):
-            bound.add(n.arg)
-        elif isinstance(n, ast.ExceptHandler) and n.name:
-            bound.add(n.name)
-    return loads - bound
+
+    def scope_free(body, params: set[str]) -> set[str]:
+        bound = set(params)
+        loads: set[str] = set()
+        inner_free: set[str] = set()
+        global_names: set[str] = set()
+        nonlocal_names: set[str] = set()
+
+        def enter_function(node) -> None:
+            # Decorators / defaults / annotations evaluate HERE.
+            for d in getattr(node, "decorator_list", []):
+                handle(d)
+            a = node.args
+            for dflt in list(a.defaults) + [d for d in a.kw_defaults if d]:
+                handle(dflt)
+            for arg in a.posonlyargs + a.args + a.kwonlyargs + [
+                x for x in (a.vararg, a.kwarg) if x
+            ]:
+                if arg.annotation:
+                    handle(arg.annotation)
+            if getattr(node, "returns", None):
+                handle(node.returns)
+            p = {arg.arg for arg in a.posonlyargs + a.args + a.kwonlyargs}
+            p |= {arg.arg for arg in (a.vararg, a.kwarg) if arg}
+            inner_free.update(
+                scope_free(
+                    node.body if isinstance(node.body, list) else [node.body], p
+                )
+            )
+
+        def enter_comprehension(node) -> None:
+            # The first iterable evaluates HERE; targets/ifs/elt and
+            # later iterables in the comprehension's own scope —
+            # recurse through scope_free so nested lambdas and
+            # comprehensions inside get the same precise treatment.
+            handle(node.generators[0].iter)
+            comp_params = {
+                n.id
+                for g in node.generators
+                for n in ast.walk(g.target)
+                if isinstance(n, ast.Name)
+            }
+            rest = [e for g in node.generators for e in g.ifs]
+            rest += [g.iter for g in node.generators[1:]]
+            rest += (
+                [node.key, node.value]
+                if isinstance(node, ast.DictComp)
+                else [node.elt]
+            )
+            inner_free.update(scope_free(rest, comp_params))
+
+        def handle(c) -> None:
+            if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                bound.add(c.name)
+                enter_function(c)
+            elif isinstance(c, ast.Lambda):
+                enter_function(c)
+            elif isinstance(c, ast.ClassDef):
+                bound.add(c.name)
+                for d in c.decorator_list:
+                    handle(d)
+                for b in list(c.bases) + list(c.keywords):
+                    handle(b)
+                inner_free.update(scope_free(c.body, set()))
+            elif isinstance(
+                c, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+            ):
+                enter_comprehension(c)
+            elif isinstance(c, ast.Global):
+                global_names.update(c.names)
+            elif isinstance(c, ast.Nonlocal):
+                nonlocal_names.update(c.names)
+            else:
+                if isinstance(c, ast.Name):
+                    (loads if isinstance(c.ctx, ast.Load) else bound).add(c.id)
+                elif isinstance(c, ast.arg):
+                    bound.add(c.arg)
+                elif isinstance(c, ast.ExceptHandler) and c.name:
+                    bound.add(c.name)
+                for sub in ast.iter_child_nodes(c):
+                    handle(sub)
+
+        for stmt in body:
+            handle(stmt)
+        bound -= global_names
+        free = (loads - bound) | (inner_free - bound) | global_names
+        return free - nonlocal_names
+
+    return scope_free(tree.body, set())
 
 
 def _helper_closure(
@@ -369,11 +507,22 @@ def _helper_closure(
                 return None
             hops.add((mod, name))
             defs, imports = idx.get(mod)
-            tgt = overlay.get(name) or imports.get(name)
-            overlay = {}  # the segment overlay applies to the first hop only
+            # A fn-local import (overlay) rebinds for the whole block;
+            # at module level the LAST binding wins, so compare the
+            # import's and the def's source positions (round-9 review
+            # finding: import-over-def regardless of order hashed the
+            # dead binding).
+            tgt = overlay.get(name)
             if tgt is None:
-                return (mod, name) if name in defs else None
-            tmod, oname = tgt
+                imp, dfn = imports.get(name), defs.get(name)
+                if imp is not None and (dfn is None or imp[2] > dfn[1]):
+                    tgt = imp
+                elif dfn is not None:
+                    return (mod, name)
+                else:
+                    return None
+            overlay = {}  # the segment overlay applies to the first hop only
+            tmod, oname = tgt[0], tgt[1]
             if not (_workload_family(tmod) or tmod == ""):
                 engine_deps.add(tmod)
                 return None
@@ -390,25 +539,19 @@ def _helper_closure(
             mod, name = tmod, oname
 
     def scan(src: str, mod: str, src_pkg: list[str]) -> None:
-        # Engine modules imported anywhere inside this block (any
-        # import form) feed v1's transitive dep closure.
-        try:
-            src_tree = ast.walk(ast.parse(src))
-        except SyntaxError:
-            src_tree = iter(())
-        engine_deps.update(
-            d
-            for d in _imports_in_nodes(src_tree, src_pkg)
-            if _is_engine_dep(d) and _module_file(idx.pkg_root, d)
-        )
-        overlay = idx.imports_in_src(src, src_pkg)
-        for used in _names_used(src):
+        # One parse per distinct source block: names/overlay/engine
+        # imports are cached on the index (round-9 review finding —
+        # shared segments like workload:load were re-parsed for every
+        # one of the 175 entries).
+        names, overlay, seg_engine = idx.analyze_src(src, tuple(src_pkg))
+        engine_deps.update(seg_engine)
+        for used in names:
             tgt = resolve(mod, used, overlay)
             if tgt is None or tgt in visited:
                 continue
             visited.add(tgt)
             tmod, tname = tgt
-            seg = idx.get(tmod)[0][tname]
+            seg = idx.get(tmod)[0][tname][0]
             out[tgt] = seg
             if tmod == "":
                 seg_pkg: list[str] = []
@@ -648,6 +791,14 @@ def main() -> int:
                 if name != "__meta__":
                     by_round.setdefault(rec["round"], []).append(name)
             revs = round_revs()
+            missing = sorted(set(by_round) - set(revs))
+            if missing:
+                raise SystemExit(
+                    f"no git rev resolvable for baseline round(s) {missing} "
+                    "— the round's `round N: verdict...` commit is not in "
+                    "the log; add an explicit override to ROUND_REVS in "
+                    "tools/freshness.py."
+                )
             green_hashes: dict[str, str | None] = {}
             for rnd, names in sorted(by_round.items()):
                 at_rev = _hashes_at_rev(revs[rnd], include_helpers=mode)
