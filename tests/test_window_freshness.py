@@ -257,6 +257,106 @@ def test_names_used_is_scope_sensitive():
     assert {"deco", "default_val"} <= got3 and "x" not in got3
 
 
+def test_names_used_class_scope_does_not_enclose_methods():
+    """`class Agg: helper = ...; def m(self): return helper()` reads
+    MODULE-level helper at runtime — class scopes do not enclose their
+    methods, so the class-attribute binding must not swallow the
+    method's free name (round-9 third-pass finding, confirmed live)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        class Agg:
+            helper = staticmethod(something)
+
+            def m(self):
+                return helper()
+        """
+    )
+    got = _names_used(src)
+    assert "helper" in got
+    assert "staticmethod" in got and "something" in got
+
+
+def test_names_used_nested_global_survives_enclosing_binding():
+    """`def q(): CFG = 1; def inner(): global CFG; return CFG` — inner
+    reads MODULE-level CFG; the enclosing local binding must not
+    subtract it (round-9 third-pass finding, confirmed live)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        def q():
+            CFG = 1
+            def inner():
+                global CFG
+                return CFG
+            return inner()
+        """
+    )
+    assert "CFG" in _names_used(src)
+
+
+def test_bare_annotation_does_not_shadow_live_import(tmp_path):
+    """`from .sib import helper` followed by `helper: object` (no
+    value) binds nothing at runtime — resolution must follow the live
+    import, not hash the dead annotation text (round-9 third-pass
+    finding: a regression risk of the last-binding-wins rule)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    pkg = tmp_path / "copenhagen_traffic_and_weather_etl_pipeline_spark"
+    (pkg / "workload").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+
+    def write(sibling_body: str) -> None:
+        (pkg / "workload" / "sib.py").write_text(
+            f"def helper():\n    return {sibling_body!r}\n"
+        )
+        (pkg / "workload" / "__init__.py").write_text(
+            textwrap.dedent(
+                """
+                from .sib import helper
+
+                REGISTRY = {}
+
+                class Spec:
+                    def __init__(self, fn):
+                        self.fn = fn
+                        self.oracle = "SELECT 1"
+
+                helper: object   # bare annotation: binds nothing
+
+                def q(spark, sf_dir):
+                    return helper()
+
+                REGISTRY["q"] = Spec(q)
+                """
+            )
+        )
+
+    def dump():
+        out = subprocess.run(
+            [_sys.executable, str(REPO / "tools" / "freshness.py"),
+             "--dump", "--repo", str(tmp_path), "--helpers"],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)["q"]
+
+    write("sibling")
+    h0 = dump()
+    write("sibling-EDITED")
+    assert dump() != h0, (
+        "edit to the live import target did not flip the hash — the "
+        "bare annotation shadowed it"
+    )
+
+
 def test_module_index_segments_include_decorators():
     """A reached sibling query fn's segment must include its
     @register(...) decorator block — a behavior-wrapping decorator (or

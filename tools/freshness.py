@@ -297,7 +297,15 @@ class _ModuleIndex:
                     for n in ast.walk(t):
                         if isinstance(n, ast.Name):
                             put_def(n.id, node, seg)
-            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            elif (
+                isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.value is not None
+            ):
+                # A bare annotation (`x: T` without a value) binds
+                # nothing at runtime — letting it win the last-binding
+                # comparison would hash dead annotation text over the
+                # live import/def (round-9 third-pass finding).
                 put_def(node.target.id, node, ast.get_source_segment(text, node) or "")
             elif isinstance(node, ast.ImportFrom):
                 self._add_from(node, cur_pkg, imports)
@@ -341,22 +349,31 @@ class _ModuleIndex:
         self, src: str, src_pkg: tuple[str, ...]
     ) -> tuple[set, dict, set]:
         """(names used, import overlay, engine deps imported inside)
-        for one source block — cached, so shared helper segments are
-        parsed once per index rather than once per entry."""
+        for one source block — cached, and ONE ast.parse per cache
+        miss (names, overlay, and engine imports all derive from the
+        same tree)."""
         key = (src, src_pkg)
         hit = self._src_cache.get(key)
         if hit is not None:
             return hit
         try:
-            walked = list(ast.walk(ast.parse(src)))
+            tree = ast.parse(src)
         except SyntaxError:
-            walked = []
+            res: tuple[set, dict, set] = (set(), {}, set())
+            self._src_cache[key] = res
+            return res
+        walked = list(ast.walk(tree))
         engine = {
             d
             for d in _imports_in_nodes(iter(walked), list(src_pkg))
             if _is_engine_dep(d) and _module_file(self.pkg_root, d)
         }
-        res = (_names_used(src), self.imports_in_src(src, list(src_pkg)), engine)
+        overlay: dict[str, tuple[str, str, int]] = {}
+        for node in walked:
+            if isinstance(node, ast.ImportFrom):
+                self._add_from(node, list(src_pkg), overlay)
+        free, global_reads = _scope_free(tree.body, set())
+        res = (free | global_reads, overlay, engine)
         self._src_cache[key] = res
         return res
 
@@ -377,103 +394,132 @@ def _names_used(src: str) -> set[str]:
       scope's bindings; decorators, default values, and the FIRST
       comprehension iterable evaluate in the ENCLOSING scope (Python
       semantics — keeps their loads from being eaten by inner params);
-    - ``global X`` makes X a module read (and never locally bound);
-      ``nonlocal X`` can never be a module read — excluded;
+    - ``global X`` makes X a module read (and never locally bound),
+      propagated to the top unsubtractable even when an enclosing
+      function binds the same name; ``nonlocal X`` can never be a
+      module read — excluded;
+    - class scopes do NOT enclose their methods (Python semantics): a
+      method's free names bypass class-attribute bindings;
     - import aliases are NOT treated as bound: they resolve through
       the import overlay instead."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return set()
+    free, global_reads = _scope_free(tree.body, set())
+    return free | global_reads
 
-    def scope_free(body, params: set[str]) -> set[str]:
-        bound = set(params)
-        loads: set[str] = set()
-        inner_free: set[str] = set()
-        global_names: set[str] = set()
-        nonlocal_names: set[str] = set()
 
-        def enter_function(node) -> None:
-            # Decorators / defaults / annotations evaluate HERE.
-            for d in getattr(node, "decorator_list", []):
+def _scope_free(body, params: set[str]) -> tuple[set[str], set[str]]:
+    """(free names, global-declared reads) of one scope. The second
+    set rides to the top WITHOUT being subtracted by enclosing
+    bindings — ``def q(): CFG = 1; def inner(): global CFG`` reads the
+    module CFG even though q binds CFG locally (round-9 third-pass
+    finding)."""
+    bound = set(params)
+    loads: set[str] = set()
+    inner_free: set[str] = set()
+    global_names: set[str] = set()
+    global_reads_up: set[str] = set()
+    nonlocal_names: set[str] = set()
+
+    def recurse(sub_body, sub_params: set[str]) -> set[str]:
+        f, g = _scope_free(sub_body, sub_params)
+        global_reads_up.update(g)
+        return f
+
+    def enter_function(node) -> None:
+        # Decorators / defaults / annotations evaluate HERE.
+        for d in getattr(node, "decorator_list", []):
+            handle(d)
+        a = node.args
+        for dflt in list(a.defaults) + [d for d in a.kw_defaults if d]:
+            handle(dflt)
+        for arg in a.posonlyargs + a.args + a.kwonlyargs + [
+            x for x in (a.vararg, a.kwarg) if x
+        ]:
+            if arg.annotation:
+                handle(arg.annotation)
+        if getattr(node, "returns", None):
+            handle(node.returns)
+        p = {arg.arg for arg in a.posonlyargs + a.args + a.kwonlyargs}
+        p |= {arg.arg for arg in (a.vararg, a.kwarg) if arg}
+        inner_free.update(
+            recurse(node.body if isinstance(node.body, list) else [node.body], p)
+        )
+
+    def enter_comprehension(node) -> None:
+        # The first iterable evaluates HERE; targets/ifs/elt and
+        # later iterables in the comprehension's own scope —
+        # recurse through _scope_free so nested lambdas and
+        # comprehensions inside get the same precise treatment.
+        handle(node.generators[0].iter)
+        comp_params = {
+            n.id
+            for g in node.generators
+            for n in ast.walk(g.target)
+            if isinstance(n, ast.Name)
+        }
+        rest = [e for g in node.generators for e in g.ifs]
+        rest += [g.iter for g in node.generators[1:]]
+        rest += (
+            [node.key, node.value]
+            if isinstance(node, ast.DictComp)
+            else [node.elt]
+        )
+        inner_free.update(recurse(rest, comp_params))
+
+    def handle(c) -> None:
+        if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            bound.add(c.name)
+            enter_function(c)
+        elif isinstance(c, ast.Lambda):
+            enter_function(c)
+        elif isinstance(c, ast.ClassDef):
+            bound.add(c.name)
+            for d in c.decorator_list:
                 handle(d)
-            a = node.args
-            for dflt in list(a.defaults) + [d for d in a.kw_defaults if d]:
-                handle(dflt)
-            for arg in a.posonlyargs + a.args + a.kwonlyargs + [
-                x for x in (a.vararg, a.kwarg) if x
-            ]:
-                if arg.annotation:
-                    handle(arg.annotation)
-            if getattr(node, "returns", None):
-                handle(node.returns)
-            p = {arg.arg for arg in a.posonlyargs + a.args + a.kwonlyargs}
-            p |= {arg.arg for arg in (a.vararg, a.kwarg) if arg}
-            inner_free.update(
-                scope_free(
-                    node.body if isinstance(node.body, list) else [node.body], p
-                )
-            )
-
-        def enter_comprehension(node) -> None:
-            # The first iterable evaluates HERE; targets/ifs/elt and
-            # later iterables in the comprehension's own scope —
-            # recurse through scope_free so nested lambdas and
-            # comprehensions inside get the same precise treatment.
-            handle(node.generators[0].iter)
-            comp_params = {
-                n.id
-                for g in node.generators
-                for n in ast.walk(g.target)
-                if isinstance(n, ast.Name)
-            }
-            rest = [e for g in node.generators for e in g.ifs]
-            rest += [g.iter for g in node.generators[1:]]
-            rest += (
-                [node.key, node.value]
-                if isinstance(node, ast.DictComp)
-                else [node.elt]
-            )
-            inner_free.update(scope_free(rest, comp_params))
-
-        def handle(c) -> None:
-            if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for b in list(c.bases) + list(c.keywords):
+                handle(b)
+            # Class scopes do NOT enclose methods: a method's free
+            # names must bypass class-attribute bindings (round-9
+            # third-pass finding — `class A: helper = ...; def m(self):
+            # return helper()` reads MODULE-level helper at runtime).
+            # Each method is analyzed in its own throwaway scope whose
+            # free names propagate here unsubtracted by class attrs;
+            # only non-method statements share the class-body scope.
+            methods = [
+                s for s in c.body
+                if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            rest = [
+                s for s in c.body
+                if not isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            inner_free.update(recurse(rest, set()))
+            for m in methods:
+                inner_free.update(recurse([m], set()))
+        elif isinstance(
+            c, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+        ):
+            enter_comprehension(c)
+        elif isinstance(c, ast.Global):
+            global_names.update(c.names)
+        elif isinstance(c, ast.Nonlocal):
+            nonlocal_names.update(c.names)
+        else:
+            if isinstance(c, ast.Name):
+                (loads if isinstance(c.ctx, ast.Load) else bound).add(c.id)
+            elif isinstance(c, ast.ExceptHandler) and c.name:
                 bound.add(c.name)
-                enter_function(c)
-            elif isinstance(c, ast.Lambda):
-                enter_function(c)
-            elif isinstance(c, ast.ClassDef):
-                bound.add(c.name)
-                for d in c.decorator_list:
-                    handle(d)
-                for b in list(c.bases) + list(c.keywords):
-                    handle(b)
-                inner_free.update(scope_free(c.body, set()))
-            elif isinstance(
-                c, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
-            ):
-                enter_comprehension(c)
-            elif isinstance(c, ast.Global):
-                global_names.update(c.names)
-            elif isinstance(c, ast.Nonlocal):
-                nonlocal_names.update(c.names)
-            else:
-                if isinstance(c, ast.Name):
-                    (loads if isinstance(c.ctx, ast.Load) else bound).add(c.id)
-                elif isinstance(c, ast.arg):
-                    bound.add(c.arg)
-                elif isinstance(c, ast.ExceptHandler) and c.name:
-                    bound.add(c.name)
-                for sub in ast.iter_child_nodes(c):
-                    handle(sub)
+            for sub in ast.iter_child_nodes(c):
+                handle(sub)
 
-        for stmt in body:
-            handle(stmt)
-        bound -= global_names
-        free = (loads - bound) | (inner_free - bound) | global_names
-        return free - nonlocal_names
-
-    return scope_free(tree.body, set())
+    for stmt in body:
+        handle(stmt)
+    bound -= global_names
+    free = (loads - bound) | (inner_free - bound) | global_names
+    return free - nonlocal_names, (global_names | global_reads_up) - nonlocal_names
 
 
 def _helper_closure(
@@ -721,21 +767,25 @@ def _hashes_at_rev(rev: str, include_helpers: bool = False) -> dict[str, str]:
         shutil.rmtree(wt.parent, ignore_errors=True)
 
 
+def _require_revs(rounds, revs: dict[int, str], context: str) -> None:
+    missing = sorted(set(rounds) - set(revs))
+    if missing:
+        raise SystemExit(
+            f"no git rev resolvable for {context} round(s) {missing} — "
+            "the round's `round N: verdict/advice/correctness/bench` "
+            "commit is not in the log (not yet committed?); commit it "
+            "or add an explicit override to ROUND_REVS in "
+            "tools/freshness.py, then rerun."
+        )
+
+
 def build_baseline(include_helpers: bool = False) -> None:
     newest = newest_green_rounds(REPO)
     by_round: dict[int, list[str]] = {}
     for name, rnd in newest.items():
         by_round.setdefault(rnd, []).append(name)
     revs = round_revs()
-    missing = sorted(set(by_round) - set(revs))
-    if missing:
-        raise SystemExit(
-            f"no git rev resolvable for green round(s) {missing} — the "
-            "round's `round N: verdict...` commit is not in the log "
-            "(not yet committed?); commit it or add an explicit "
-            "override to ROUND_REVS in tools/freshness.py, then rerun "
-            "--baseline."
-        )
+    _require_revs(by_round, revs, "green")
     baseline: dict[str, dict] = {
         # The CI test recomputes current hashes in the SAME mode the
         # baseline was built with (sort_keys puts __meta__ first).
@@ -791,14 +841,7 @@ def main() -> int:
                 if name != "__meta__":
                     by_round.setdefault(rec["round"], []).append(name)
             revs = round_revs()
-            missing = sorted(set(by_round) - set(revs))
-            if missing:
-                raise SystemExit(
-                    f"no git rev resolvable for baseline round(s) {missing} "
-                    "— the round's `round N: verdict...` commit is not in "
-                    "the log; add an explicit override to ROUND_REVS in "
-                    "tools/freshness.py."
-                )
+            _require_revs(by_round, revs, "baseline")
             green_hashes: dict[str, str | None] = {}
             for rnd, names in sorted(by_round.items()):
                 at_rev = _hashes_at_rev(revs[rnd], include_helpers=mode)
