@@ -280,6 +280,69 @@ def test_names_used_class_scope_does_not_enclose_methods():
     assert "staticmethod" in got and "something" in got
 
 
+def test_names_used_method_calling_same_named_module_fn():
+    """A method whose body calls a function with the METHOD'S OWN name
+    reads the module-level one (class attrs are invisible from method
+    bodies) — the throwaway binding of the method name must not
+    subtract it (round-9 fourth-pass finding, confirmed live)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        class Agg:
+            def transform(self, df):
+                return transform(df)
+        """
+    )
+    assert "transform" in _names_used(src)
+
+
+def test_names_used_guarded_method_bypasses_class_attrs():
+    """A method defined under `if`/`try` inside a class body is still a
+    method: its free names bypass class-attribute bindings (round-9
+    fourth-pass finding, confirmed live)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        class A:
+            helper = 1
+            if True:
+                def m(self):
+                    return helper()
+        """
+    )
+    assert "helper" in _names_used(src)
+
+
+def test_names_used_global_read_survives_nonlocal_in_middle_scope():
+    """inner's `global X` read is a module read even when a MIDDLE
+    scope declares X nonlocal — the up-channel must not be filtered by
+    enclosing nonlocal declarations (round-9 fourth-pass finding)."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        def outer():
+            X = 1
+            def mid():
+                nonlocal X
+                def inner():
+                    global X
+                    return X
+                return inner()
+            return mid()
+        """
+    )
+    assert "X" in _names_used(src)
+
+
 def test_names_used_nested_global_survives_enclosing_binding():
     """`def q(): CFG = 1; def inner(): global CFG; return CFG` — inner
     reads MODULE-level CFG; the enclosing local binding must not

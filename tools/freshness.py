@@ -325,25 +325,12 @@ class _ModuleIndex:
         else:
             return  # third-party
         for a in node.names:
-            # Last binding wins here too (dict insertion order follows
-            # source order within a module's walker output only for
-            # imports_in_src's ast.walk; guard with lineno explicitly).
+            # Last binding wins here too (the module walker and
+            # ast.walk don't guarantee source order; guard with lineno
+            # explicitly).
             prev = out.get(a.asname or a.name)
             if prev is None or node.lineno >= prev[2]:
                 out[a.asname or a.name] = (mod, a.name, node.lineno)
-
-    def imports_in_src(self, src: str, cur_pkg: list[str]) -> dict:
-        """Import map for names imported INSIDE a source block (an
-        entry fn body or a helper segment)."""
-        out: dict[str, tuple[str, str, int]] = {}
-        try:
-            tree = ast.parse(src)
-        except SyntaxError:
-            return out
-        for node in ast.walk(tree):
-            if isinstance(node, ast.ImportFrom):
-                self._add_from(node, cur_pkg, out)
-        return out
 
     def analyze_src(
         self, src: str, src_pkg: tuple[str, ...]
@@ -410,21 +397,54 @@ def _names_used(src: str) -> set[str]:
     return free | global_reads
 
 
-def _scope_free(body, params: set[str]) -> tuple[set[str], set[str]]:
+def _param_names(node) -> set[str]:
+    a = node.args
+    p = {arg.arg for arg in a.posonlyargs + a.args + a.kwonlyargs}
+    p |= {arg.arg for arg in (a.vararg, a.kwarg) if arg}
+    return p
+
+
+def _function_free(node) -> tuple[set[str], set[str]]:
+    """(free, global reads) of ONE function — decorators, defaults,
+    annotations, body — WITHOUT binding the function's own name: a
+    class-body method whose body calls a same-named module function
+    reads the MODULE one (round-9 fourth-pass finding)."""
+    f, g = _scope_free([node], set())
+    body = node.body if isinstance(node.body, list) else [node.body]
+    bf, _bg = _scope_free(body, _param_names(node))
+    name = getattr(node, "name", None)
+    if name and name in bf:
+        f = f | {name}
+    return f, g
+
+
+def _scope_free(
+    body, params: set[str], class_body: bool = False
+) -> tuple[set[str], set[str]]:
     """(free names, global-declared reads) of one scope. The second
     set rides to the top WITHOUT being subtracted by enclosing
     bindings — ``def q(): CFG = 1; def inner(): global CFG`` reads the
     module CFG even though q binds CFG locally (round-9 third-pass
-    finding)."""
+    finding).
+
+    ``class_body``: Python class scopes do NOT enclose the functions
+    defined in them — a method's free names must bypass
+    class-attribute bindings (but remain subtractable by the scope
+    CONTAINING the class: methods do close over enclosing function
+    scopes). In class-body mode every function/lambda encountered at
+    any statement depth (so also under ``if``/``try`` — round-9
+    fourth-pass finding) is analyzed in isolation and its free names
+    join the return value AFTER this scope's subtraction."""
     bound = set(params)
     loads: set[str] = set()
     inner_free: set[str] = set()
+    bypass: set[str] = set()
     global_names: set[str] = set()
     global_reads_up: set[str] = set()
     nonlocal_names: set[str] = set()
 
-    def recurse(sub_body, sub_params: set[str]) -> set[str]:
-        f, g = _scope_free(sub_body, sub_params)
+    def recurse(sub_body, sub_params: set[str], cb: bool = False) -> set[str]:
+        f, g = _scope_free(sub_body, sub_params, class_body=cb)
         global_reads_up.update(g)
         return f
 
@@ -442,10 +462,11 @@ def _scope_free(body, params: set[str]) -> tuple[set[str], set[str]]:
                 handle(arg.annotation)
         if getattr(node, "returns", None):
             handle(node.returns)
-        p = {arg.arg for arg in a.posonlyargs + a.args + a.kwonlyargs}
-        p |= {arg.arg for arg in (a.vararg, a.kwarg) if arg}
         inner_free.update(
-            recurse(node.body if isinstance(node.body, list) else [node.body], p)
+            recurse(
+                node.body if isinstance(node.body, list) else [node.body],
+                _param_names(node),
+            )
         )
 
     def enter_comprehension(node) -> None:
@@ -472,33 +493,33 @@ def _scope_free(body, params: set[str]) -> tuple[set[str], set[str]]:
     def handle(c) -> None:
         if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
             bound.add(c.name)
-            enter_function(c)
+            if class_body:
+                # Class scopes do not enclose their methods: analyze
+                # in isolation; free names join via the bypass channel
+                # (not subtracted by class-attribute bindings).
+                f, g = _function_free(c)
+                bypass.update(f)
+                global_reads_up.update(g)
+            else:
+                enter_function(c)
         elif isinstance(c, ast.Lambda):
-            enter_function(c)
+            if class_body:
+                f, g = _function_free(c)
+                bypass.update(f)
+                global_reads_up.update(g)
+            else:
+                enter_function(c)
         elif isinstance(c, ast.ClassDef):
             bound.add(c.name)
             for d in c.decorator_list:
                 handle(d)
             for b in list(c.bases) + list(c.keywords):
                 handle(b)
-            # Class scopes do NOT enclose methods: a method's free
-            # names must bypass class-attribute bindings (round-9
-            # third-pass finding — `class A: helper = ...; def m(self):
-            # return helper()` reads MODULE-level helper at runtime).
-            # Each method is analyzed in its own throwaway scope whose
-            # free names propagate here unsubtracted by class attrs;
-            # only non-method statements share the class-body scope.
-            methods = [
-                s for s in c.body
-                if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef))
-            ]
-            rest = [
-                s for s in c.body
-                if not isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef))
-            ]
-            inner_free.update(recurse(rest, set()))
-            for m in methods:
-                inner_free.update(recurse([m], set()))
+            # The class body runs in class-body mode: its own
+            # statements see class attributes, while functions at any
+            # statement depth inside it bypass them (round-9 third- and
+            # fourth-pass findings).
+            inner_free.update(recurse(c.body, set(), cb=True))
         elif isinstance(
             c, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
         ):
@@ -519,7 +540,14 @@ def _scope_free(body, params: set[str]) -> tuple[set[str], set[str]]:
         handle(stmt)
     bound -= global_names
     free = (loads - bound) | (inner_free - bound) | global_names
-    return free - nonlocal_names, (global_names | global_reads_up) - nonlocal_names
+    # bypass joins AFTER this scope's subtraction (class-body mode);
+    # the enclosing scope still subtracts its own bindings from it.
+    # The global-reads channel is NOT filtered by nonlocal_names:
+    # global and nonlocal cannot coexist for one name in one scope, so
+    # the only effect of subtracting would be wrongly erasing an inner
+    # scope's `global X` read when THIS scope declares X nonlocal
+    # (round-9 fourth-pass finding).
+    return (free - nonlocal_names) | bypass, global_names | global_reads_up
 
 
 def _helper_closure(
