@@ -169,6 +169,72 @@ def _closure_for(entry):
     return {p.split("\x00")[0] for p in parts}, engine_deps
 
 
+def test_names_used_never_under_includes_vs_symtable():
+    """Oracle check of the scope analyzer against Python's own
+    ``symtable`` over the LIVE corpus: every registry entry fn source
+    and every helper segment of every workload module. A name symtable
+    says may read module level must appear in _names_used (or be an
+    import alias, which resolves through the overlay instead) —
+    under-inclusion is the failure mode that lets helper drift escape
+    the freshness gate, so this is the direction the gate cannot
+    afford. Over-inclusion is tolerated (it only costs window slots).
+    Round-9 passes 2-4 each found under-inclusions by hand-review;
+    this pins the whole corpus mechanically."""
+    import ast
+    import importlib
+    import inspect
+    import symtable
+
+    from freshness import PKG, _ModuleIndex, _names_used
+
+    def module_reads(src):
+        st = symtable.symtable(src, "<s>", "exec")
+        out = set()
+
+        def walk(t):
+            for sym in t.get_symbols():
+                if sym.is_referenced() and sym.is_global():
+                    out.add(sym.get_name())
+            for c in t.get_children():
+                walk(c)
+
+        walk(st)
+        return out
+
+    def imported_names(src):
+        out = set()
+        for n in ast.walk(ast.parse(src)):
+            if isinstance(n, (ast.Import, ast.ImportFrom)):
+                out.update(a.asname or a.name.split(".")[0] for a in n.names)
+        return out
+
+    pkg_root = REPO / PKG
+    idx = _ModuleIndex(pkg_root)
+    workload = importlib.import_module(f"{PKG}.workload")
+
+    srcs = {
+        f"fn:{name}": inspect.getsource(spec.fn)
+        for name, spec in workload.REGISTRY.items()
+    }
+    for f in sorted((pkg_root / "workload").glob("*.py")):
+        dotted = "workload" if f.name == "__init__.py" else f"workload.{f.stem}"
+        defs, _ = idx.get(dotted)
+        for n, (seg, _ln) in defs.items():
+            srcs[f"seg:{dotted}:{n}"] = seg
+
+    assert len(srcs) > 400, "corpus unexpectedly small — collection broke?"
+    under = {}
+    for key, src in srcs.items():
+        try:
+            ref = module_reads(src)
+        except SyntaxError:
+            continue
+        missing = ref - (_names_used(src) | imported_names(src))
+        if missing:
+            under[key] = sorted(missing)
+    assert not under, f"scope analyzer under-includes vs symtable: {under}"
+
+
 def test_helper_closure_resolves_constants_functions_and_reexports():
     """v2 hash mode must reach: same-module constants, same-module
     sibling query fns called directly, cross-module helpers imported
