@@ -137,91 +137,33 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 9's window, by the same policy (newest-green histogram after
-# r8's 50/50 gate: 12 entries at r3, 30 at r4, 36 at r5, 47 at r7,
-# 50 at r8 — tools/window_freshness.json is the machine-checked
-# ledger):
-#   1-2. dedup_prefix_filter_jaccard and dedup_method_eval — the ONLY
-#      changed-since-green entries (tools/freshness.py drift check):
-#      round 9 re-derived the ORACLE's prefix cut from the effective
-#      rounded threshold t' = 1599999/2000000 (ADVICE r8 — the Spark
-#      side already used it; the oracle kept the 0.8-derived cut,
-#      unreachable below ~400k shingles but a silent corpus-size
-#      assumption). dedup_method_eval embeds that oracle at import
-#      time, so its materialized oracle drifted with it.
-#   3-44. the staleness tail, verbatim the round-8 _NEXT_WINDOW order:
-#      the 12 r3-era entries, then all 30 r4-era entries — after this
-#      round's gate no pre-r5 evidence remains.
-#   45-50. six r5-era entries, highest-float-surface first (float and
-#      randomized outputs are where hash-compare drift risk lives;
-#      integer/key outputs are the safe holdovers):
-#      benford_price_digits, equidepth_histogram,
-#      kaplan_meier_retention, ngram_lm_perplexity,
-#      record_linkage_score, triangle_count_doulion.
+# Round 10's window, by the same policy (newest-green histogram after
+# r9's 50/50 gate: 30 entries at r5, 47 at r7, 48 at r8, 50 at r9 —
+# tools/window_freshness.json is the machine-checked ledger), and per
+# the round-9 dry-run-validated v2-ledger switch (ROUND9_NOTES §9):
+#   1-30. the 30 remaining r5-era entries, verbatim the round-9
+#      _NEXT_WINDOW order — after this round's gate no pre-r7
+#      evidence remains anywhere in the registry.
+#   31-33. the three r7 helper-movers (dedup_semantic_kmeans,
+#      ivf_ann_search, kmeans_clusters): their entry-fn sources are
+#      unchanged since their r7 green rows, but module-level helpers
+#      on their call path changed in r7/r8, so under the v2
+#      (helpers-included) definition hash their newest green row
+#      predates their hash — the dry run measured exactly these 3
+#      plus the 30 above as the full v2-stale set.
+#   34-50. seventeen r7-era entries, highest-float-surface first
+#      (float and randomized outputs are where hash-compare drift
+#      risk lives; integer/key outputs are the safe holdovers):
+#      regression/moment/correlation stats, windowed float math,
+#      similarity scores, and interpolation.
 # Freshness is enforced in CI: tests/test_window_freshness.py
-# recomputes each entry's definition hash against
-# tools/window_freshness.json and fails if a changed or never-proven
-# entry is missing from this window.
+# recomputes each entry's definition hash (v2: entry fn + reachable
+# module-level helpers, per the ledger's recorded __meta__ mode)
+# against tools/window_freshness.json and fails if a changed or
+# never-proven entry is missing from this window.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "dedup_prefix_filter_jaccard",
-    "dedup_method_eval",
-    "set_intersect_all_keys",
-    "chain_components_recursive",
-    "shuffle_shards_deterministic",
-    "split_train_val_test",
-    "sample_weighted_docs",
-    "text_token_encode",
-    "scd2_intervals",
-    "topn_orders_per_customer",
-    "array_agg_orderkeys",
-    "funnel_view_click_purchase",
-    "null_safe_join_brands",
-    "multi_distinct_aggs",
-    "embedding_norm_stats",
-    "histogram_prices",
-    "hash_sample_orders",
-    "percentile_by_priority",
-    "window_first_last",
-    "set_except_all_keys",
-    "approx_quantile_value",
-    "source_mixture_weights",
-    "sample_token_budget",
-    "quality_filter_cascade",
-    "bpe_pair_merges",
-    "cohort_retention",
-    "attribution_first_touch",
-    "funnel_latency_percentiles",
-    "time_weighted_avg_value",
-    "gaps_islands_activity",
-    "exists_over_balance",
-    "skyline_orders",
-    "map_agg_event_counts",
-    "mode_return_priority",
-    "web_url_canonicalize",
-    "web_domain_caps",
-    "web_blocklist_filter",
-    "hashed_feature_buckets",
-    "dq_expectations",
-    "running_distinct_users",
-    "ship_delay_by_priority",
-    "rolling_7d_active_users",
-    "window_distribution_funcs",
-    "skew_profile",
-    "benford_price_digits",
-    "equidepth_histogram",
-    "kaplan_meier_retention",
-    "ngram_lm_perplexity",
-    "record_linkage_score",
-    "triangle_count_doulion",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# 30 remaining r5-era entries (alphabetical within the round cohort) —
-# so the round-10 rotation is again a window swap, one round from full
-# r7+ freshness.
-_NEXT_WINDOW: list[str] = [
     "assign_contiguous_ids",
     "compaction_plan",
     "countmin_token_counts",
@@ -252,6 +194,59 @@ _NEXT_WINDOW: list[str] = [
     "window_running_total",
     "zonemap_prune_estimate",
     "zorder_cluster_key",
+    "dedup_semantic_kmeans",
+    "ivf_ann_search",
+    "kmeans_clusters",
+    "trend_regression_events",
+    "stats_moments_orders",
+    "corr_value_props",
+    "zscore_by_user",
+    "winsorize_values",
+    "window_moving_avg",
+    "bm25_retrieval",
+    "embedding_centroid_outliers",
+    "sim_topk_bruteforce",
+    "sim_topk_vectorized",
+    "pq_ann_adc",
+    "ann_recall_eval",
+    "knn_join_lsh",
+    "interpolate_hourly_values",
+    "revenue_mom_growth",
+    "pricing_summary",
+    "text_entropy",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 27 remaining r7-era entries (alphabetical within the round cohort) —
+# so a future rotation is again a window swap.
+_NEXT_WINDOW: list[str] = [
+    "above_customer_avg",
+    "asof_join_last_purchase",
+    "chunk_documents_overlap",
+    "conditional_agg_priorities",
+    "curriculum_buckets",
+    "daily_counts_gapfilled",
+    "dedup_levenshtein",
+    "grouping_sets_revenue",
+    "hourly_tumbling",
+    "mm_binary_dedup",
+    "mm_binary_meta",
+    "mm_byte_features",
+    "mm_frame_sample",
+    "mm_image_decode",
+    "mm_magic_sniff",
+    "profile_customer",
+    "range_join_value_bands",
+    "regexp_extract_types",
+    "sliding_window_counts",
+    "small_qty_revenue_q17",
+    "text_fingerprint",
+    "text_normalize",
+    "text_quality",
+    "tfidf_top_terms",
+    "time_rollup_multigrain",
+    "top_supplier_share_q20",
+    "variant_open_schema_agg",
 ]
 
 
