@@ -13,12 +13,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+class NotNullViolation(ValueError):
+    """Raised by :func:`append_table` in ``reject`` mode when the batch
+    carries a NULL in a declared NOT NULL column — the Spark-side
+    equivalent of a BigQuery load job failing the table's NOT NULL
+    schema (bigquery_table_creation_queries.sql:2-19,23-37)."""
+
+
+def _not_null_violation_cond(cols: list[str]):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    return reduce(lambda a, b: a | b, (F.col(c).isNull() for c in cols))
+
+
 def append_table(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     format: str = "parquet",
-) -> None:
+    not_null: list[str] | None = None,
+    on_violation: str = "reject",
+    quarantine_path: str | None = None,
+) -> int | None:
     """S5: append-mode fact-table sink (deployment_function.py:188).
 
     Unlike the reference's 40 one-row load jobs per tick, a single
@@ -27,11 +45,64 @@ def append_table(
     takes any Spark-built-in table format (parquet default; orc keeps
     identical pruning/pushdown behavior, json/csv for interchange —
     columnar stats-based skipping is lost outside parquet/orc).
+
+    NOT NULL enforcement (bigquery_table_creation_queries.sql:2-19):
+    the reference's BigQuery DDL makes every ingested column NOT NULL
+    and the load job HARD-FAILS on violation; Spark's parquet catalog
+    treats declared nullability as advisory, so the guard lives at the
+    write: pass ``not_null=[cols...]`` and either
+
+    - ``on_violation="reject"`` (default): probe for one violating row
+      (``LIMIT 1`` — early-out scan, no full count) and raise
+      :class:`NotNullViolation` BEFORE any file lands, keeping the
+      append all-or-nothing like a BigQuery load job; or
+    - ``on_violation="quarantine"``: split the batch — clean rows
+      append to ``path``, violating rows land in ``quarantine_path``
+      (default ``<path>_quarantine``) with the same layout — the
+      dead-letter pattern for pipelines that must not drop ticks.
+
+    Returns the quarantined-row count (0 under a passing reject), or
+    None when no ``not_null`` check was requested. Scale note: the
+    check costs one extra pass over the batch (filter scan + write, or
+    two filtered writes for quarantine) — batches here are per-tick
+    appends, orders of magnitude smaller than the table; never run it
+    over the accumulated table itself (that's ``dq_expectations``' job
+    as a publish gate).
     """
-    writer = df.write.mode("append").format(format)
+    if not_null:
+        if on_violation not in ("reject", "quarantine"):
+            raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
+        missing = [c for c in not_null if c not in df.columns]
+        if missing:
+            raise ValueError(f"not_null columns absent from batch: {missing}")
+        viol = _not_null_violation_cond(not_null)
+        if on_violation == "reject":
+            sample = df.where(viol).limit(1).collect()
+            if sample:
+                raise NotNullViolation(
+                    f"append to {path} rejected: NULL in declared NOT NULL "
+                    f"column(s) {not_null}; first violating row: {sample[0].asDict()}"
+                )
+            quarantined = 0
+            clean = df
+        else:
+            qpath = quarantine_path or path.rstrip("/") + "_quarantine"
+            bad = df.where(viol)
+            quarantined = bad.count()
+            if quarantined:
+                qwriter = bad.write.mode("append").format(format)
+                if partition_by:
+                    qwriter = qwriter.partitionBy(*partition_by)
+                qwriter.save(qpath)
+            clean = df.where(~viol)
+    else:
+        quarantined = None
+        clean = df
+    writer = clean.write.mode("append").format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+    return quarantined
 
 
 def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:

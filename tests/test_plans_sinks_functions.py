@@ -307,3 +307,65 @@ def test_fan_out_small_scan_guard(spark):
 
     wide = spark.range(1000).repartition(target + 4)
     assert fan_out_small_scan(wide) is wide
+
+
+def test_append_not_null_reject_fails_before_any_file_lands(spark, tmp_path):
+    """NOT NULL write-guard, reject mode: the reference's BigQuery DDL
+    (bigquery_table_creation_queries.sql:2-19) makes every ingested
+    column NOT NULL and a violating load job fails atomically. The
+    Spark-side guard must raise and leave the target path EMPTY."""
+    from pathlib import Path
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        NotNullViolation,
+    )
+
+    path = str(tmp_path / "guarded")
+    good = spark.createDataFrame(
+        [("2026-08-14", 1.0), ("2026-08-14", 2.0)], "date string, v double"
+    )
+    n = append_table(good, path, not_null=["date", "v"])
+    assert n == 0
+    assert spark.read.parquet(path).count() == 2
+
+    bad = spark.createDataFrame(
+        [("2026-08-15", 3.0), (None, 4.0)], "date string, v double"
+    )
+    import pytest
+
+    with pytest.raises(NotNullViolation, match="NOT NULL"):
+        append_table(bad, path, not_null=["date", "v"])
+    # All-or-nothing: the good row in the violating batch did NOT land.
+    assert spark.read.parquet(path).count() == 2
+    # And nothing was quarantined in reject mode.
+    assert not Path(path + "_quarantine").exists()
+
+
+def test_append_not_null_quarantine_splits_the_batch(spark, tmp_path):
+    """Quarantine mode: clean rows append, violating rows land in the
+    dead-letter path, counts are exact per-batch."""
+    path = str(tmp_path / "guarded_q")
+    batch = spark.createDataFrame(
+        [("2026-08-14", 1.0), (None, 2.0), ("2026-08-14", None)],
+        "date string, v double",
+    )
+    n = append_table(batch, path, not_null=["date", "v"], on_violation="quarantine")
+    assert n == 2
+    assert spark.read.parquet(path).count() == 1
+    q = spark.read.parquet(path + "_quarantine")
+    assert q.count() == 2
+    # Second batch appends to both sides without clobbering the first.
+    n2 = append_table(batch, path, not_null=["date", "v"], on_violation="quarantine")
+    assert n2 == 2
+    assert spark.read.parquet(path).count() == 2
+    assert spark.read.parquet(path + "_quarantine").count() == 4
+
+
+def test_append_not_null_validates_arguments(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "date string, v double")
+    with pytest.raises(ValueError, match="absent from batch"):
+        append_table(df, str(tmp_path / "x"), not_null=["nope"])
+    with pytest.raises(ValueError, match="reject|quarantine"):
+        append_table(df, str(tmp_path / "x"), not_null=["date"], on_violation="drop")
