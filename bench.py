@@ -5,9 +5,11 @@ one full JSON line
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <sf>}
 
-followed by a <200-char contract-shaped trailer line carrying just the
-totals, so a bounded tail capture of stdout always retains them (the
-full line is ~6 KB and round 8's 2000-char capture lost its head).
+followed by a <200-char trailer line (metric
+"headline_queries_total_trailer") carrying the totals plus the worst
+per-query ratio vs BENCH_BASELINE, so a bounded tail capture of stdout
+always retains them (the full line is ~6 KB and round 8's 2000-char
+capture lost its head).
 
 Timing is per-query wall clock around a full materialization
 (``df.write.format("noop")`` — exercises the whole plan without
@@ -203,16 +205,23 @@ def main() -> int:
 
     # Round-over-round regression guard: compare against the checked-in
     # BENCH_BASELINE.json (round 2's numbers) and surface any query that
-    # regressed >2x, on stderr so the required single-JSON-line stdout
-    # contract holds.
+    # regressed >2x, on stderr so the two-line stdout contract (full
+    # JSON line + short trailer line, both parseable JSON) holds.
     baseline_path = REPO / "BENCH_BASELINE.json"
     regressions: dict[str, str] = {}
+    worst_query: str | None = None
+    worst_ratio: float | None = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
         if base.get("sf") == sf_val:
             for name, sec in timings.items():
                 ref = base.get("queries", {}).get(name)
-                if ref and sec > 2.0 * ref and sec - ref > 0.25:
+                if not ref:
+                    continue
+                ratio = sec / ref
+                if worst_ratio is None or ratio > worst_ratio:
+                    worst_query, worst_ratio = name, round(ratio, 2)
+                if sec > 2.0 * ref and sec - ref > 0.25:
                     regressions[name] = f"{ref:.3f}s -> {sec:.3f}s"
             ref_total = base.get("value")
             if ref_total:
@@ -245,19 +254,23 @@ def main() -> int:
     # Truncation-proof trailer (round-8 VERDICT: the driver keeps only
     # the TAIL of stdout, and the full line above is ~6 KB, so a 2000-
     # char capture window lost the headline total from BENCH_r08.json).
-    # This second line is <200 chars and contract-shaped, so any tail
-    # window that holds one full line holds the totals. Consumers that
-    # parse the FIRST json line are unaffected.
+    # This second line is <200 chars and carries the totals PLUS the
+    # worst per-query ratio vs BENCH_BASELINE, so a truncated artifact
+    # still answers both "how fast overall" and "which query is
+    # weakest" (round-9 ADVICE). Distinct metric name so consumers
+    # keying on headline_queries_total never pick up this line, and no
+    # empty queries map to mistake for a real one.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total_trailer",
                 "value": total,
                 "unit": "sec",
-                "queries": {},
                 "sf": sf_val,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "steal_pct": steal_pct,
+                "worst_query": worst_query,
+                "worst_ratio": worst_ratio,
                 "trailer": True,
             }
         )
