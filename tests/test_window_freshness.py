@@ -385,6 +385,54 @@ def test_names_used_guarded_method_bypasses_class_attrs():
     assert "helper" in _names_used(src)
 
 
+def test_names_used_class_body_comprehension_bypasses_class_attrs():
+    """A comprehension in a class body is a FUNCTION scope: everything
+    but the first iterable skips the class scope, so `helper(v)` in the
+    elt reads the MODULE helper even when the class binds `helper` as an
+    attribute (round-10 ADVICE finding; symtable confirms). The first
+    iterable DOES evaluate in the class scope, so `rows` there resolves
+    to the class attribute and must stay subtracted. Lambdas nested in
+    the comprehension get the same bypass."""
+    import textwrap
+
+    from freshness import _names_used
+
+    src = textwrap.dedent(
+        """
+        class A:
+            helper = 1
+            rows = [1]
+            vals = [helper(v) for v in rows]
+        """
+    )
+    got = _names_used(src)
+    assert "helper" in got
+    assert "rows" not in got
+
+    src2 = textwrap.dedent(
+        """
+        class B:
+            scale = 2
+            fns = [lambda v: scale * v for _ in range(3)]
+        """
+    )
+    assert "scale" in _names_used(src2)
+
+    # Comprehension targets still bind inside their own scope, and a
+    # dict comprehension's key/value both bypass.
+    src3 = textwrap.dedent(
+        """
+        class C:
+            key_of = 1
+            val_of = 2
+            m = {key_of(x): val_of(x) for x in (1, 2)}
+        """
+    )
+    got3 = _names_used(src3)
+    assert {"key_of", "val_of"} <= got3
+    assert "x" not in got3
+
+
 def test_names_used_global_read_survives_nonlocal_in_middle_scope():
     """inner's `global X` read is a module read even when a MIDDLE
     scope declares X nonlocal — the up-channel must not be filtered by

@@ -474,6 +474,11 @@ def _scope_free(
         # later iterables in the comprehension's own scope —
         # recurse through _scope_free so nested lambdas and
         # comprehensions inside get the same precise treatment.
+        # Comprehension scopes are FUNCTION scopes: in class-body mode
+        # their free names must bypass class-attribute bindings exactly
+        # like methods do (only the first iterable sees the class
+        # scope — round-10 ADVICE finding: `class A: helper = 1;
+        # vals = [helper(v) for v in rows]` reads the MODULE helper).
         handle(node.generators[0].iter)
         comp_params = {
             n.id
@@ -488,7 +493,12 @@ def _scope_free(
             if isinstance(node, ast.DictComp)
             else [node.elt]
         )
-        inner_free.update(recurse(rest, comp_params))
+        if class_body:
+            f, g = _scope_free(rest, comp_params)
+            bypass.update(f)
+            global_reads_up.update(g)
+        else:
+            inner_free.update(recurse(rest, comp_params))
 
     def handle(c) -> None:
         if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
