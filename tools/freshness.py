@@ -775,6 +775,55 @@ def newest_green_rounds(repo: Path) -> dict[str, int]:
     return newest
 
 
+def stale_ledger_diagnosis(
+    stale: dict, include_helpers: bool, repo: Path = REPO
+) -> str:
+    """Actionable failure text for a baseline-vs-artifacts mismatch.
+
+    Two distinct states produce a stale ledger, and the CI gate must
+    not let one masquerade as the other (round-10 verdict item):
+
+    - The DESIGNED round-boundary state: the driver just wrote a new
+      ``CORRECTNESS_r*.json`` that is still untracked/uncommitted, so
+      the ledger rebuild (which needs the round's verdict commit for
+      its worktree) cannot have run yet. This is process sequencing,
+      not an engine regression, and the message says so explicitly
+      with the exact three-step fix.
+    - A genuinely out-of-date committed ledger (someone committed new
+      artifacts but skipped the rebuild): the message names the rebuild
+      command in the baseline's recorded hash mode.
+    """
+    cmd = "python tools/freshness.py --baseline" + (
+        " --helpers" if include_helpers else ""
+    )
+    r = subprocess.run(
+        ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    dirty = [ln[3:].strip() for ln in r.stdout.splitlines() if ln.strip()]
+    if dirty:
+        rounds = sorted({rec[1] for rec in stale.values()})
+        return (
+            "LEDGER STALE — designed round-boundary state, NOT an "
+            f"engine regression. New driver artifact(s) {dirty} are "
+            "not yet committed, so tools/window_freshness.json "
+            "predates them (the rebuild needs the round's commit for "
+            "its per-round worktree). Fix, in order: (1) commit the "
+            "round's artifacts under the exact subject 'round N: "
+            f"verdict/advice/correctness/bench'; (2) run `{cmd}`; "
+            "(3) commit the rebuilt tools/window_freshness.json. "
+            f"({len(stale)} entries affected; newest green rounds "
+            f"involved: {rounds})"
+        )
+    return (
+        "window_freshness.json is out of date vs the committed "
+        "CORRECTNESS_r*.json ledger (entry: baseline round vs newest "
+        f"green round): {stale} — rerun `{cmd}` and commit the result."
+    )
+
+
 def _hashes_at_rev(rev: str, include_helpers: bool = False) -> dict[str, str]:
     import tempfile
 
