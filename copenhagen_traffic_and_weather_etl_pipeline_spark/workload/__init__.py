@@ -137,25 +137,21 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 10's window, by the same policy (newest-green histogram after
-# r9's 50/50 gate: 30 entries at r5, 47 at r7, 48 at r8, 50 at r9 —
-# tools/window_freshness.json is the machine-checked ledger), and per
-# the round-9 dry-run-validated v2-ledger switch (ROUND9_NOTES §9):
-#   1-30. the 30 remaining r5-era entries, verbatim the round-9
-#      _NEXT_WINDOW order — after this round's gate no pre-r7
-#      evidence remains anywhere in the registry.
-#   31-33. the three r7 helper-movers (dedup_semantic_kmeans,
-#      ivf_ann_search, kmeans_clusters): their entry-fn sources are
-#      unchanged since their r7 green rows, but module-level helpers
-#      on their call path changed in r7/r8, so under the v2
-#      (helpers-included) definition hash their newest green row
-#      predates their hash — the dry run measured exactly these 3
-#      plus the 30 above as the full v2-stale set.
-#   34-50. seventeen r7-era entries, highest-float-surface first
-#      (float and randomized outputs are where hash-compare drift
-#      risk lives; integer/key outputs are the safe holdovers):
-#      regression/moment/correlation stats, windowed float math,
-#      similarity scores, and interpolation.
+# Round 11's window, by the same policy (newest-green histogram after
+# r10's 50/50 gate under the v2 ledger: 27 entries at r7, 48 at r8,
+# 50 at r9, 50 at r10 — tools/window_freshness.json is the
+# machine-checked ledger; `freshness.py --drift` reported n=0, so no
+# mandatory slots):
+#   1-27. the entire 27-entry r7-era staleness tail, verbatim the
+#      round-10 _NEXT_WINDOW order — after this round's gate no
+#      pre-r8 evidence remains anywhere in the registry.
+#   28-50. twenty-three r8-era re-proofs filling the slack slots,
+#      highest-float-surface first (float and randomized outputs are
+#      where hash-compare drift risk lives; integer/key outputs are
+#      the safe holdovers): lift/MAD/EWMA/MI/PMI/pagerank float
+#      stats, cosine/LSH embedding scores, percentiles, sampling,
+#      the two streaming replays, timestamp round-trips, and the
+#      simhash/bloom bit arithmetic.
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -164,62 +160,6 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "assign_contiguous_ids",
-    "compaction_plan",
-    "countmin_token_counts",
-    "cube_revenue",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "fk_containment_profile",
-    "flagship_latest_snapshot",
-    "geo_cell_density",
-    "heavy_hitters_tokens",
-    "incremental_agg_merge",
-    "incremental_join_view",
-    "k_anonymity_customers",
-    "kmv_set_intersection",
-    "latest_per_key",
-    "merge_upsert_cdc",
-    "nearest_station_events",
-    "outer_join_order_counts",
-    "scalar_subquery_latest",
-    "sessionize_events",
-    "sim_ann_lsh_buckets",
-    "snapshot_diff_cdf",
-    "text_lang_id",
-    "text_token_stats",
-    "triangle_count_coorder",
-    "using_join_enriched",
-    "window_running_total",
-    "zonemap_prune_estimate",
-    "zorder_cluster_key",
-    "dedup_semantic_kmeans",
-    "ivf_ann_search",
-    "kmeans_clusters",
-    "trend_regression_events",
-    "stats_moments_orders",
-    "corr_value_props",
-    "zscore_by_user",
-    "winsorize_values",
-    "window_moving_avg",
-    "bm25_retrieval",
-    "embedding_centroid_outliers",
-    "sim_topk_bruteforce",
-    "sim_topk_vectorized",
-    "pq_ann_adc",
-    "ann_recall_eval",
-    "knn_join_lsh",
-    "interpolate_hourly_values",
-    "revenue_mom_growth",
-    "pricing_summary",
-    "text_entropy",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# 27 remaining r7-era entries (alphabetical within the round cohort) —
-# so a future rotation is again a window swap.
-_NEXT_WINDOW: list[str] = [
     "above_customer_avg",
     "asof_join_last_purchase",
     "chunk_documents_overlap",
@@ -247,6 +187,60 @@ _NEXT_WINDOW: list[str] = [
     "time_rollup_multigrain",
     "top_supplier_share_q20",
     "variant_open_schema_agg",
+    "ab_test_lift",
+    "anomaly_mad_events",
+    "approx_distinct_users",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ewma_user_value",
+    "kelvin_to_celsius",
+    "mutual_information_event_value",
+    "pagerank_event_transitions",
+    "percentile_prices",
+    "pmi_token_pairs",
+    "ratio_to_report",
+    "stratified_sample",
+    "text_repetition_quality",
+    "sessionize_stream_replay",
+    "stream_join_replay",
+    "window_time_range_sum",
+    "salted_group_count",
+    "salted_join_segments",
+    "date_roundtrip",
+    "decontaminate_bloom",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 25 remaining r8-era entries (alphabetical within the round cohort) —
+# so a future rotation is again a window swap.
+_NEXT_WINDOW: list[str] = [
+    "anti_join_customers",
+    "array_first_last",
+    "coord_concat",
+    "decontaminate_ngram_overlap",
+    "dedup_canonical_pick",
+    "dedup_incremental",
+    "dedup_incremental_replay",
+    "dedup_resolve_clusters",
+    "distinct_flags",
+    "global_max_agg",
+    "json_extract",
+    "json_typed_agg",
+    "local_supply_revenue",
+    "pack_sequences",
+    "pivot_event_counts",
+    "rollup_lineitem",
+    "semi_join_customers",
+    "set_except_status",
+    "set_intersect_status",
+    "text_pii_scrub",
+    "text_strip_hotwords",
+    "top_orders",
+    "unpivot_lineitem_metrics",
+    "window_lead_lag",
+    "window_rank_suite",
 ]
 
 
