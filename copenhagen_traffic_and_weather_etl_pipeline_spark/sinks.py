@@ -59,50 +59,67 @@ def append_table(
     - ``on_violation="quarantine"``: split the batch — clean rows
       append to ``path``, violating rows land in ``quarantine_path``
       (default ``<path>_quarantine``) with the same layout — the
-      dead-letter pattern for pipelines that must not drop ticks.
+      dead-letter pattern for pipelines that must not drop ticks. The
+      clean append lands FIRST: if it fails and the caller retries the
+      batch, no violating rows have been dead-lettered yet, so the
+      retry cannot double-quarantine them.
 
     Returns the quarantined-row count (0 under a passing reject), or
-    None when no ``not_null`` check was requested. Scale note: the
-    check costs one extra pass over the batch (filter scan + write, or
-    two filtered writes for quarantine) — batches here are per-tick
-    appends, orders of magnitude smaller than the table; never run it
-    over the accumulated table itself (that's ``dq_expectations``' job
-    as a publish gate).
+    None when no ``not_null`` check was requested. The batch is
+    persisted for the duration of the check so the probe, the split,
+    and the writes all see ONE materialization of the input — without
+    it a non-deterministic plan (rand/sample/re-read of a moving
+    source) could pass the reject probe yet land a NULL, or
+    drop/duplicate rows between the two quarantine splits. Scale note:
+    the check costs one extra pass over the batch (filter scan + write,
+    or two filtered writes for quarantine) plus the cache footprint of
+    the batch — batches here are per-tick appends, orders of magnitude
+    smaller than the table; never run it over the accumulated table
+    itself (that's ``dq_expectations``' job as a publish gate).
     """
-    if not_null:
-        if on_violation not in ("reject", "quarantine"):
-            raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
-        missing = [c for c in not_null if c not in df.columns]
-        if missing:
-            raise ValueError(f"not_null columns absent from batch: {missing}")
-        viol = _not_null_violation_cond(not_null)
-        if on_violation == "reject":
-            sample = df.where(viol).limit(1).collect()
-            if sample:
-                raise NotNullViolation(
-                    f"append to {path} rejected: NULL in declared NOT NULL "
-                    f"column(s) {not_null}; first violating row: {sample[0].asDict()}"
-                )
-            quarantined = 0
-            clean = df
+    persisted = False
+    try:
+        if not_null:
+            if on_violation not in ("reject", "quarantine"):
+                raise ValueError(f"on_violation must be reject|quarantine, got {on_violation!r}")
+            missing = [c for c in not_null if c not in df.columns]
+            if missing:
+                raise ValueError(f"not_null columns absent from batch: {missing}")
+            df = df.persist()
+            persisted = True
+            viol = _not_null_violation_cond(not_null)
+            if on_violation == "reject":
+                sample = df.where(viol).limit(1).collect()
+                if sample:
+                    raise NotNullViolation(
+                        f"append to {path} rejected: NULL in declared NOT NULL "
+                        f"column(s) {not_null}; first violating row: {sample[0].asDict()}"
+                    )
+                quarantined = 0
+                clean = df
+                bad = None
+            else:
+                bad = df.where(viol)
+                quarantined = bad.count()
+                clean = df.where(~viol)
         else:
+            quarantined = None
+            clean = df
+            bad = None
+        writer = clean.write.mode("append").format(format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        if bad is not None and quarantined:
             qpath = quarantine_path or path.rstrip("/") + "_quarantine"
-            bad = df.where(viol)
-            quarantined = bad.count()
-            if quarantined:
-                qwriter = bad.write.mode("append").format(format)
-                if partition_by:
-                    qwriter = qwriter.partitionBy(*partition_by)
-                qwriter.save(qpath)
-            clean = df.where(~viol)
-    else:
-        quarantined = None
-        clean = df
-    writer = clean.write.mode("append").format(format)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(path)
-    return quarantined
+            qwriter = bad.write.mode("append").format(format)
+            if partition_by:
+                qwriter = qwriter.partitionBy(*partition_by)
+            qwriter.save(qpath)
+        return quarantined
+    finally:
+        if persisted:
+            df.unpersist()
 
 
 def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:
@@ -289,8 +306,11 @@ def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
 
 def create_table_ddl(spark: SparkSession, name: str, schema, location: str) -> None:
     """S7: declarative table creation mirroring
-    bigquery_table_creation_queries.sql (NOT NULL is advisory in Spark's
-    parquet catalog; the ingestion path enforces it by dropping rows)."""
+    bigquery_table_creation_queries.sql. NOT NULL is advisory in Spark's
+    parquet catalog; enforcement lives at the write instead —
+    :func:`append_table`'s ``not_null`` reject/quarantine modes, which
+    the streaming ingestion path passes for every schema-declared
+    non-nullable column."""
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet LOCATION '{location}'"

@@ -35,8 +35,15 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions import DATE_FMT, TIME_FMT
 from ..operators.flatten import flatten_traffic, flatten_weather, split_errors
 from ..operators.snapshot import latest_snapshot_join
-from ..schemas import FETCH_RESULT_SCHEMA
+from ..schemas import FETCH_RESULT_SCHEMA, TRAFFIC_SCHEMA, WEATHER_SCHEMA
 from ..sinks import append_table, overwrite_table
+
+
+def _not_null_cols(schema: T.StructType) -> list[str]:
+    """Schema-declared NOT NULL columns — the write-guard column list.
+    Mirrors the reference's DDL, where EVERY ingested column is NOT NULL
+    (bigquery_table_creation_queries.sql:2-19,23-37)."""
+    return [f.name for f in schema.fields if not f.nullable]
 
 # Fetch-result rows as they stream in: the batch FETCH_RESULT_SCHEMA plus
 # the event-time stamp of the producing tick.
@@ -93,7 +100,13 @@ def ingest_and_refresh(
     Per micro-batch (one or more ticks of fetch results):
       1. split error rows out (O2),
       2. flatten to typed fact rows stamped from event time (P1-P9),
-      3. append ``traffic_table`` / ``weather_table`` (S5),
+      3. append ``traffic_table`` / ``weather_table`` (S5) under the
+         NOT NULL write guard for every schema-declared non-nullable
+         column — the reference's BigQuery load jobs hard-fail on the
+         DDL's NOT NULL (bigquery_table_creation_queries.sql); here
+         violating rows are QUARANTINED (``<table>_quarantine``) so one
+         bad upstream record dead-letters instead of killing the
+         stream, and the clean rows still land,
       4. rebuild ``latest_joined_data`` (S6) — *after* the appends, in
          the same foreachBatch, eliminating the reference's +5-min race.
 
@@ -116,8 +129,20 @@ def ingest_and_refresh(
         weather = flatten_weather(
             ok.filter(F.col("data_type") == "weather"), stamp_d, stamp_t
         )
-        append_table(traffic, traffic_path, partition_by=["date"])
-        append_table(weather, weather_path, partition_by=["date"])
+        append_table(
+            traffic,
+            traffic_path,
+            partition_by=["date"],
+            not_null=_not_null_cols(TRAFFIC_SCHEMA),
+            on_violation="quarantine",
+        )
+        append_table(
+            weather,
+            weather_path,
+            partition_by=["date"],
+            not_null=_not_null_cols(WEATHER_SCHEMA),
+            on_violation="quarantine",
+        )
         # Refresh strictly after the appends: no partial-snapshot race.
         snap = latest_snapshot_join(
             spark.read.parquet(traffic_path), spark.read.parquet(weather_path)

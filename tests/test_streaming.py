@@ -77,6 +77,40 @@ def test_streaming_ingest_and_refresh_two_ticks(spark, tmp_path):
     assert {r["time"] for r in snap2.select("time").distinct().collect()} == {"10:00"}
 
 
+def test_streaming_not_null_guard_quarantines_bad_metadata(spark, tmp_path):
+    """S5 guard wiring (round-10 ADVICE): a fetch row whose metadata
+    (``geo_name``) is NULL survives flattening — the payload null-gate
+    covers only payload-derived columns — so without the write guard it
+    would append a NULL into a schema-declared NOT NULL column
+    (bigquery_table_creation_queries.sql makes every ingested column
+    NOT NULL). The ingestion path quarantines it: clean rows land, the
+    bad row dead-letters, and the stream completes instead of dying."""
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    base = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+
+    recs = _tick_records("2026-08-12T09:00:00.000Z")
+    bad = next(r for r in recs if r["data_type"] == "traffic")
+    bad["geo_name"] = None
+    (input_dir / "tick.json").write_text("\n".join(json.dumps(r) for r in recs))
+
+    q = ingest_and_refresh(read_fetch_stream(spark, str(input_dir)), str(base), str(ckpt))
+    q.awaitTermination(120)
+
+    traffic = spark.read.parquet(str(base / "traffic_table"))
+    assert traffic.count() == 19
+    assert traffic.where("geo_name IS NULL").count() == 0
+    quarantined = spark.read.parquet(str(base / "traffic_table_quarantine"))
+    assert quarantined.count() == 1
+    assert quarantined.first()["geo_name"] is None
+    # The weather side of the same tick is untouched: all 20 land.
+    assert spark.read.parquet(str(base / "weather_table")).count() == 20
+    assert not (base / "weather_table_quarantine").exists()
+    # And the snapshot refresh still ran on the clean rows.
+    assert spark.read.parquet(str(base / "latest_joined_data")).count() == 19
+
+
 def test_streaming_hourly_window_watermark(spark, tmp_path):
     input_dir = tmp_path / "incoming"
     input_dir.mkdir()
