@@ -46,6 +46,20 @@ def append_table(
     identical pruning/pushdown behavior, json/csv for interchange —
     columnar stats-based skipping is lost outside parquet/orc).
 
+    BigQuery parity passthrough: the reference's actual sink is a
+    BigQuery load job (``pandas_gbq.to_gbq``,
+    deployment_function.py:182-196). ``format="bigquery"`` passes
+    straight through to the open-source Spark BigQuery connector —
+    ``path`` becomes the ``dataset.table`` save target (connector
+    options such as ``writeMethod``/``temporaryGcsBucket`` are session
+    conf, set before calling). The NOT NULL guard below runs
+    ENGINE-SIDE first, so reject/quarantine semantics are identical
+    across formats: a violating batch raises (or dead-letters to
+    ``<dataset.table>_quarantine``) before anything reaches the
+    connector. The connector jar is not bundled here; without it Spark
+    raises its DATA_SOURCE_NOT_FOUND error at the write — the contract
+    up to that boundary is pinned in tests/test_plans_sinks_functions.py.
+
     NOT NULL enforcement (bigquery_table_creation_queries.sql:2-19):
     the reference's BigQuery DDL makes every ingested column NOT NULL
     and the load job HARD-FAILS on violation; Spark's parquet catalog

