@@ -144,8 +144,16 @@ def ingest_and_refresh(
             on_violation="quarantine",
         )
         # Refresh strictly after the appends: no partial-snapshot race.
+        # Explicit schemas: a tick whose flattened side is EMPTY (one
+        # API fully down / every row quarantined) appends only a
+        # _SUCCESS marker — no parquet footer to infer from — and a
+        # schema-less read here would kill the stream with
+        # UNABLE_TO_INFER_SCHEMA on a fresh pipeline's first tick. The
+        # declared schema also pins the date partition column to its
+        # DDL string type instead of partition-value inference.
         snap = latest_snapshot_join(
-            spark.read.parquet(traffic_path), spark.read.parquet(weather_path)
+            spark.read.schema(TRAFFIC_SCHEMA).parquet(traffic_path),
+            spark.read.schema(WEATHER_SCHEMA).parquet(weather_path),
         )
         overwrite_table(snap, snapshot_path)
 

@@ -111,6 +111,43 @@ def test_streaming_not_null_guard_quarantines_bad_metadata(spark, tmp_path):
     assert spark.read.parquet(str(base / "latest_joined_data")).count() == 19
 
 
+def test_streaming_first_tick_with_one_api_fully_down(spark, tmp_path):
+    """A fresh pipeline's FIRST tick where one API is entirely down
+    (every traffic fetch errored) appends ZERO traffic rows — parquet
+    then holds only a _SUCCESS marker, and a schema-inferring read
+    would kill the stream with UNABLE_TO_INFER_SCHEMA. The refresh
+    reads with explicit schemas, so the tick completes: weather lands,
+    the snapshot is empty (inner join), and the next healthy tick
+    recovers fully."""
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    base = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+
+    recs = _tick_records("2026-08-12T09:00:00.000Z")
+    for r in recs:
+        if r["data_type"] == "traffic":
+            r["status_code"] = 500
+            r["payload"] = None
+            r["error"] = "HTTP 500"
+    (input_dir / "tick1.json").write_text("\n".join(json.dumps(r) for r in recs))
+
+    q = ingest_and_refresh(read_fetch_stream(spark, str(input_dir)), str(base), str(ckpt))
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(str(base / "weather_table")).count() == 20
+    assert spark.read.parquet(str(base / "latest_joined_data")).count() == 0
+
+    # Next tick: both APIs healthy — the pipeline recovers.
+    _write_tick(input_dir, "tick2.json", "2026-08-12T10:00:00.000Z")
+    q2 = ingest_and_refresh(read_fetch_stream(spark, str(input_dir)), str(base), str(ckpt))
+    q2.awaitTermination(120)
+
+    snap = spark.read.parquet(str(base / "latest_joined_data"))
+    assert snap.count() == 20
+    assert {r["time"] for r in snap.select("time").distinct().collect()} == {"10:00"}
+
+
 def test_streaming_hourly_window_watermark(spark, tmp_path):
     input_dir = tmp_path / "incoming"
     input_dir.mkdir()
