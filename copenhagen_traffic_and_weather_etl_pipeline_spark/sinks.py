@@ -181,8 +181,14 @@ def compact_table(
     standing maintenance job: ``repartitionByRange(sort_col)`` (or a
     plain round-robin ``repartition``) re-clusters rows so parquet
     row-group min/max stats become disjoint and time filters skip whole
-    files. Writes to a temp dir first, then swaps — readers never see a
-    half-written table. Returns the number of data files written.
+    files. Writes to a temp dir first, then swaps via two directory
+    renames (old aside → new in → delete old) — readers never see a
+    half-written table, and a crash mid-swap leaves either the old or
+    the new table intact (worst case: a leaked ``_old_*`` sibling dir
+    to sweep, never data loss — the rmtree-then-move ordering this
+    replaces could lose the table for the whole deletion). On object
+    stores without atomic rename, use a catalog/manifest-swap format
+    (Iceberg/Delta) instead. Returns the number of data files written.
     """
     df = spark.read.parquet(path)
     if sort_col is not None:
@@ -192,17 +198,33 @@ def compact_table(
     else:
         out = df.repartition(target_files)
 
-    import shutil
+    tmp = _staging_sibling(path, "compact")
+    out.write.mode("overwrite").parquet(tmp)
+    return _swap_in(path, tmp)
+
+
+def _staging_sibling(path: str, tag: str) -> str:
     import uuid
     from pathlib import Path
 
-    tmp = str(Path(path).with_name(Path(path).name + f"_compact_{uuid.uuid4().hex[:8]}"))
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return sum(
-        1 for p in Path(path).iterdir() if p.name.endswith(".parquet")
+    return str(
+        Path(path).with_name(Path(path).name + f"_{tag}_{uuid.uuid4().hex[:8]}")
     )
+
+
+def _swap_in(path: str, tmp: str) -> int:
+    """Replace the table dir at ``path`` with the staged dir ``tmp``
+    via two same-parent renames, then delete the displaced old dir.
+    Same-parent keeps both renames on one filesystem (true directory
+    renames, not copies). Returns the new dir's parquet file count."""
+    import shutil
+    from pathlib import Path
+
+    old = _staging_sibling(path, "old")
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
 
 
 def zorder_key(c1, c2, bits: int = 16):
@@ -276,8 +298,9 @@ def compact_table_zorder(
     bits: int = 16,
 ) -> int:
     """``compact_table`` variant clustered on the Z-order key of two
-    columns: same atomic temp-dir swap, but files become rectangles in
-    (col1, col2) space instead of stripes in one dimension."""
+    columns: same staged write + rename swap, but files become
+    rectangles in (col1, col2) space instead of stripes in one
+    dimension."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
@@ -289,15 +312,9 @@ def compact_table_zorder(
         .drop("__zk")
     )
 
-    import shutil
-    import uuid
-    from pathlib import Path
-
-    tmp = str(Path(path).with_name(Path(path).name + f"_zorder_{uuid.uuid4().hex[:8]}"))
+    tmp = _staging_sibling(path, "zorder")
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
+    return _swap_in(path, tmp)
 
 
 def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
