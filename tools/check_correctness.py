@@ -116,10 +116,14 @@ def main() -> int:
         "driver's per-round correctness gate sees)",
     )
     args = ap.parse_args()
-    if args.sf is None:
+    if args.sf is None or "/" not in args.sf:
+        # Accept a bare scale factor ("--sf 0.001") as well as a data
+        # dir path — a bare number previously fell through to DuckDB as
+        # a relative path and died with a confusing "No files found
+        # that match the pattern '0.001/region.parquet'".
         from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
 
-        args.sf = sf_dir("0.01")
+        args.sf = sf_dir(args.sf or "0.01")
 
     import __spark_entry__ as entrymod
 
