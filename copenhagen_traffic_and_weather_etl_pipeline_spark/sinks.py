@@ -74,9 +74,18 @@ def append_table(
       append to ``path``, violating rows land in ``quarantine_path``
       (default ``<path>_quarantine``) with the same layout — the
       dead-letter pattern for pipelines that must not drop ticks. The
-      clean append lands FIRST: if it fails and the caller retries the
-      batch, no violating rows have been dead-lettered yet, so the
-      retry cannot double-quarantine them.
+      QUARANTINE write lands FIRST, deliberately: the two appends are
+      not atomic together, so whichever commits before a failure gets
+      duplicated when the caller (e.g. foreachBatch) retries the whole
+      batch. A failed Spark append commits nothing visible
+      (FileOutputCommitter publishes only on job success), so
+      quarantine-first bounds the retry damage to duplicate DEAD-LETTER
+      rows — benign for a triage table nothing downstream aggregates —
+      whereas clean-first would silently duplicate FACT rows that the
+      snapshot join and every downstream aggregate read. True
+      exactly-once across retries of a two-table append needs a
+      transactional table format (Delta/Iceberg), which this
+      parquet-dir sink intentionally doesn't assume.
 
     Returns the quarantined-row count (0 under a passing reject), or
     None when no ``not_null`` check was requested. The batch is
@@ -120,16 +129,16 @@ def append_table(
             quarantined = None
             clean = df
             bad = None
-        writer = clean.write.mode("append").format(format)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(path)
         if bad is not None and quarantined:
             qpath = quarantine_path or path.rstrip("/") + "_quarantine"
             qwriter = bad.write.mode("append").format(format)
             if partition_by:
                 qwriter = qwriter.partitionBy(*partition_by)
             qwriter.save(qpath)
+        writer = clean.write.mode("append").format(format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
         return quarantined
     finally:
         if persisted:
@@ -183,13 +192,20 @@ def compact_table(
     row-group min/max stats become disjoint and time filters skip whole
     files. Writes to a temp dir first, then swaps via two directory
     renames (old aside → new in → delete old) — readers never see a
-    half-written table, and a crash mid-swap leaves either the old or
-    the new table intact (worst case: a leaked ``_old_*`` sibling dir
-    to sweep, never data loss — the rmtree-then-move ordering this
-    replaces could lose the table for the whole deletion). On object
-    stores without atomic rename, use a catalog/manifest-swap format
-    (Iceberg/Delta) instead. Returns the number of data files written.
+    half-WRITTEN table, and a crash mid-swap leaves either the old or
+    the new table intact on disk (never data loss — the rmtree-then-move
+    ordering this replaces could lose the table for the whole deletion).
+    Two stated limits of the rename swap: (1) between the two renames
+    the table is briefly ABSENT at ``path`` — a concurrent reader can
+    get a transient FileNotFound (see :func:`_swap_in`); (2) a crash
+    there parks the table at an ``_old_*`` sibling. Every compaction
+    call therefore starts with :func:`_sweep_orphans`, which restores a
+    parked table and clears leaked staging dirs — recovery is
+    automatic, not manual. On object stores without atomic rename, use
+    a catalog/manifest-swap format (Iceberg/Delta) instead. Returns the
+    number of data files written.
     """
+    _sweep_orphans(path)
     df = spark.read.parquet(path)
     if sort_col is not None:
         out = df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
@@ -216,7 +232,18 @@ def _swap_in(path: str, tmp: str) -> int:
     """Replace the table dir at ``path`` with the staged dir ``tmp``
     via two same-parent renames, then delete the displaced old dir.
     Same-parent keeps both renames on one filesystem (true directory
-    renames, not copies). Returns the new dir's parquet file count."""
+    renames, not copies). Returns the new dir's parquet file count.
+
+    Consistency window, stated precisely: between the two renames
+    nothing exists at ``path`` — a concurrent reader listing the table
+    at that instant gets FileNotFound (a transient it must retry), and
+    a crash there leaves the table parked at the ``_old_*`` sibling
+    until the next :func:`compact_table` call's :func:`_sweep_orphans`
+    restores it. What the two-rename ordering guarantees is NO DATA
+    LOSS at any crash point (the rmtree-then-move it replaced could
+    lose the table for the whole deletion) — not reader-invisible
+    atomicity, which on a plain filesystem needs a version-pointer
+    indirection or an ACID table format."""
     import shutil
     from pathlib import Path
 
@@ -225,6 +252,34 @@ def _swap_in(path: str, tmp: str) -> int:
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
+
+
+def _sweep_orphans(path: str) -> None:
+    """Crash recovery for :func:`_swap_in`'s leftovers, run at the
+    start of every compaction: if ``path`` is missing but a displaced
+    ``_old_*`` sibling exists (crash between the two renames), rename
+    the old table back into place — the interrupted compaction is
+    simply redone; then delete any remaining ``_old_*`` /
+    ``_compact_*`` / ``_zorder_*`` staging siblings (an ``_old_*``
+    with ``path`` present means the crash hit after the new table was
+    already in; a staging dir with ``path`` present was never swapped
+    in — both are safe to drop)."""
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    prefixes = tuple(p.name + f"_{tag}_" for tag in ("old", "compact", "zorder"))
+    siblings = sorted(
+        s for s in p.parent.glob(p.name + "_*") if s.name.startswith(prefixes)
+    )
+    if not p.exists():
+        olds = [s for s in siblings if s.name.startswith(p.name + "_old_")]
+        if olds:
+            restored = olds.pop()
+            shutil.move(str(restored), path)
+            siblings = [s for s in siblings if s != restored]
+    for s in siblings:
+        shutil.rmtree(s)
 
 
 def zorder_key(c1, c2, bits: int = 16):
@@ -298,11 +353,13 @@ def compact_table_zorder(
     bits: int = 16,
 ) -> int:
     """``compact_table`` variant clustered on the Z-order key of two
-    columns: same staged write + rename swap, but files become
+    columns: same staged write + rename swap (and the same
+    :func:`_sweep_orphans` crash recovery on entry), but files become
     rectangles in (col1, col2) space instead of stripes in one
     dimension."""
     from pyspark.sql import functions as F
 
+    _sweep_orphans(path)
     df = spark.read.parquet(path)
     zk = zorder_key(F.col(col1), F.col(col2), bits).alias("__zk")
     out = (

@@ -361,6 +361,50 @@ def test_append_not_null_quarantine_splits_the_batch(spark, tmp_path):
     assert spark.read.parquet(path + "_quarantine").count() == 4
 
 
+def test_quarantine_write_lands_before_clean_append(spark, tmp_path, monkeypatch):
+    """Retry-safety ordering: the two quarantine-mode appends are not
+    atomic together, so whichever commits before a failure is duplicated
+    by a foreachBatch retry of the whole batch. The QUARANTINE write
+    must land first — a failure at the clean append then leaves the
+    FACT table untouched (a retry can at worst duplicate dead-letter
+    rows, never facts). Simulated by failing the save() aimed at the
+    main path."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "facts")
+    batch = spark.createDataFrame(
+        [("2026-08-14", 1.0), (None, 2.0)], "date string, v double"
+    )
+
+    real_save = DataFrameWriter.save
+
+    def failing_save(self, p=None, **kw):
+        if p == path:
+            raise RuntimeError("simulated fact-append failure")
+        return real_save(self, p, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "save", failing_save)
+    with pytest.raises(RuntimeError, match="simulated fact-append failure"):
+        append_table(batch, path, not_null=["date", "v"], on_violation="quarantine")
+    monkeypatch.undo()
+
+    # Dead-letters committed, facts did not — the retry-safe state.
+    assert spark.read.parquet(path + "_quarantine").count() == 1
+    from pathlib import Path
+
+    fact_files = list(Path(path).glob("**/*.parquet")) if Path(path).exists() else []
+    assert fact_files == []
+
+    # The retry itself: facts land exactly once; dead-letters duplicate
+    # (benign — the quarantine table is a triage surface, not a fact
+    # table downstream aggregates read).
+    n = append_table(batch, path, not_null=["date", "v"], on_violation="quarantine")
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1
+    assert spark.read.parquet(path + "_quarantine").count() == 2
+
+
 def test_append_table_bigquery_passthrough_contract(spark):
     """S5 BigQuery parity (round-10 verdict 'What's missing' #2): the
     reference loads via ``pandas_gbq.to_gbq``
@@ -391,6 +435,42 @@ def test_append_table_bigquery_passthrough_contract(spark):
     with pytest.raises(Exception) as ei:
         append_table(good, "dataset.facts", format="bigquery", not_null=["date", "v"])
     assert "bigquery" in str(ei.value).lower()
+
+
+def test_compaction_sweep_recovers_crashed_swap(spark, tmp_path):
+    """Crash recovery for the compaction rename swap: a crash between
+    the two renames leaves the table parked at an ``_old_*`` sibling
+    and the staged output at a ``_compact_*`` sibling. The next
+    compaction call must restore the table automatically, clear the
+    leaked staging dirs, and complete — no manual recovery, no data
+    loss."""
+    import shutil
+    from pathlib import Path
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        _staging_sibling,
+        compact_table,
+    )
+
+    path = str(tmp_path / "facts")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(8).write.parquet(path)
+    expected = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # Simulate the crash point: path renamed aside, staged dir leaked,
+    # nothing at path.
+    old = _staging_sibling(path, "old")
+    shutil.move(path, old)
+    staged = _staging_sibling(path, "compact")
+    Path(staged).mkdir()
+    (Path(staged) / "part-junk.parquet").write_bytes(b"not a real file")
+
+    n = compact_table(spark, path, target_files=2, sort_col="id")
+    assert n == 2
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == expected
+    # No leaked siblings remain.
+    assert list(Path(path).parent.glob("facts_*")) == []
 
 
 def test_append_not_null_validates_arguments(spark, tmp_path):

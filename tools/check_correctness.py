@@ -116,11 +116,21 @@ def main() -> int:
         "driver's per-round correctness gate sees)",
     )
     args = ap.parse_args()
-    if args.sf is None or "/" not in args.sf:
+    def _is_scale_factor(v: str) -> bool:
+        try:
+            float(v)
+            return True
+        except ValueError:
+            return False
+
+    if args.sf is None or _is_scale_factor(args.sf):
         # Accept a bare scale factor ("--sf 0.001") as well as a data
         # dir path — a bare number previously fell through to DuckDB as
         # a relative path and died with a confusing "No files found
-        # that match the pattern '0.001/region.parquet'".
+        # that match the pattern '0.001/region.parquet'". Only a value
+        # that parses as a number is treated as a scale factor; any
+        # other slash-free string (e.g. "--sf mydata") stays a relative
+        # data-dir path.
         from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
 
         args.sf = sf_dir(args.sf or "0.01")
