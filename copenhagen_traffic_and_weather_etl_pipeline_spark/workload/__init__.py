@@ -137,21 +137,21 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 11's window, by the same policy (newest-green histogram after
-# r10's 50/50 gate under the v2 ledger: 27 entries at r7, 48 at r8,
-# 50 at r9, 50 at r10 — tools/window_freshness.json is the
+# Round 12's window, by the same policy (newest-green histogram after
+# r11's 50/50 gate under the v2 ledger: 25 entries at r8, 50 at r9,
+# 50 at r10, 50 at r11 — tools/window_freshness.json is the
 # machine-checked ledger; `freshness.py --drift` reported n=0, so no
 # mandatory slots):
-#   1-27. the entire 27-entry r7-era staleness tail, verbatim the
-#      round-10 _NEXT_WINDOW order — after this round's gate no
-#      pre-r8 evidence remains anywhere in the registry.
-#   28-50. twenty-three r8-era re-proofs filling the slack slots,
+#   1-25. the entire 25-entry r8-era staleness tail, verbatim the
+#      round-11 _NEXT_WINDOW order — after this round's gate no
+#      pre-r9 evidence remains anywhere in the registry.
+#   26-50. twenty-five r9-era re-proofs filling the slack slots,
 #      highest-float-surface first (float and randomized outputs are
 #      where hash-compare drift risk lives; integer/key outputs are
-#      the safe holdovers): lift/MAD/EWMA/MI/PMI/pagerank float
-#      stats, cosine/LSH embedding scores, percentiles, sampling,
-#      the two streaming replays, timestamp round-trips, and the
-#      simhash/bloom bit arithmetic.
+#      the safe holdovers): quantile/percentile/histogram floats,
+#      retention and survival rates, perplexity, linkage and jaccard
+#      scores, embedding norms, mixture weights, skew stats, the
+#      DOULION sampled estimate, and the hash-based samplers.
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -160,62 +160,6 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "above_customer_avg",
-    "asof_join_last_purchase",
-    "chunk_documents_overlap",
-    "conditional_agg_priorities",
-    "curriculum_buckets",
-    "daily_counts_gapfilled",
-    "dedup_levenshtein",
-    "grouping_sets_revenue",
-    "hourly_tumbling",
-    "mm_binary_dedup",
-    "mm_binary_meta",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_image_decode",
-    "mm_magic_sniff",
-    "profile_customer",
-    "range_join_value_bands",
-    "regexp_extract_types",
-    "sliding_window_counts",
-    "small_qty_revenue_q17",
-    "text_fingerprint",
-    "text_normalize",
-    "text_quality",
-    "tfidf_top_terms",
-    "time_rollup_multigrain",
-    "top_supplier_share_q20",
-    "variant_open_schema_agg",
-    "ab_test_lift",
-    "anomaly_mad_events",
-    "approx_distinct_users",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "ewma_user_value",
-    "kelvin_to_celsius",
-    "mutual_information_event_value",
-    "pagerank_event_transitions",
-    "percentile_prices",
-    "pmi_token_pairs",
-    "ratio_to_report",
-    "stratified_sample",
-    "text_repetition_quality",
-    "sessionize_stream_replay",
-    "stream_join_replay",
-    "window_time_range_sum",
-    "salted_group_count",
-    "salted_join_segments",
-    "date_roundtrip",
-    "decontaminate_bloom",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# 25 remaining r8-era entries (alphabetical within the round cohort) —
-# so a future rotation is again a window swap.
-_NEXT_WINDOW: list[str] = [
     "anti_join_customers",
     "array_first_last",
     "coord_concat",
@@ -241,6 +185,62 @@ _NEXT_WINDOW: list[str] = [
     "unpivot_lineitem_metrics",
     "window_lead_lag",
     "window_rank_suite",
+    "approx_quantile_value",
+    "benford_price_digits",
+    "cohort_retention",
+    "dedup_method_eval",
+    "dedup_prefix_filter_jaccard",
+    "embedding_norm_stats",
+    "equidepth_histogram",
+    "funnel_latency_percentiles",
+    "kaplan_meier_retention",
+    "ngram_lm_perplexity",
+    "percentile_by_priority",
+    "record_linkage_score",
+    "time_weighted_avg_value",
+    "window_distribution_funcs",
+    "histogram_prices",
+    "skew_profile",
+    "source_mixture_weights",
+    "triangle_count_doulion",
+    "quality_filter_cascade",
+    "sample_weighted_docs",
+    "ship_delay_by_priority",
+    "attribution_first_touch",
+    "sample_token_budget",
+    "split_train_val_test",
+    "hash_sample_orders",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 25 remaining r9-era entries (alphabetical within the round cohort) —
+# so a future rotation is again a window swap.
+_NEXT_WINDOW: list[str] = [
+    "array_agg_orderkeys",
+    "bpe_pair_merges",
+    "chain_components_recursive",
+    "dq_expectations",
+    "exists_over_balance",
+    "funnel_view_click_purchase",
+    "gaps_islands_activity",
+    "hashed_feature_buckets",
+    "map_agg_event_counts",
+    "mode_return_priority",
+    "multi_distinct_aggs",
+    "null_safe_join_brands",
+    "rolling_7d_active_users",
+    "running_distinct_users",
+    "scd2_intervals",
+    "set_except_all_keys",
+    "set_intersect_all_keys",
+    "shuffle_shards_deterministic",
+    "skyline_orders",
+    "text_token_encode",
+    "topn_orders_per_customer",
+    "web_blocklist_filter",
+    "web_domain_caps",
+    "web_url_canonicalize",
+    "window_first_last",
 ]
 
 

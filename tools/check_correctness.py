@@ -133,7 +133,10 @@ def main() -> int:
         # data-dir path.
         from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import sf_dir
 
-        args.sf = sf_dir(args.sf or "0.01")
+        # Normalize through :g float formatting so every spelling of the
+        # same number ("1.0", "1", "0.30") hits the one directory name
+        # the replica generator writes (sf1, sf0.3).
+        args.sf = sf_dir(f"{float(args.sf):g}" if args.sf else "0.01")
 
     import __spark_entry__ as entrymod
 

@@ -90,6 +90,10 @@ def main() -> int:
         "extra-sf column",
     )
     args = ap.parse_args()
+    if args.extra_sf:
+        # Normalize spelling ("1.0" -> "1") to the one directory name
+        # the replica generator writes (gen_sf uses f"sf{sf:g}").
+        args.extra_sf = f"{float(args.extra_sf):g}"
 
     from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
     from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
