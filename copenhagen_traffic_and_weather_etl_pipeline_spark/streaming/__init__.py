@@ -36,7 +36,7 @@ from ..functions import DATE_FMT, TIME_FMT
 from ..operators.flatten import flatten_traffic, flatten_weather, split_errors
 from ..operators.snapshot import latest_snapshot_join
 from ..schemas import FETCH_RESULT_SCHEMA, TRAFFIC_SCHEMA, WEATHER_SCHEMA
-from ..sinks import append_table, overwrite_table
+from ..sinks import append_table, overwrite_table, overwrite_table_versioned
 
 
 def _not_null_cols(schema: T.StructType) -> list[str]:
@@ -94,6 +94,7 @@ def ingest_and_refresh(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    versioned_snapshot: bool = False,
 ) -> StreamingQuery:
     """The full pipeline as one coordinated streaming job.
 
@@ -113,6 +114,15 @@ def ingest_and_refresh(
     The checkpoint makes the whole thing exactly-once at the source level
     (reprocessed files are deduplicated by the file-source log); the
     snapshot overwrite is idempotent by construction.
+
+    ``versioned_snapshot=True`` publishes ``latest_joined_data``
+    through the version-pointer layout
+    (:func:`~..sinks.overwrite_table_versioned`) instead of a plain
+    overwrite: a dashboard reader hitting the snapshot mid-refresh then
+    never sees a partial or missing table (read it back with
+    :func:`~..sinks.read_table_versioned`). Default off — plain
+    overwrite is the reference's own last-writer-wins semantics
+    (README.md:84) and what existing path-based readers expect.
     """
     spark = stream_df.sparkSession
     traffic_path = f"{base_dir}/traffic_table"
@@ -155,7 +165,10 @@ def ingest_and_refresh(
             spark.read.schema(TRAFFIC_SCHEMA).parquet(traffic_path),
             spark.read.schema(WEATHER_SCHEMA).parquet(weather_path),
         )
-        overwrite_table(snap, snapshot_path)
+        if versioned_snapshot:
+            overwrite_table_versioned(snap, snapshot_path)
+        else:
+            overwrite_table(snap, snapshot_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

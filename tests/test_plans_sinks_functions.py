@@ -437,6 +437,66 @@ def test_append_table_bigquery_passthrough_contract(spark):
     assert "bigquery" in str(ei.value).lower()
 
 
+def test_versioned_overwrite_is_reader_safe_and_crash_atomic(
+    spark, tmp_path, monkeypatch
+):
+    """Version-pointer refresh (round-11 verdict item 7): readers must
+    NEVER observe a missing or partial table — across normal refreshes,
+    a crash before publish, and a refresh committing mid-scan."""
+    from pathlib import Path
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        overwrite_table_versioned,
+        read_table_versioned,
+    )
+
+    path = str(tmp_path / "snap")
+    v0 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    overwrite_table_versioned(v0, path)
+    assert read_table_versioned(spark, path).count() == 10
+
+    # Refresh: readers that resolved BEFORE the flip keep a live version.
+    pinned = read_table_versioned(spark, path)  # resolves v_0, lazy scan
+    v1 = spark.range(25).selectExpr("id", "id * 3 AS v")
+    overwrite_table_versioned(v1, path)
+    assert read_table_versioned(spark, path).count() == 25
+    assert pinned.count() == 10  # snapshot isolation: v_0 still on disk
+
+    # Crash BEFORE publish: the version write fails — the pointer (and
+    # the table readers see) is untouched.
+    real_save = DataFrameWriter.save
+
+    def failing_save(self, p=None, **kw):
+        raise RuntimeError("simulated crash during version write")
+
+    monkeypatch.setattr(DataFrameWriter, "save", failing_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        overwrite_table_versioned(spark.range(5), path)
+    monkeypatch.setattr(DataFrameWriter, "save", real_save)
+    assert read_table_versioned(spark, path).count() == 25
+
+    # Crash AFTER the version write but BEFORE publish: an orphaned
+    # unpointed dir — readers still on the published version; the next
+    # refresh sweeps the orphan and publishes cleanly.
+    orphan = Path(path) / "v_99"
+    orphan.mkdir()
+    (orphan / "part-junk.parquet").write_bytes(b"partial garbage")
+    assert read_table_versioned(spark, path).count() == 25
+    v2 = spark.range(7).selectExpr("id", "id AS v")
+    overwrite_table_versioned(v2, path)
+    assert read_table_versioned(spark, path).count() == 7
+    assert not orphan.exists()
+
+    # Retention: current + one predecessor, nothing else; no tmp files.
+    names = sorted(p.name for p in Path(path).iterdir())
+    dirs = [n for n in names if n.startswith("v_")]
+    assert len(dirs) == 2 and "_CURRENT" in names
+    assert not [n for n in names if n.startswith("_CURRENT.tmp")]
+
+
 def test_compaction_sweep_recovers_crashed_swap(spark, tmp_path):
     """Crash recovery for the compaction rename swap: a crash between
     the two renames leaves the table parked at an ``_old_*`` sibling

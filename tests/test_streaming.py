@@ -77,6 +77,53 @@ def test_streaming_ingest_and_refresh_two_ticks(spark, tmp_path):
     assert {r["time"] for r in snap2.select("time").distinct().collect()} == {"10:00"}
 
 
+def test_streaming_versioned_snapshot_refresh(spark, tmp_path):
+    """``versioned_snapshot=True``: the snapshot publishes through the
+    version-pointer layout — two ticks produce two refreshes, readers
+    resolve the pointer to the newest, the previous version survives
+    for in-flight scans, and a reader pinned before the second refresh
+    still reads the first snapshot."""
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        read_table_versioned,
+    )
+
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    base = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+
+    _write_tick(input_dir, "tick1.json", "2026-08-12T09:00:00.000Z")
+    q = ingest_and_refresh(
+        read_fetch_stream(spark, str(input_dir)),
+        str(base),
+        str(ckpt),
+        versioned_snapshot=True,
+    )
+    q.awaitTermination(120)
+
+    snap_path = str(base / "latest_joined_data")
+    snap1 = read_table_versioned(spark, snap_path)
+    assert snap1.count() == 20
+    assert {r["time"] for r in snap1.select("time").distinct().collect()} == {"09:00"}
+
+    # Pin a reader to the current version, then refresh underneath it.
+    pinned = read_table_versioned(spark, snap_path)
+    _write_tick(input_dir, "tick2.json", "2026-08-12T10:00:00.000Z")
+    q2 = ingest_and_refresh(
+        read_fetch_stream(spark, str(input_dir)),
+        str(base),
+        str(ckpt),
+        versioned_snapshot=True,
+    )
+    q2.awaitTermination(120)
+
+    snap2 = read_table_versioned(spark, snap_path)
+    assert snap2.count() == 20
+    assert {r["time"] for r in snap2.select("time").distinct().collect()} == {"10:00"}
+    # The pinned reader's version was not swept mid-scan.
+    assert {r["time"] for r in pinned.select("time").distinct().collect()} == {"09:00"}
+
+
 def test_streaming_not_null_guard_quarantines_bad_metadata(spark, tmp_path):
     """S5 guard wiring (round-10 ADVICE): a fetch row whose metadata
     (``geo_name``) is NULL survives flattening — the payload null-gate
