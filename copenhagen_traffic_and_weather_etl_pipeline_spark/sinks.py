@@ -301,17 +301,55 @@ def compact_table(
     automatic, not manual. On object stores without atomic rename, use
     a catalog/manifest-swap format (Iceberg/Delta) instead. Returns the
     number of data files written.
+
+    On a version-pointer table (see :func:`overwrite_table_versioned`)
+    both stated limits disappear: the compacted rewrite lands as the
+    next immutable ``v_<n>`` and publishes via the atomic pointer flip,
+    so readers never see an absent table and a crash at any point
+    leaves the old version live — compaction becomes just another
+    snapshot refresh. Detection is automatic (the ``_CURRENT`` file).
     """
-    _sweep_orphans(path)
-    df = spark.read.parquet(path)
+    df = _read_for_maintenance(spark, path)
     if sort_col is not None:
         out = df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
             sort_col
         )
     else:
         out = df.repartition(target_files)
+    return _publish_compacted(out, path, "compact")
 
-    tmp = _staging_sibling(path, "compact")
+
+def _is_versioned(path: str) -> bool:
+    from pathlib import Path
+
+    return (Path(path) / _CURRENT_POINTER).exists()
+
+
+def _read_for_maintenance(spark: SparkSession, path: str) -> DataFrame:
+    """Source resolution shared by the compaction jobs: a version-pointer
+    table reads its live immutable version (no orphan sweep needed —
+    :func:`overwrite_table_versioned` sweeps its own); a plain directory
+    first runs :func:`_sweep_orphans` crash recovery, then reads in
+    place."""
+    if _is_versioned(path):
+        return read_table_versioned(spark, path)
+    _sweep_orphans(path)
+    return spark.read.parquet(path)
+
+
+def _publish_compacted(out: DataFrame, path: str, tag: str) -> int:
+    """Publish a compacted rewrite. Version-pointer table: write the
+    next immutable ``v_<n>`` and flip the pointer (crash-atomic,
+    reader-safe — the lazy ``out`` plan scans the OLD version dir while
+    writing the new one, so read and write never touch the same files).
+    Plain directory: staged write + two-rename :func:`_swap_in`. Returns
+    the number of parquet files written."""
+    from pathlib import Path
+
+    if _is_versioned(path):
+        published = overwrite_table_versioned(out, path)
+        return sum(1 for p in Path(published).iterdir() if p.name.endswith(".parquet"))
+    tmp = _staging_sibling(path, tag)
     out.write.mode("overwrite").parquet(tmp)
     return _swap_in(path, tmp)
 
@@ -450,14 +488,13 @@ def compact_table_zorder(
     bits: int = 16,
 ) -> int:
     """``compact_table`` variant clustered on the Z-order key of two
-    columns: same staged write + rename swap (and the same
-    :func:`_sweep_orphans` crash recovery on entry), but files become
-    rectangles in (col1, col2) space instead of stripes in one
-    dimension."""
+    columns: same publish protocol (version-pointer flip on a versioned
+    table, staged write + rename swap with :func:`_sweep_orphans` crash
+    recovery on a plain directory), but files become rectangles in
+    (col1, col2) space instead of stripes in one dimension."""
     from pyspark.sql import functions as F
 
-    _sweep_orphans(path)
-    df = spark.read.parquet(path)
+    df = _read_for_maintenance(spark, path)
     zk = zorder_key(F.col(col1), F.col(col2), bits).alias("__zk")
     out = (
         df.withColumn("__zk", zk)
@@ -465,10 +502,7 @@ def compact_table_zorder(
         .sortWithinPartitions("__zk")
         .drop("__zk")
     )
-
-    tmp = _staging_sibling(path, "zorder")
-    out.write.mode("overwrite").parquet(tmp)
-    return _swap_in(path, tmp)
+    return _publish_compacted(out, path, "zorder")
 
 
 def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:

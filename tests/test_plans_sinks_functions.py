@@ -533,6 +533,57 @@ def test_compaction_sweep_recovers_crashed_swap(spark, tmp_path):
     assert list(Path(path).parent.glob("facts_*")) == []
 
 
+def test_compaction_on_versioned_table_publishes_via_pointer(spark, tmp_path):
+    """Compacting a version-pointer table must route through the atomic
+    pointer flip — no rename swap, so no table-absent window and no
+    ``_old_*``/``_compact_*`` siblings ever exist — while a reader
+    pinned before the compaction keeps its immutable version."""
+    from pathlib import Path
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.sinks import (
+        compact_table,
+        compact_table_zorder,
+        overwrite_table_versioned,
+        read_table_versioned,
+    )
+
+    path = str(tmp_path / "vfacts")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS a", "id % 11 AS b")
+    overwrite_table_versioned(df.repartition(8), path)
+    expected = sorted(r["id"] for r in read_table_versioned(spark, path).collect())
+
+    pinned = read_table_versioned(spark, path)  # resolves v_0, lazy scan
+    n = compact_table(spark, path, target_files=2, sort_col="id")
+    assert n == 2
+
+    # Same rows through the pointer; the published version is the
+    # compacted one (2 files); the pre-compaction reader still sees its
+    # pinned version — maintenance is invisible to in-flight scans.
+    assert sorted(r["id"] for r in read_table_versioned(spark, path).collect()) == (
+        expected
+    )
+    current = (Path(path) / "_CURRENT").read_text().strip()
+    files = [p for p in (Path(path) / current).iterdir() if p.suffix == ".parquet"]
+    assert len(files) == 2
+    assert pinned.count() == 1000
+
+    # The swap machinery never ran: no staging/old siblings, and the
+    # layout stays pointer + at most two version dirs.
+    assert list(Path(path).parent.glob("vfacts_*")) == []
+    dirs = sorted(p.name for p in Path(path).iterdir() if p.is_dir())
+    assert dirs == ["v_0", "v_1"]
+
+    # Z-order variant publishes the same way (v_1 -> v_2, v_0 swept).
+    n = compact_table_zorder(spark, path, target_files=4, col1="a", col2="b")
+    assert n == 4
+    assert sorted(r["id"] for r in read_table_versioned(spark, path).collect()) == (
+        expected
+    )
+    dirs = sorted(p.name for p in Path(path).iterdir() if p.is_dir())
+    assert dirs == ["v_1", "v_2"]
+    assert list(Path(path).parent.glob("vfacts_*")) == []
+
+
 def test_append_not_null_validates_arguments(spark, tmp_path):
     import pytest
 
