@@ -54,6 +54,16 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       exactly, ~6% to 2120 (far future); ~10% of orders to 1931/2097
       dates. Engines must agree on every temporal op's pre-epoch
       behavior.
+  longboost — pathologically long documents (the single-huge-row
+      reality of web-scale corpora): ~1% of docs repeated 20x
+      (10-40k chars of self-similar text — repetition scoring and
+      shingle volume), one doc repeated 200x (~100k chars — the row
+      that breaks per-row buffers), ~1% turned into ONE 8000-char
+      token with no whitespace (tokenizer/prefix-filter edge), ~1%
+      into the same token repeated 4000 times (a Zipf-hot term with
+      tf in the thousands — tf-idf/PMI/BPE count pressure), ~1%
+      given a 5000-space tail (normalization). n_chars is recomputed
+      so metadata stays consistent with the text.
   uniboost — exotic Unicode injected into document texts by doc_id
       class: astral-plane emoji (4-byte UTF-8), combining marks, NBSP
       and zero-width space, CJK, RTL Hebrew, Turkish dotted I /
@@ -365,6 +375,28 @@ def jsonboost(con, src: str, dst: str) -> set[str]:
     return {"events"}
 
 
+def longboost(con, src: str, dst: str) -> set[str]:
+    # CASE order matters only for determinism of the transform itself
+    # (first match wins); both engines then read the same parquet.
+    con.sql(f"""
+    COPY (
+      WITH t AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 9973 = 4 THEN repeat(text, 200)
+                 WHEN doc_id % 97 = 0 THEN repeat(text, 20)
+                 WHEN doc_id % 101 = 1 THEN repeat('loremipsum', 800)
+                 WHEN doc_id % 103 = 2 THEN repeat('word ', 4000)
+                 WHEN doc_id % 107 = 3 THEN text || repeat(' ', 5000)
+                 ELSE text END AS text,
+               lang, source
+        FROM read_parquet('{src}/documents.parquet')
+      )
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM t
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    return {"documents"}
+
+
 def main() -> int:
     mode, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -379,6 +411,7 @@ def main() -> int:
         "uniboost": uniboost,
         "eraboost": eraboost,
         "jsonboost": jsonboost,
+        "longboost": longboost,
     }[mode](con, src, dst)
     _copy_rest(src, dst, rewritten)
     print(f"{mode}: wrote {dst} (rewrote {sorted(rewritten)})")
