@@ -77,12 +77,18 @@ def append_table(
       QUARANTINE write lands FIRST, deliberately: the two appends are
       not atomic together, so whichever commits before a failure gets
       duplicated when the caller (e.g. foreachBatch) retries the whole
-      batch. A failed Spark append commits nothing visible
-      (FileOutputCommitter publishes only on job success), so
-      quarantine-first bounds the retry damage to duplicate DEAD-LETTER
-      rows — benign for a triage table nothing downstream aggregates —
-      whereas clean-first would silently duplicate FACT rows that the
-      snapshot join and every downstream aggregate read. True
+      batch. Under commit-on-job-success semantics (FileOutputCommitter
+      algorithm v1 — Spark's default here) a failed append commits
+      nothing visible, so quarantine-first bounds the retry damage to
+      duplicate DEAD-LETTER rows — benign for a triage table nothing
+      downstream aggregates — whereas clean-first would silently
+      duplicate FACT rows that the snapshot join and every downstream
+      aggregate read. Committer v2 / direct cloud committers publish
+      per-TASK, so a mid-job failure can leave partial files on EITHER
+      table and the bound weakens to "partial rows only on the table
+      whose write failed" — quarantine-first is still the better order
+      (the fact append runs last, so fact partials require the fact
+      write itself to fail), but exactly-once it is not. True
       exactly-once across retries of a two-table append needs a
       transactional table format (Delta/Iceberg), which this
       parquet-dir sink intentionally doesn't assume.
@@ -161,7 +167,7 @@ _CURRENT_POINTER = "_CURRENT"
 
 
 def overwrite_table_versioned(
-    df: DataFrame, path: str, format: str = "parquet", keep_previous: bool = True
+    df: DataFrame, path: str, format: str = "parquet", keep: int = 1
 ) -> str:
     """Reader-safe, crash-atomic snapshot refresh via a version-pointer
     layout — MVCC-in-a-directory, the trick every ACID table format
@@ -169,23 +175,32 @@ def overwrite_table_versioned(
     reduced to its single-table essence with no format dependency.
 
     Layout: ``path/`` holds immutable version dirs ``v_<n>/`` plus a
-    one-line ``_CURRENT`` pointer file naming the live one. A refresh
+    ``_CURRENT`` pointer file whose FIRST line names the live one (the
+    following lines are the retained publish history, newest first —
+    the pointer file doubles as the publication log, so "previously
+    published" never has to be guessed from sibling dir names, which
+    may be crash garbage). A refresh
 
     1. writes the new snapshot to the next ``v_<n>`` (invisible to
        readers — nothing points at it),
-    2. publishes by writing ``_CURRENT.tmp.<uuid>`` and ``os.replace``-ing
-       it over ``_CURRENT`` — an atomic single-file rename on POSIX, so
-       every reader sees either the old pointer or the new one, never a
-       missing or half-written table (contrast :func:`_swap_in`'s brief
-       table-absent window between its two directory renames),
-    3. sweeps every other version dir except — with ``keep_previous``
-       (default) — the one the pointer named BEFORE the flip, so a
-       reader that resolved the pointer just before the flip can still
-       finish its scan against it. Crash orphans (dirs that were
-       written but never pointed) are always swept, never retained:
-       "previous" means previously PUBLISHED, which only the old
-       pointer value knows — the highest-numbered sibling may be
-       half-written garbage from a crash.
+    2. publishes by writing ``_CURRENT.tmp.<uuid>``, fsyncing it, and
+       ``os.replace``-ing it over ``_CURRENT``, then fsyncing the
+       directory — the rename is atomic on POSIX and the fsync pair
+       makes it DURABLE (without it a power loss can persist the
+       rename before the file's data blocks, publishing a torn
+       pointer), so every reader sees either the old pointer or the
+       new one, never a missing or half-written table (contrast
+       :func:`_swap_in`'s brief table-absent window between its two
+       directory renames),
+    3. sweeps every version dir not on the new history: the current
+       one plus the ``keep`` most recently PUBLISHED predecessors
+       survive, so a reader that resolved the pointer up to ``keep``
+       refreshes ago can still finish its scan. Crash orphans (dirs
+       that were written but never pointed) are always swept — they
+       are not on the history. Size ``keep`` to the longest scan a
+       reader may run measured in refresh intervals (a per-micro-batch
+       streaming refresh with long dashboard scans wants more than the
+       default 1).
 
     A crash before step 2 leaves the old version live and an orphaned
     unpointed dir (swept by the next refresh); a crash after step 2 is
@@ -193,6 +208,14 @@ def overwrite_table_versioned(
     one scheduled refresh (README.md:84) — concurrent refreshers would
     race the version numbering and need a lock or a conditional-PUT
     pointer flip. Returns the published version dir path.
+
+    Migration guard: a pointer-less ``path`` already holding plain
+    table files is REFUSED — writing ``v_0`` beside root-level part
+    files would leave a mixed layout where path-based readers see
+    conflicting directory structures and the stale root files are
+    never swept. Migrate explicitly: read the plain table, publish it
+    through this function at a fresh path (or clear the old files),
+    then retire the plain location.
 
     Scale note: on object stores without atomic rename, step 2 becomes
     a conditional PUT (S3 If-None-Match / GCS generation preconditions)
@@ -209,7 +232,21 @@ def overwrite_table_versioned(
     root = Path(path)
     root.mkdir(parents=True, exist_ok=True)
     pointer = root / _CURRENT_POINTER
-    prev = pointer.read_text().strip() if pointer.exists() else None
+    if not pointer.exists():
+        foreign = [
+            e.name
+            for e in root.iterdir()
+            if not (e.is_dir() and e.name.startswith("v_"))
+            and not e.name.startswith(_CURRENT_POINTER)
+        ]
+        if foreign:
+            raise ValueError(
+                f"refusing to version-initialize {path}: it already holds "
+                f"non-versioned entries {sorted(foreign)[:5]} — a plain "
+                "table. Publish to a fresh path or clear it first (see "
+                "overwrite_table_versioned docstring, migration guard)."
+            )
+    history = pointer.read_text().splitlines() if pointer.exists() else []
     versions = sorted(
         (d for d in root.iterdir() if d.is_dir() and d.name.startswith("v_")),
         key=lambda d: int(d.name[2:]),
@@ -218,11 +255,20 @@ def overwrite_table_versioned(
 
     df.write.mode("overwrite").format(format).save(str(nxt))
 
+    new_history = [nxt.name] + [v for v in history if v != nxt.name][: max(keep, 0)]
     tmp = root / f"{_CURRENT_POINTER}.tmp.{uuid.uuid4().hex[:8]}"
-    tmp.write_text(nxt.name)
+    with open(tmp, "w") as f:
+        f.write("\n".join(new_history))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, pointer)
+    dirfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
-    live = {nxt.name, prev} if keep_previous else {nxt.name}
+    live = set(new_history)
     for d in versions:
         if d.name not in live:
             shutil.rmtree(d)
@@ -235,15 +281,17 @@ def read_table_versioned(
     spark: SparkSession, path: str, format: str = "parquet"
 ) -> DataFrame:
     """Resolve a version-pointer table (see
-    :func:`overwrite_table_versioned`) and read its live version. The
-    pointer resolution pins THIS query to one immutable version dir —
-    a refresh committing mid-scan is invisible (snapshot isolation for
+    :func:`overwrite_table_versioned`) and read its live version (the
+    pointer's first line; the rest is retained history). The pointer
+    resolution pins THIS query to one immutable version dir — a
+    refresh committing mid-scan is invisible (snapshot isolation for
     a single reader), because published version dirs are never
-    mutated, only superseded and eventually swept."""
+    mutated, only superseded and eventually swept (after ``keep``
+    further refreshes)."""
     from pathlib import Path
 
     pointer = Path(path) / _CURRENT_POINTER
-    version = pointer.read_text().strip()
+    version = pointer.read_text().splitlines()[0].strip()
     return spark.read.format(format).load(str(Path(path) / version))
 
 
@@ -341,17 +389,29 @@ def _publish_compacted(out: DataFrame, path: str, tag: str) -> int:
     """Publish a compacted rewrite. Version-pointer table: write the
     next immutable ``v_<n>`` and flip the pointer (crash-atomic,
     reader-safe — the lazy ``out`` plan scans the OLD version dir while
-    writing the new one, so read and write never touch the same files).
-    Plain directory: staged write + two-rename :func:`_swap_in`. Returns
-    the number of parquet files written."""
+    writing the new one, so read and write never touch the same files),
+    preserving the retention depth the table's owner established (the
+    pointer's history length — a maintenance job must not shorten the
+    window long readers were promised). Plain directory: staged write +
+    two-rename :func:`_swap_in`. Returns the number of parquet files
+    written."""
     from pathlib import Path
 
     if _is_versioned(path):
-        published = overwrite_table_versioned(out, path)
-        return sum(1 for p in Path(published).iterdir() if p.name.endswith(".parquet"))
+        history = (Path(path) / _CURRENT_POINTER).read_text().splitlines()
+        published = overwrite_table_versioned(
+            out, path, keep=max(len(history) - 1, 1)
+        )
+        return _count_parquet_files(published)
     tmp = _staging_sibling(path, tag)
     out.write.mode("overwrite").parquet(tmp)
     return _swap_in(path, tmp)
+
+
+def _count_parquet_files(path: str) -> int:
+    from pathlib import Path
+
+    return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
 
 
 def _staging_sibling(path: str, tag: str) -> str:
@@ -380,13 +440,12 @@ def _swap_in(path: str, tmp: str) -> int:
     atomicity, which on a plain filesystem needs a version-pointer
     indirection or an ACID table format."""
     import shutil
-    from pathlib import Path
 
     old = _staging_sibling(path, "old")
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
-    return sum(1 for p in Path(path).iterdir() if p.name.endswith(".parquet"))
+    return _count_parquet_files(path)
 
 
 def _sweep_orphans(path: str) -> None:

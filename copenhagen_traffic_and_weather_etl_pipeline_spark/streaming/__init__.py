@@ -95,6 +95,7 @@ def ingest_and_refresh(
     available_now: bool = True,
     processing_time: str | None = None,
     versioned_snapshot: bool = False,
+    versioned_keep: int = 1,
 ) -> StreamingQuery:
     """The full pipeline as one coordinated streaming job.
 
@@ -123,6 +124,12 @@ def ingest_and_refresh(
     :func:`~..sinks.read_table_versioned`). Default off — plain
     overwrite is the reference's own last-writer-wins semantics
     (README.md:84) and what existing path-based readers expect.
+    ``versioned_keep`` is the version retention depth: a superseded
+    version survives that many further refreshes before it is swept,
+    so size it to the longest reader scan measured in refresh
+    intervals — the refresh here runs EVERY micro-batch, so a
+    dashboard whose scans span several ticks needs more than the
+    default 1.
     """
     spark = stream_df.sparkSession
     traffic_path = f"{base_dir}/traffic_table"
@@ -166,7 +173,7 @@ def ingest_and_refresh(
             spark.read.schema(WEATHER_SCHEMA).parquet(weather_path),
         )
         if versioned_snapshot:
-            overwrite_table_versioned(snap, snapshot_path)
+            overwrite_table_versioned(snap, snapshot_path, keep=versioned_keep)
         else:
             overwrite_table(snap, snapshot_path)
 

@@ -562,7 +562,7 @@ def test_compaction_on_versioned_table_publishes_via_pointer(spark, tmp_path):
     assert sorted(r["id"] for r in read_table_versioned(spark, path).collect()) == (
         expected
     )
-    current = (Path(path) / "_CURRENT").read_text().strip()
+    current = (Path(path) / "_CURRENT").read_text().splitlines()[0].strip()
     files = [p for p in (Path(path) / current).iterdir() if p.suffix == ".parquet"]
     assert len(files) == 2
     assert pinned.count() == 1000
@@ -582,6 +582,18 @@ def test_compaction_on_versioned_table_publishes_via_pointer(spark, tmp_path):
     dirs = sorted(p.name for p in Path(path).iterdir() if p.is_dir())
     assert dirs == ["v_1", "v_2"]
     assert list(Path(path).parent.glob("vfacts_*")) == []
+
+    # A maintenance job must not shorten an owner-established retention
+    # window: warm a keep=2 table to full history depth, compact, and
+    # the two retained predecessors must survive.
+    deep = str(tmp_path / "vdeep")
+    for _ in range(3):
+        overwrite_table_versioned(df, deep, keep=2)
+    compact_table(spark, deep, target_files=1, sort_col="id")
+    deep_dirs = sorted(p.name for p in Path(deep).iterdir() if p.is_dir())
+    assert deep_dirs == ["v_1", "v_2", "v_3"]
+    history = (Path(deep) / "_CURRENT").read_text().splitlines()
+    assert history == ["v_3", "v_2", "v_1"]
 
 
 def test_append_not_null_validates_arguments(spark, tmp_path):

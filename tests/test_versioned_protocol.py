@@ -60,7 +60,7 @@ def _read_published(path: str) -> str:
     """A reader: resolve the pointer exactly like read_table_versioned,
     then require the resolved dir to be COMPLETE and return its payload."""
     pointer = Path(path) / sinks._CURRENT_POINTER
-    version = pointer.read_text().strip()
+    version = pointer.read_text().splitlines()[0].strip()
     vdir = Path(path) / version
     assert vdir.is_dir(), f"pointer names missing dir {version}"
     marker = vdir / "_COMPLETE"
@@ -125,6 +125,44 @@ def test_pointer_always_resolves_last_published_complete_version(tmp_path_factor
         # stale tmp pointer files: only trailing crash_flips leave one.
         tmps = list(root.glob(f"{sinks._CURRENT_POINTER}.tmp.*"))
         assert len(tmps) == tail.count("crash_flip")
+
+
+def test_retention_depth_keeps_n_published_predecessors(tmp_path):
+    """keep=N retains the N most recently PUBLISHED versions besides
+    the current one — crash orphans are never retained (the pointer
+    file's history lines, not sibling dir names, define 'published')."""
+    path = str(tmp_path / "table")
+    for i in range(5):
+        sinks.overwrite_table_versioned(_FakeDF(f"gen-{i}"), path, keep=2)
+    root = Path(path)
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert dirs == ["v_2", "v_3", "v_4"]  # current + 2 predecessors
+    history = (root / sinks._CURRENT_POINTER).read_text().splitlines()
+    assert history == ["v_4", "v_3", "v_2"]
+    assert _read_published(path) == "gen-4"
+
+    # A crash orphan numbered HIGHER than every published version must
+    # not displace a published predecessor from retention.
+    orphan = root / "v_99"
+    orphan.mkdir()
+    (orphan / "part-junk.parquet").write_text("garbage")
+    sinks.overwrite_table_versioned(_FakeDF("gen-5"), path, keep=2)
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert dirs == ["v_100", "v_3", "v_4"]  # orphan swept, history kept
+    assert _read_published(path) == "gen-5"
+
+
+def test_migration_guard_refuses_plain_table_root(tmp_path):
+    """version-initializing a dir that already holds plain table files
+    must be refused — writing v_0 beside root-level part files would
+    leave a mixed layout path-based readers choke on."""
+    path = tmp_path / "plain"
+    path.mkdir()
+    (path / "part-00000.parquet").write_text("plain table data")
+    with pytest.raises(ValueError, match="non-versioned entries"):
+        sinks.overwrite_table_versioned(_FakeDF("gen-0"), str(path))
+    # The plain table is untouched.
+    assert (path / "part-00000.parquet").read_text() == "plain table data"
 
 
 # ---------------------------------------------------------------------------

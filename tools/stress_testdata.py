@@ -55,15 +55,17 @@ row selection, pure SQL rewrites; schemas/dtypes unchanged):
       dates. Engines must agree on every temporal op's pre-epoch
       behavior.
   longboost — pathologically long documents (the single-huge-row
-      reality of web-scale corpora): ~1% of docs repeated 20x
-      (10-40k chars of self-similar text — repetition scoring and
-      shingle volume), one doc repeated 200x (~100k chars — the row
-      that breaks per-row buffers), ~1% turned into ONE 8000-char
-      token with no whitespace (tokenizer/prefix-filter edge), ~1%
-      into the same token repeated 4000 times (a Zipf-hot term with
-      tf in the thousands — tf-idf/PMI/BPE count pressure), ~1%
-      given a 5000-space tail (normalization). n_chars is recomputed
-      so metadata stays consistent with the text.
+      reality of web-scale corpora). Doc classes by modulus, first
+      match wins (fractions are approximate — the moduli overlap):
+      ~0.01% repeated 200x (~100k chars — the row that breaks per-row
+      buffers; exactly one doc at driver sf0.01's 500 docs, more at
+      larger corpora), ~1% repeated 20x (10-40k chars of self-similar
+      text — repetition scoring and shingle volume), ~1% turned into
+      ONE 8000-char token with no whitespace (tokenizer/prefix-filter
+      edge), ~1% into the same token repeated 4000 times (a Zipf-hot
+      term with tf in the thousands — tf-idf/PMI/BPE count pressure),
+      ~1% given a 5000-space tail (normalization). n_chars is
+      recomputed so metadata stays consistent with the text.
   uniboost — exotic Unicode injected into document texts by doc_id
       class: astral-plane emoji (4-byte UTF-8), combining marks, NBSP
       and zero-width space, CJK, RTL Hebrew, Turkish dotted I /
