@@ -106,6 +106,7 @@ def append_table(
     smaller than the table; never run it over the accumulated table
     itself (that's ``dq_expectations``' job as a publish gate).
     """
+    _guard_not_versioned_root(path, "append_table")
     persisted = False
     try:
         if not_null:
@@ -160,10 +161,30 @@ def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:
     (README.md:84). For reader-safe, crash-atomic refreshes use the
     version-pointer layout: :func:`overwrite_table_versioned` +
     :func:`read_table_versioned`."""
+    _guard_not_versioned_root(path, "overwrite_table")
     df.write.mode("overwrite").format(format).save(path)
 
 
 _CURRENT_POINTER = "_CURRENT"
+
+
+def _guard_not_versioned_root(path: str, caller: str) -> None:
+    """Refuse plain-layout writes into a version-pointer root: an
+    append would land part files beside ``v_<n>``/``_CURRENT`` (a mixed
+    layout the retention sweep never cleans and plain readers choke
+    on), and a plain overwrite would silently delete the pointer and
+    every version out from under :func:`read_table_versioned` readers.
+    The mirror image of :func:`overwrite_table_versioned`'s migration
+    guard. ``path`` may be a non-filesystem target (e.g. a BigQuery
+    ``dataset.table``) — those never have a pointer file and pass."""
+    from pathlib import Path
+
+    if (Path(path) / _CURRENT_POINTER).exists():
+        raise ValueError(
+            f"{caller} refused: {path} is a version-pointer table "
+            "(_CURRENT present). Publish through "
+            "overwrite_table_versioned instead, or use a different path."
+        )
 
 
 def overwrite_table_versioned(
