@@ -123,6 +123,28 @@ def test_streaming_versioned_snapshot_refresh(spark, tmp_path):
     # The pinned reader's version was not swept mid-scan.
     assert {r["time"] for r in pinned.select("time").distinct().collect()} == {"09:00"}
 
+    # versioned_keep pass-through: a third tick at keep=2 deepens the
+    # retention window, so BOTH earlier versions survive the refresh —
+    # the knob a per-micro-batch refresh needs when reader scans span
+    # multiple ticks.
+    from pathlib import Path
+
+    _write_tick(input_dir, "tick3.json", "2026-08-12T11:00:00.000Z")
+    q3 = ingest_and_refresh(
+        read_fetch_stream(spark, str(input_dir)),
+        str(base),
+        str(ckpt),
+        versioned_snapshot=True,
+        versioned_keep=2,
+    )
+    q3.awaitTermination(120)
+    dirs = sorted(p.name for p in Path(snap_path).iterdir() if p.is_dir())
+    assert dirs == ["v_0", "v_1", "v_2"]
+    history = (Path(snap_path) / "_CURRENT").read_text().splitlines()
+    assert history == ["v_2", "v_1", "v_0"]
+    snap3 = read_table_versioned(spark, snap_path)
+    assert {r["time"] for r in snap3.select("time").distinct().collect()} == {"11:00"}
+
 
 def test_streaming_not_null_guard_quarantines_bad_metadata(spark, tmp_path):
     """S5 guard wiring (round-10 ADVICE): a fetch row whose metadata
