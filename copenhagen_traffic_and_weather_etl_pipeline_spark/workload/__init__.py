@@ -152,6 +152,13 @@ from . import decorrelation_queries  # noqa: E402,F401
 #      retention and survival rates, perplexity, linkage and jaccard
 #      scores, embedding norms, mixture weights, skew stats, the
 #      DOULION sampled estimate, and the hash-based samplers.
+# Mid-round amendment (round 12): dedup_embedding_cosine and
+# dedup_embedding_lsh were REDEFINED after the sf1 decade exposed the
+# interpreted per-pair dot grinding a single task (see
+# extension_queries._cosine_pairs_blocked) — both enter the window at
+# the head as mandatory changed-definition slots, displacing the two
+# newest-proven r9 tail entries (hash_sample_orders,
+# split_train_val_test) into _NEXT_WINDOW.
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -160,6 +167,8 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "anti_join_customers",
     "array_first_last",
     "coord_concat",
@@ -208,14 +217,14 @@ _DRIVER_WINDOW = [
     "ship_delay_by_priority",
     "attribution_first_touch",
     "sample_token_budget",
-    "split_train_val_test",
-    "hash_sample_orders",
 ]
 
 # Positions 51+: definition-unchanged entries in staleness order — the
 # 25 remaining r9-era entries (alphabetical within the round cohort) —
 # so a future rotation is again a window swap.
 _NEXT_WINDOW: list[str] = [
+    "split_train_val_test",
+    "hash_sample_orders",
     "array_agg_orderkeys",
     "bpe_pair_merges",
     "chain_components_recursive",

@@ -694,6 +694,142 @@ def _dot(a, b):
     )
 
 
+def _cosine_pairs_blocked(e: DataFrame, block_col: str, threshold: float) -> DataFrame:
+    """All within-block vector pairs with rounded cosine >= threshold,
+    via an Arrow/numpy blocked scorer — the 100 TB path for exact
+    pairwise cosine inside a blocking key.
+
+    Why not pure Spark expressions (all measured, round 12, sf1 =
+    100k vectors, 500M within-label pairs): the higher-order fold
+    (`aggregate`/`zip_with`) never enters whole-stage codegen — inside
+    a join condition it runs interpreted (`ArrayAggregate.eval` in the
+    thread dump), 84k pairs/s/core, and the embeddings file is far
+    below `maxPartitionBytes`, so the probe side was additionally ONE
+    scan split: a single task pinned 45+ minutes. Unrolling the dot to
+    64 explicit `element_at` terms made it WORSE (12k pairs/s/core —
+    the generated predicate method is big enough that the JVM refuses
+    to JIT it). The numpy scorer runs the same arithmetic vectorized
+    across a row-chunk × block pair panel (~100M pair-dims/s/core)
+    with one task per block.
+
+    Cross-engine float parity is preserved EXACTLY, not approximately:
+
+    - The dot/norm accumulate dimension-by-dimension over float64
+      (`acc += X[:, d] * Y[:, d]`), which applies the identical IEEE
+      operations in the identical left-to-right order as the Spark
+      fold `((0.0 + t1) + t2) + ...` and the DuckDB `list_sum` the
+      oracles use — bit-identical sums, no BLAS/pairwise reassociation.
+    - Zero-norm pairs are masked out, matching `try_divide` → NULL →
+      dropped on both engines (one degenerate vector must not kill
+      the job).
+    - Candidates pass a slack filter (`cos >= threshold - 1e-4`), then
+      survivors are rounded HALF-AWAY-FROM-ZERO — the semantics
+      `F.round`/BigDecimal and DuckDB's `round` share — and re-filtered
+      on the rounded value. The rounding itself is vectorized
+      (`floor(|x|*1e4 + 0.5)` on the survivor panel; dense blocks can
+      have HUNDREDS OF MILLIONS of survivors, so a per-survivor Python
+      `Decimal` loop is not an option), with an exactness escape
+      hatch: the float path can disagree with BigDecimal's
+      exact-binary-value rounding only when `|x|*1e4` lands within
+      its own representation error (~1e-8) of a `.5` boundary, so
+      those rare candidates — typically zero per corpus — are
+      re-rounded exactly via `Decimal.quantize(ROUND_HALF_UP)`.
+      Boundary pairs therefore agree with the oracle bit-for-bit at
+      vectorized speed.
+    - Rows are scored per (block, array-length) subgroup: under
+      `zip_with`, pairs of DIFFERENT lengths produce a NULL dot (and
+      drop) while equal-length pairs score normally — the subgrouping
+      reproduces both without ever crashing on ragged input.
+
+    Memory is bounded: the pair panel is computed in row chunks of
+    ``B = 32M / |block|`` accumulator cells (~256 MB of float64 temps
+    per task at any block size); block X itself is |block| × dim
+    float64 (a 1M-row block ≈ 512 MB — shard blocks upstream beyond
+    that). Parallelism = number of blocks; at 100 TB add a chunk
+    dimension to the key upstream if blocks are few and huge."""
+    import pandas as pd
+
+    out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
+
+    def _round_half_up_4dp(x):
+        """Vectorized 4-dp half-away-from-zero round matching
+        F.round/BigDecimal exactly (see docstring): fast float path +
+        exact Decimal recheck of the rare representation-boundary
+        candidates."""
+        import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        scaled = np.abs(x) * 1e4
+        r = np.sign(x) * np.floor(scaled + 0.5) / 1e4
+        frac = scaled - np.floor(scaled)
+        suspect = np.abs(frac - 0.5) < 1e-8
+        if suspect.any():
+            q = Decimal("0.0001")
+            flat = r.ravel()
+            for k in np.flatnonzero(suspect.ravel()):
+                flat[k] = float(
+                    Decimal(x.ravel()[k]).quantize(q, rounding=ROUND_HALF_UP)
+                )
+        return r
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        frames = []
+        pdf = pdf[pdf["embedding"].notna()]
+        block_val = int(pdf[block_col].iloc[0]) if len(pdf) else 0
+        lens = pdf["embedding"].map(len)
+        for _length, sub in pdf.groupby(lens):
+            sub = sub.sort_values("vec_id")
+            n = len(sub)
+            if n < 2:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+            ids = sub["vec_id"].to_numpy()
+            dim = X.shape[1]
+            acc = np.zeros(n)
+            for d in range(dim):
+                acc = acc + X[:, d] * X[:, d]
+            nrm = np.sqrt(acc)
+            chunk = max(16, 32_000_000 // max(n, 1))
+            for s in range(0, n, chunk):
+                t = min(s + chunk, n)
+                dots = np.zeros((t - s, n - s))
+                for d in range(dim):
+                    dots = dots + X[s:t, d][:, None] * X[s:, d][None, :]
+                denom = nrm[s:t][:, None] * nrm[s:][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                cand = (
+                    (denom > 0)
+                    & np.isfinite(cos)
+                    & (cos >= threshold - 1e-4)
+                    & (ids[s:t][:, None] < ids[s:][None, :])
+                )
+                ii, jj = np.nonzero(cand)
+                if not len(ii):
+                    continue
+                rounded = _round_half_up_4dp(cos[ii, jj])
+                final = rounded >= threshold
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "v1": ids[s + ii[final]],
+                            "v2": ids[s + jj[final]],
+                            block_col: block_val,
+                            "cosine": rounded[final],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"v1": [], "v2": [], block_col: [], "cosine": []}
+            ).astype({"v1": "int64", "v2": "int64", block_col: "int64"})
+        return pd.concat(frames, ignore_index=True)
+
+    return e.groupBy(block_col).applyInPandas(score, out_schema)
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -745,26 +881,18 @@ WHERE cosine >= 0.4
     tags=["dedup", "embedding"],
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf1-measured rewrite (round 12; the sf0.1 sizes never exposed it
+    # because 2k vectors score in one fast task): the label-blocked
+    # self-join evaluated an interpreted HOF dot per candidate pair on
+    # ONE task (single scan split) — 45+ min over sf1's 500M
+    # within-label pairs; the blocked Arrow/numpy scorer with the
+    # bit-identical sequential fold replaces it (see
+    # _cosine_pairs_blocked for the measured alternatives and the
+    # exact float-parity argument).
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+        "vec_id", F.col("label").cast("bigint").alias("label"), "embedding"
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        _cosine(
-            _dot(F.col("a.embedding"), F.col("b.embedding")),
-            F.col("a.nrm") * F.col("b.nrm"),
-        ),
-        4,
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
-    )
+    return _cosine_pairs_blocked(e, "label", 0.4).select("v1", "v2", "cosine")
 
 
 # ---------------------------------------------------------------------------
@@ -1003,33 +1131,16 @@ WHERE cosine >= 0.4
     tags=["dedup", "embedding", "lsh"],
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same sf1-measured rewrite as dedup_embedding_cosine — the bucket
+    # blocking shrinks the pair space ~25x vs label blocking, but each
+    # candidate pair still paid the interpreted per-pair fold on a
+    # single probe task. Blocks here are the 256 LSH buckets, so the
+    # scorer also parallelizes far wider than the 10-label version.
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket_id"),
-        _norm(F.col("embedding")).alias("nrm"),
+        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket_id")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        _cosine(
-            _dot(F.col("a.embedding"), F.col("b.embedding")),
-            F.col("a.nrm") * F.col("b.nrm"),
-        ),
-        4,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket_id") == F.col("b.bucket_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.col("a.bucket_id").alias("bucket_id"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
+    return _cosine_pairs_blocked(e, "bucket_id", 0.4).select(
+        "v1", "v2", "bucket_id", "cosine"
     )
 
 

@@ -71,10 +71,13 @@ SHOWCASE = [
     ),
     (
         "dedup_embedding_lsh",
-        "Pair generation is an equi-join on the hyperplane bucket id: the "
-        "shuffle key is data-independent and near-uniform by construction, "
-        "so the pair space is sum(|bucket|^2) instead of |corpus|^2 and no "
-        "label/blocking column is needed.",
+        "One shuffle on the hyperplane bucket id (data-independent and "
+        "near-uniform by construction) feeds a per-bucket Arrow/numpy pair "
+        "scorer (FlatMapGroupsInPandas): the pair space is sum(|bucket|^2) "
+        "instead of |corpus|^2, and each pair's dot runs vectorized with "
+        "the bit-identical sequential fold — the sf1 decade measured the "
+        "old per-pair interpreted fold at 84k pairs/s/core on a single "
+        "probe task (see _cosine_pairs_blocked).",
     ),
     (
         "grouping_sets_revenue",
