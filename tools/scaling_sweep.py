@@ -58,6 +58,14 @@ QUERIES = [
     "top_supplier_share_q20",
     "sessionize_stream_replay",
     "stream_join_replay",
+    # round 12 additions: the blocked embedding-pair queries — cheap at
+    # sf0.1 (2k vectors) but with a quadratic candidate space that an
+    # absolute-cost top-N never swept; on replica data their ANSWER is
+    # quadratic too (labels are the Gaussian clusters, so essentially
+    # all within-block pairs qualify), so their upper decades measure
+    # output cost, not plan waste.
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
 ]
 
 # Queries whose cost is expected to grow faster than the table because
@@ -68,6 +76,10 @@ SUPERLINEAR_EXPECTED = {
     "dedup_ngram_jaccard": "capped posting-list pairs grow with df-cap^2 x shingle count",
     "dedup_prefix_filter_jaccard": "exact-recall candidate pairs grow with near-dup density",
     "dedup_minhash_lsh": "band-bucket collision pairs grow with near-dup density",
+    "dedup_embedding_cosine": "replica labels are the Gaussian clusters — ~ALL "
+    "within-label pairs qualify, so the ANSWER itself grows quadratically",
+    "dedup_embedding_lsh": "within-bucket similarity is what LSH buckets select "
+    "for — qualifying pairs (the answer) grow quadratically on clustered data",
 }
 
 
@@ -123,12 +135,23 @@ def main() -> int:
     # One more decade for the most expensive queries: sf0.001->0.1
     # ratios can flatter a plan while fixed overhead dominates; the
     # extra step checks the growth rate where data actually dominates.
+    # ALSO take any query whose sf0.01->0.1 growth already exceeds 4x —
+    # top-N-by-absolute-cost has a measured blind spot (round 12): a
+    # query still cheap at sf0.1 whose candidate space is quadratic
+    # (dedup_embedding_cosine, 500M pairs at sf1) never made the top-10
+    # and its single-task interpreted fold went unswept until a full
+    # sf1 gate hit it.
     extra: dict[str, float] = {}
     extra_sf = args.extra_sf
     if extra_sf:
         top = sorted(QUERIES, key=lambda q: -results[q]["0.1"])[: args.extra_top]
+        growers = [
+            q
+            for q in QUERIES
+            if q not in top and results[q]["0.1"] > 4 * max(results[q]["0.01"], 0.05)
+        ]
         sf_dir = resolve_sf(extra_sf)
-        for q in top:
+        for q in top + growers:
             extra[q] = time_best2(q, sf_dir)
 
     step = float(extra_sf) / 0.1 if extra_sf else None
