@@ -694,7 +694,44 @@ def _dot(a, b):
     )
 
 
-def _cosine_pairs_blocked(e: DataFrame, block_col: str, threshold: float) -> DataFrame:
+_MAX_BLOCK_ROWS = 1_000_000
+_CHUNK_CELLS = 8_000_000
+
+
+def _round_half_up_4dp(x):
+    """Vectorized 4-dp half-away-from-zero round matching the oracle's
+    `round()` on the scaled double product (see _cosine_pairs_blocked):
+    fast float path (`floor(|x|*1e4 + 0.5)`) + exact Decimal recheck of
+    the rare candidates where `|x|*1e4 + 0.5` could itself round across
+    an integer in float64. The recheck quantizes the SCALED double
+    product — the value both engines actually round — never the exact
+    binary expansion of x, which diverges on values like 0.76625 whose
+    scaled product lands exactly on .5 (round-13 ADVICE fix; pinned by
+    tests/test_embedding_pair_sharding.py against live DuckDB)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scaled = np.abs(x) * 1e4
+    r = np.sign(x) * np.floor(scaled + 0.5) / 1e4
+    frac = scaled - np.floor(scaled)
+    suspect = np.abs(frac - 0.5) < 1e-8
+    if suspect.any():
+        one = Decimal("1")
+        flat = r.ravel()
+        sflat = scaled.ravel()
+        xflat = np.asarray(x).ravel()
+        for k in np.flatnonzero(suspect.ravel()):
+            mag = float(Decimal(sflat[k]).quantize(one, rounding=ROUND_HALF_UP))
+            flat[k] = (mag if xflat[k] >= 0 else -mag) / 1e4
+    return r
+
+
+def _cosine_pairs_blocked(
+    e: DataFrame,
+    block_col: str,
+    threshold: float,
+    max_block_rows: int = _MAX_BLOCK_ROWS,
+) -> DataFrame:
     """All within-block vector pairs with rounded cosine >= threshold,
     via an Arrow/numpy blocked scorer — the 100 TB path for exact
     pairwise cosine inside a blocking key.
@@ -723,111 +760,231 @@ def _cosine_pairs_blocked(e: DataFrame, block_col: str, threshold: float) -> Dat
       dropped on both engines (one degenerate vector must not kill
       the job).
     - Candidates pass a slack filter (`cos >= threshold - 1e-4`), then
-      survivors are rounded HALF-AWAY-FROM-ZERO — the semantics
-      `F.round`/BigDecimal and DuckDB's `round` share — and re-filtered
-      on the rounded value. The rounding itself is vectorized
+      survivors are rounded HALF-AWAY-FROM-ZERO — DuckDB `round`
+      semantics on the scaled double product — and re-filtered on the
+      rounded value. The rounding itself is vectorized
       (`floor(|x|*1e4 + 0.5)` on the survivor panel; dense blocks can
       have HUNDREDS OF MILLIONS of survivors, so a per-survivor Python
       `Decimal` loop is not an option), with an exactness escape
-      hatch: the float path can disagree with BigDecimal's
-      exact-binary-value rounding only when `|x|*1e4` lands within
-      its own representation error (~1e-8) of a `.5` boundary, so
-      those rare candidates — typically zero per corpus — are
-      re-rounded exactly via `Decimal.quantize(ROUND_HALF_UP)`.
-      Boundary pairs therefore agree with the oracle bit-for-bit at
-      vectorized speed.
+      hatch: the float path can disagree with `std::round(|x|*1e4)`
+      only when `|x|*1e4` lands within its own representation error
+      (~1e-8) of a `.5` boundary, so those rare candidates —
+      typically zero per corpus — are re-rounded exactly via
+      `Decimal(scaled).quantize(ROUND_HALF_UP)` on the SCALED double
+      product (the value both engines actually round; quantizing the
+      exact binary expansion of x itself diverges on values like
+      0.76625 whose scaled product lands exactly on .5). Boundary
+      pairs therefore agree with the oracle bit-for-bit at vectorized
+      speed.
+    - Non-finite cosines (NaN/Inf embedding values upstream) are
+      DROPPED, intentionally: a Spark SQL `cosine >= t` predicate
+      would KEEP NaN (Spark orders NaN above every double), so this
+      helper deviates from that filter's NaN behavior by design —
+      NaN "similarity" is garbage, not a near-duplicate. The synthetic
+      generator emits only finite values, so gated row sets are
+      identical; on a real corpus, pre-filter non-finite embedding
+      values upstream ON BOTH ENGINES before comparing to an oracle.
+    - NULL blocking keys are dropped up front, matching the inner
+      equi-join the scorer replaced (a NULL key never matches itself
+      in a join, but WOULD form its own applyInPandas group).
     - Rows are scored per (block, array-length) subgroup: under
       `zip_with`, pairs of DIFFERENT lengths produce a NULL dot (and
       drop) while equal-length pairs score normally — the subgrouping
       reproduces both without ever crashing on ragged input.
 
-    Memory is bounded: the pair panel is computed in row chunks of
-    ``B = 32M / |block|`` accumulator cells (~256 MB of float64 temps
-    per task at any block size); block X itself is |block| × dim
-    float64 (a 1M-row block ≈ 512 MB — shard blocks upstream beyond
-    that). Parallelism = number of blocks; at 100 TB add a chunk
-    dimension to the key upstream if blocks are few and huge."""
+    Memory is bounded along BOTH axes:
+
+    - The pair panel is computed in row chunks of ``B = 8M / |block|``
+      accumulator cells; the per-dimension loop keeps the accumulator,
+      the product temporary, and then the denom/cos/cand panels alive
+      simultaneously, so the true peak is ~4 panels ≈ 256 MB of
+      float64 temporaries per task at any block size.
+    - Block size itself is ENFORCED, not advisory: a cheap count-per-
+      key pre-pass finds blocks over ``max_block_rows`` (default 1M
+      rows ≈ 512 MB of float64 at dim 64) and triangle-shards them —
+      each oversized block's rows are hash-split into ``ceil(n/max)``
+      chunks and replicated to every (chunk_i, chunk_j) task pair
+      (i <= j), so each task scores at most TWO chunks' worth of rows
+      and every within-block pair is produced exactly once. The
+      oversized-key table is tiny by construction (only pathological
+      keys enter it) and broadcast. Replication factor for a sharded
+      block is its shard count — inherent to exact all-pairs.
+
+    Parallelism = number of blocks + sum of shard-pair fan-out of the
+    pathological ones."""
     import pandas as pd
 
     out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
 
-    def _round_half_up_4dp(x):
-        """Vectorized 4-dp half-away-from-zero round matching
-        F.round/BigDecimal exactly (see docstring): fast float path +
-        exact Decimal recheck of the rare representation-boundary
-        candidates."""
+    def _emit(ids_a, ids_b, cos_panel, mask, block_val, frames):
+        """Round the masked candidates exactly and append survivors,
+        orienting each pair as (min_id, max_id)."""
         import numpy as np
-        from decimal import ROUND_HALF_UP, Decimal
+        import pandas as pd
 
-        scaled = np.abs(x) * 1e4
-        r = np.sign(x) * np.floor(scaled + 0.5) / 1e4
-        frac = scaled - np.floor(scaled)
-        suspect = np.abs(frac - 0.5) < 1e-8
-        if suspect.any():
-            q = Decimal("0.0001")
-            flat = r.ravel()
-            for k in np.flatnonzero(suspect.ravel()):
-                flat[k] = float(
-                    Decimal(x.ravel()[k]).quantize(q, rounding=ROUND_HALF_UP)
-                )
-        return r
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return
+        rounded = _round_half_up_4dp(cos_panel[ii, jj])
+        final = rounded >= threshold
+        a = ids_a[ii[final]]
+        b = ids_b[jj[final]]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "v1": np.minimum(a, b),
+                    "v2": np.maximum(a, b),
+                    block_col: block_val,
+                    "cosine": rounded[final],
+                }
+            )
+        )
+
+    def _matrix(sub):
+        import numpy as np
+
+        X = np.array([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+        ids = sub["vec_id"].to_numpy()
+        # Dimension-ordered sequential accumulation — bit-identical to
+        # the Spark fold and the DuckDB list_sum (see docstring).
+        acc = np.zeros(len(sub))
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * X[:, d]
+        return X, ids, np.sqrt(acc)
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        # Belt to the sharding suspenders: the pre-pass guarantees
+        # unsharded groups hold <= max_block_rows rows and sharded
+        # tasks hold <= 2 hash-chunks (~2 * max on average); 3x + slack
+        # only trips if the shard routing itself regressed.
+        if len(pdf) > 3 * max_block_rows + 64:
+            raise ValueError(
+                f"_cosine_pairs_blocked task of {len(pdf)} rows exceeds the "
+                f"sharded bound for max_block_rows={max_block_rows}; the "
+                "oversized-block pre-pass failed to engage — shard the "
+                "blocking key upstream or lower max_block_rows"
+            )
         frames = []
         pdf = pdf[pdf["embedding"].notna()]
         block_val = int(pdf[block_col].iloc[0]) if len(pdf) else 0
-        lens = pdf["embedding"].map(len)
-        for _length, sub in pdf.groupby(lens):
-            sub = sub.sort_values("vec_id")
-            n = len(sub)
-            if n < 2:
-                continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
-            ids = sub["vec_id"].to_numpy()
-            dim = X.shape[1]
-            acc = np.zeros(n)
-            for d in range(dim):
-                acc = acc + X[:, d] * X[:, d]
-            nrm = np.sqrt(acc)
-            chunk = max(16, 32_000_000 // max(n, 1))
-            for s in range(0, n, chunk):
-                t = min(s + chunk, n)
-                dots = np.zeros((t - s, n - s))
-                for d in range(dim):
-                    dots = dots + X[s:t, d][:, None] * X[s:, d][None, :]
-                denom = nrm[s:t][:, None] * nrm[s:][None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / denom
-                cand = (
-                    (denom > 0)
-                    & np.isfinite(cos)
-                    & (cos >= threshold - 1e-4)
-                    & (ids[s:t][:, None] < ids[s:][None, :])
-                )
-                ii, jj = np.nonzero(cand)
-                if not len(ii):
+        cross = len(pdf) and int(pdf["_sa"].iloc[0]) != int(pdf["_sb"].iloc[0])
+        if cross:
+            # Two distinct shards of one oversized block: score the
+            # full A×B rectangle (each unordered pair appears in
+            # exactly one (sa, sb) task; ids never collide across
+            # shards, so no i<j mask is needed — orientation happens
+            # in _emit via min/max).
+            sa = int(pdf["_sa"].iloc[0])
+            side_a = pdf[pdf["_c"] == sa]
+            side_b = pdf[pdf["_c"] != sa]
+            lens_a = side_a["embedding"].map(len)
+            lens_b = side_b["embedding"].map(len)
+            groups_b = {length: sub for length, sub in side_b.groupby(lens_b)}
+            for length, sub_a in side_a.groupby(lens_a):
+                sub_b = groups_b.get(length)
+                if sub_b is None:
                     continue
-                rounded = _round_half_up_4dp(cos[ii, jj])
-                final = rounded >= threshold
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "v1": ids[s + ii[final]],
-                            "v2": ids[s + jj[final]],
-                            block_col: block_val,
-                            "cosine": rounded[final],
-                        }
+                XA, ids_a, nrm_a = _matrix(sub_a)
+                XB, ids_b, nrm_b = _matrix(sub_b)
+                na, nb, dim = len(ids_a), len(ids_b), XA.shape[1]
+                chunk = max(16, _CHUNK_CELLS // max(nb, 1))
+                for s in range(0, na, chunk):
+                    t = min(s + chunk, na)
+                    dots = np.zeros((t - s, nb))
+                    for d in range(dim):
+                        dots = dots + XA[s:t, d][:, None] * XB[:, d][None, :]
+                    denom = nrm_a[s:t][:, None] * nrm_b[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / denom
+                    cand = (
+                        (denom > 0)
+                        & np.isfinite(cos)
+                        & (cos >= threshold - 1e-4)
                     )
-                )
+                    _emit(ids_a[s:t], ids_b, cos, cand, block_val, frames)
+        else:
+            lens = pdf["embedding"].map(len)
+            for _length, sub in pdf.groupby(lens):
+                if len(sub) < 2:
+                    continue
+                sub = sub.sort_values("vec_id")
+                X, ids, nrm = _matrix(sub)
+                n, dim = len(ids), X.shape[1]
+                chunk = max(16, _CHUNK_CELLS // max(n, 1))
+                for s in range(0, n, chunk):
+                    t = min(s + chunk, n)
+                    dots = np.zeros((t - s, n - s))
+                    for d in range(dim):
+                        dots = dots + X[s:t, d][:, None] * X[s:, d][None, :]
+                    denom = nrm[s:t][:, None] * nrm[s:][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / denom
+                    cand = (
+                        (denom > 0)
+                        & np.isfinite(cos)
+                        & (cos >= threshold - 1e-4)
+                        & (ids[s:t][:, None] < ids[s:][None, :])
+                    )
+                    _emit(ids[s:t], ids[s:], cos, cand, block_val, frames)
         if not frames:
             return pd.DataFrame(
                 {"v1": [], "v2": [], block_col: [], "cosine": []}
             ).astype({"v1": "int64", "v2": "int64", block_col: "int64"})
         return pd.concat(frames, ignore_index=True)
 
-    return e.groupBy(block_col).applyInPandas(score, out_schema)
+    e = e.where(F.col(block_col).isNotNull()).select(
+        block_col, "vec_id", "embedding"
+    )
+    # Count-per-key pre-pass (map-side combinable) → tiny broadcast of
+    # only the pathological keys; normal blocks skip the shard machinery
+    # entirely (single (0, 0) task per block, exactly the pre-shard plan).
+    over = (
+        e.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_block_rows)
+        .select(
+            block_col,
+            F.ceil(F.col("_n") / F.lit(max_block_rows)).cast("int").alias("_nsh"),
+        )
+    )
+    # ONE pass over the vectors (plus the count pre-pass — 2 scans, not
+    # a per-branch union that would scan 4x): a row in a normal block
+    # emits the single task (0, 0); a row in shard c of an oversized
+    # block emits every task pair (min(c, s), max(c, s)) for s in
+    # [0, nsh) — nsh tasks per row, each unordered shard pair covered
+    # exactly once. The 1-element explode on the common path is narrow
+    # codegen'd Generate, far cheaper than re-reading the table.
+    chunk_of = F.when(F.col("_nsh").isNull(), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("vec_id"), F.col("_nsh")).cast("int")
+    )
+    tasks = F.when(
+        F.col("_nsh").isNull(),
+        F.array(F.struct(F.lit(0).alias("sa"), F.lit(0).alias("sb"))),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nsh") - 1),
+            lambda s: F.struct(
+                F.least(s, F.col("_c")).alias("sa"),
+                F.greatest(s, F.col("_c")).alias("sb"),
+            ),
+        )
+    )
+    routed = (
+        e.join(F.broadcast(over), block_col, "left")
+        .withColumn("_c", chunk_of)
+        .withColumn("_t", F.explode(tasks))
+        .select(
+            block_col,
+            "vec_id",
+            "embedding",
+            "_c",
+            F.col("_t.sa").alias("_sa"),
+            F.col("_t.sb").alias("_sb"),
+        )
+    )
+    return routed.groupBy(block_col, "_sa", "_sb").applyInPandas(score, out_schema)
 
 
 def _norm(a):

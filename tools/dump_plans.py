@@ -77,7 +77,11 @@ SHOWCASE = [
         "instead of |corpus|^2, and each pair's dot runs vectorized with "
         "the bit-identical sequential fold — the sf1 decade measured the "
         "old per-pair interpreted fold at 84k pairs/s/core on a single "
-        "probe task (see _cosine_pairs_blocked).",
+        "probe task (see _cosine_pairs_blocked). A count-per-key pre-pass "
+        "(map-side combinable, tiny broadcast of only pathological keys) "
+        "triangle-shards any block over 1M rows so no single task ever "
+        "holds more than two hash-chunks of one block (round-13 "
+        "enforcement of the previously advisory bound).",
     ),
     (
         "grouping_sets_revenue",
