@@ -203,16 +203,21 @@ def overwrite_table_versioned(
     may be crash garbage). A refresh
 
     1. writes the new snapshot to the next ``v_<n>`` (invisible to
-       readers — nothing points at it),
+       readers — nothing points at it), then fsyncs every file in it
+       plus the dir tree — Spark's local-FS committer does NOT fsync
+       data blocks, so without this a power loss could persist a
+       durable pointer naming a version whose data never reached disk,
     2. publishes by writing ``_CURRENT.tmp.<uuid>``, fsyncing it, and
        ``os.replace``-ing it over ``_CURRENT``, then fsyncing the
        directory — the rename is atomic on POSIX and the fsync pair
-       makes it DURABLE (without it a power loss can persist the
-       rename before the file's data blocks, publishing a torn
-       pointer), so every reader sees either the old pointer or the
-       new one, never a missing or half-written table (contrast
-       :func:`_swap_in`'s brief table-absent window between its two
-       directory renames),
+       makes the POINTER durable and tear-free (every reader sees
+       either the old pointer or the new one, never a missing or
+       half-written table; contrast :func:`_swap_in`'s brief
+       table-absent window between its two directory renames). The
+       step-1 data fsync holds for local filesystems only: on a real
+       cluster writing HDFS/object storage, data durability is the
+       store's contract (HDFS hflush/hsync on commit, object-store
+       PUT-is-durable), not this function's,
     3. sweeps every version dir not on the new history: the current
        one plus the ``keep`` most recently PUBLISHED predecessors
        survive, so a reader that resolved the pointer up to ``keep``
@@ -275,6 +280,18 @@ def overwrite_table_versioned(
     nxt = root / f"v_{int(versions[-1].name[2:]) + 1 if versions else 0}"
 
     df.write.mode("overwrite").format(format).save(str(nxt))
+
+    # Data-before-pointer durability (docstring step 1): local-FS writes
+    # are not fsynced by Spark's committer; flush the version's blocks
+    # and dir entries before anything durable points at them. Cheap
+    # relative to the snapshot write itself.
+    if nxt.exists():
+        for entry in [nxt, *nxt.rglob("*")]:
+            fd = os.open(entry, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
 
     new_history = [nxt.name] + [v for v in history if v != nxt.name][: max(keep, 0)]
     tmp = root / f"{_CURRENT_POINTER}.tmp.{uuid.uuid4().hex[:8]}"

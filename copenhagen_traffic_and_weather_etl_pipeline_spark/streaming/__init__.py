@@ -36,7 +36,12 @@ from ..functions import DATE_FMT, TIME_FMT
 from ..operators.flatten import flatten_traffic, flatten_weather, split_errors
 from ..operators.snapshot import latest_snapshot_join
 from ..schemas import FETCH_RESULT_SCHEMA, TRAFFIC_SCHEMA, WEATHER_SCHEMA
-from ..sinks import append_table, overwrite_table, overwrite_table_versioned
+from ..sinks import (
+    append_table,
+    overwrite_table,
+    overwrite_table_versioned,
+    read_table_versioned,
+)
 
 
 def _not_null_cols(schema: T.StructType) -> list[str]:
@@ -188,6 +193,28 @@ def ingest_and_refresh(
         # The reference's hourly cadence: trigger(processingTime='1 hour').
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def latest_joined_snapshot(
+    spark: SparkSession, base_dir: str, versioned: bool = True
+) -> DataFrame:
+    """Consumer-side resolver for the snapshot :func:`ingest_and_refresh`
+    maintains: returns ``latest_joined_data`` as a DataFrame, pinned.
+
+    With ``versioned=True`` (the ``versioned_snapshot=True`` producer),
+    the version pointer is resolved ONCE here — the returned DataFrame
+    reads one immutable ``v_<n>`` dir, so refresh ticks committing and
+    compaction sweeping underneath it are invisible until the caller
+    re-resolves: a dashboard holds one consistent snapshot for as long
+    as its scan runs, provided the producer's ``versioned_keep`` covers
+    the scan length in ticks (pinned-across-two-ticks is proved
+    end-to-end in tests/test_streaming.py). With ``versioned=False``
+    it is a plain path read of the last-writer-wins layout, which can
+    observe a mid-refresh overwrite — the reference's own semantics."""
+    path = f"{base_dir}/latest_joined_data"
+    if versioned:
+        return read_table_versioned(spark, path)
+    return spark.read.parquet(path)
 
 
 def join_traffic_weather_streams(

