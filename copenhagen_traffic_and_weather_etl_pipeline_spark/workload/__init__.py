@@ -137,28 +137,30 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 12's window, by the same policy (newest-green histogram after
-# r11's 50/50 gate under the v2 ledger: 25 entries at r8, 50 at r9,
-# 50 at r10, 50 at r11 — tools/window_freshness.json is the
-# machine-checked ledger; `freshness.py --drift` reported n=0, so no
-# mandatory slots):
-#   1-25. the entire 25-entry r8-era staleness tail, verbatim the
-#      round-11 _NEXT_WINDOW order — after this round's gate no
-#      pre-r9 evidence remains anywhere in the registry.
-#   26-50. twenty-five r9-era re-proofs filling the slack slots,
+# Round 13's window, by the same policy (newest-green histogram after
+# r12's 50/50 gate: 27 entries at r9, 50 at r10, 48 at r11, 50 at
+# r12 — tools/window_freshness.json is the machine-checked ledger;
+# `freshness.py --drift` reported n=2):
+#   1-2. MANDATORY changed-definition slots: dedup_embedding_cosine
+#      and dedup_embedding_lsh were redefined AGAIN this round — the
+#      r12-verdict hardening that enforces the blocked scorer's
+#      block-size bound in code (count-per-key pre-pass triangle-shards
+#      oversized blocks; see _cosine_pairs_blocked) plus the ADVICE
+#      boundary-rounding fix (the Decimal escape hatch now quantizes
+#      the SCALED product, matching live DuckDB bit-for-bit — pinned
+#      in tests/test_embedding_pair_sharding.py).
+#   3-29. the entire 27-entry r9-era staleness tail, verbatim the
+#      round-12 _NEXT_WINDOW order (float/hash-randomized surfaces
+#      first: dq rates, skyline/topn prices, window payloads, the
+#      hash-based samplers; then the integer/key remainder) — after
+#      this round's gate no pre-r10 evidence remains in the registry.
+#   30-50. twenty-one r10-era re-proofs filling the slack slots,
 #      highest-float-surface first (float and randomized outputs are
-#      where hash-compare drift risk lives; integer/key outputs are
-#      the safe holdovers): quantile/percentile/histogram floats,
-#      retention and survival rates, perplexity, linkage and jaccard
-#      scores, embedding norms, mixture weights, skew stats, the
-#      DOULION sampled estimate, and the hash-based samplers.
-# Mid-round amendment (round 12): dedup_embedding_cosine and
-# dedup_embedding_lsh were REDEFINED after the sf1 decade exposed the
-# interpreted per-pair dot grinding a single task (see
-# extension_queries._cosine_pairs_blocked) — both enter the window at
-# the head as mandatory changed-definition slots, displacing the two
-# newest-proven r9 tail entries (hash_sample_orders,
-# split_train_val_test) into _NEXT_WINDOW.
+#      where hash-compare drift risk lives): correlation/moments/
+#      regression/zscore floats, cosine and ANN distance floats (the
+#      whole similarity family — sharing code with this round's scorer
+#      rewrite), BM25/entropy scores, CDF and interpolation floats,
+#      growth ratios, winsorized tails, kmeans centroids.
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -169,72 +171,22 @@ from . import decorrelation_queries  # noqa: E402,F401
 _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "anti_join_customers",
-    "array_first_last",
-    "coord_concat",
-    "decontaminate_ngram_overlap",
-    "dedup_canonical_pick",
-    "dedup_incremental",
-    "dedup_incremental_replay",
-    "dedup_resolve_clusters",
-    "distinct_flags",
-    "global_max_agg",
-    "json_extract",
-    "json_typed_agg",
-    "local_supply_revenue",
-    "pack_sequences",
-    "pivot_event_counts",
-    "rollup_lineitem",
-    "semi_join_customers",
-    "set_except_status",
-    "set_intersect_status",
-    "text_pii_scrub",
-    "text_strip_hotwords",
-    "top_orders",
-    "unpivot_lineitem_metrics",
-    "window_lead_lag",
-    "window_rank_suite",
-    "approx_quantile_value",
-    "benford_price_digits",
-    "cohort_retention",
-    "dedup_method_eval",
-    "dedup_prefix_filter_jaccard",
-    "embedding_norm_stats",
-    "equidepth_histogram",
-    "funnel_latency_percentiles",
-    "kaplan_meier_retention",
-    "ngram_lm_perplexity",
-    "percentile_by_priority",
-    "record_linkage_score",
-    "time_weighted_avg_value",
-    "window_distribution_funcs",
-    "histogram_prices",
-    "skew_profile",
-    "source_mixture_weights",
-    "triangle_count_doulion",
-    "quality_filter_cascade",
-    "sample_weighted_docs",
-    "ship_delay_by_priority",
-    "attribution_first_touch",
-    "sample_token_budget",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# 25 remaining r9-era entries (alphabetical within the round cohort) —
-# so a future rotation is again a window swap.
-_NEXT_WINDOW: list[str] = [
-    "split_train_val_test",
+    "dq_expectations",
+    "skyline_orders",
+    "topn_orders_per_customer",
+    "window_first_last",
+    "exists_over_balance",
+    "mode_return_priority",
     "hash_sample_orders",
+    "split_train_val_test",
+    "shuffle_shards_deterministic",
+    "hashed_feature_buckets",
     "array_agg_orderkeys",
     "bpe_pair_merges",
     "chain_components_recursive",
-    "dq_expectations",
-    "exists_over_balance",
     "funnel_view_click_purchase",
     "gaps_islands_activity",
-    "hashed_feature_buckets",
     "map_agg_event_counts",
-    "mode_return_priority",
     "multi_distinct_aggs",
     "null_safe_join_brands",
     "rolling_7d_active_users",
@@ -242,14 +194,66 @@ _NEXT_WINDOW: list[str] = [
     "scd2_intervals",
     "set_except_all_keys",
     "set_intersect_all_keys",
-    "shuffle_shards_deterministic",
-    "skyline_orders",
     "text_token_encode",
-    "topn_orders_per_customer",
     "web_blocklist_filter",
     "web_domain_caps",
     "web_url_canonicalize",
-    "window_first_last",
+    "corr_value_props",
+    "stats_moments_orders",
+    "trend_regression_events",
+    "zscore_by_user",
+    "winsorize_values",
+    "sim_topk_bruteforce",
+    "sim_topk_vectorized",
+    "ann_recall_eval",
+    "ivf_ann_search",
+    "pq_ann_adc",
+    "kmeans_clusters",
+    "dedup_semantic_kmeans",
+    "embedding_centroid_outliers",
+    "kmv_set_intersection",
+    "bm25_retrieval",
+    "text_entropy",
+    "snapshot_diff_cdf",
+    "interpolate_hourly_values",
+    "revenue_mom_growth",
+    "window_moving_avg",
+    "pricing_summary",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 29 remaining r10-era entries (alphabetical within the round cohort) —
+# so a future rotation is again a window swap.
+_NEXT_WINDOW: list[str] = [
+    "assign_contiguous_ids",
+    "compaction_plan",
+    "countmin_token_counts",
+    "cube_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "fk_containment_profile",
+    "flagship_latest_snapshot",
+    "geo_cell_density",
+    "heavy_hitters_tokens",
+    "incremental_agg_merge",
+    "incremental_join_view",
+    "k_anonymity_customers",
+    "knn_join_lsh",
+    "latest_per_key",
+    "merge_upsert_cdc",
+    "nearest_station_events",
+    "outer_join_order_counts",
+    "scalar_subquery_latest",
+    "sessionize_events",
+    "sim_ann_lsh_buckets",
+    "text_lang_id",
+    "text_token_stats",
+    "triangle_count_coorder",
+    "using_join_enriched",
+    "window_running_total",
+    "zonemap_prune_estimate",
+    "zorder_cluster_key",
 ]
 
 
