@@ -150,8 +150,20 @@ def main() -> int:
             for q in QUERIES
             if q not in top and results[q]["0.1"] > 4 * max(results[q]["0.01"], 0.05)
         ]
+        # Known-quadratic-domain queries ALWAYS get the extra decade:
+        # both heuristics above are timing-based and can miss a query
+        # whose small-SF cost is flat because the scorer is fast while
+        # its candidate/output space still grows quadratically (round
+        # 12's dedup_embedding_cosine: ~1 s at sf0.1, 500M pairs at
+        # sf1). The expected-super-linear set is exactly the list of
+        # queries whose upper decade must never go unmeasured.
+        known = [
+            q
+            for q in SUPERLINEAR_EXPECTED
+            if q in QUERIES and q not in top and q not in growers
+        ]
         sf_dir = resolve_sf(extra_sf)
-        for q in top + growers:
+        for q in top + growers + known:
             extra[q] = time_best2(q, sf_dir)
 
     step = float(extra_sf) / 0.1 if extra_sf else None
