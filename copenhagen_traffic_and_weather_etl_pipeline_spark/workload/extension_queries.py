@@ -696,6 +696,7 @@ def _dot(a, b):
 
 _MAX_BLOCK_ROWS = 1_000_000
 _CHUNK_CELLS = 8_000_000
+_EMIT_ROWS = 2_000_000  # pair rows per yielded Arrow batch (~64 MB)
 
 
 def _round_half_up_4dp(x):
@@ -786,19 +787,25 @@ def _cosine_pairs_blocked(
       values upstream ON BOTH ENGINES before comparing to an oracle.
     - NULL blocking keys are dropped up front, matching the inner
       equi-join the scorer replaced (a NULL key never matches itself
-      in a join, but WOULD form its own applyInPandas group).
+      in a join, but WOULD form its own scoring task).
     - Rows are scored per (block, array-length) subgroup: under
       `zip_with`, pairs of DIFFERENT lengths produce a NULL dot (and
       drop) while equal-length pairs score normally — the subgrouping
       reproduces both without ever crashing on ragged input.
 
-    Memory is bounded along BOTH axes:
+    Memory is bounded along ALL THREE axes:
 
     - The pair panel is computed in row chunks of ``B = 8M / |block|``
       accumulator cells; the per-dimension loop keeps the accumulator,
       the product temporary, and then the denom/cos/cand panels alive
       simultaneously, so the true peak is ~4 panels ≈ 256 MB of
       float64 temporaries per task at any block size.
+    - OUTPUT is streamed, not batched per block: the scorer runs under
+      ``mapInPandas`` and yields each scoring chunk's survivors as its
+      own ≤2M-row Arrow batch (~64 MB). A grouped ``applyInPandas``
+      would serialize one batch per block — a dense block's tens of
+      millions of qualifying pairs became a 1.5 GB direct-memory
+      allocation that OOM'd a 4 GiB-heap sf1 run (round-13 measured).
     - Block size itself is ENFORCED, not advisory: a cheap count-per-
       key pre-pass finds blocks over ``max_block_rows`` (default 1M
       rows ≈ 512 MB of float64 at dim 64) and triangle-shards them —
@@ -816,9 +823,16 @@ def _cosine_pairs_blocked(
 
     out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
 
-    def _emit(ids_a, ids_b, cos_panel, mask, block_val, frames):
-        """Round the masked candidates exactly and append survivors,
-        orienting each pair as (min_id, max_id)."""
+    def _emit(ids_a, ids_b, cos_panel, mask, block_val):
+        """Round the masked candidates exactly and YIELD survivors as
+        bounded frames (pairs oriented (min_id, max_id)). Each yielded
+        frame becomes its own Arrow batch on the way back to the JVM —
+        the whole reason this scorer runs under mapInPandas: a grouped
+        applyInPandas serializes one batch per GROUP, and a dense
+        block's 50M-pair result is a multi-GB direct-memory allocation
+        that OOMs a bounded-heap executor (measured at sf1 under a
+        4 GiB driver: 1.5 GB single allocation, OutOfDirectMemoryError).
+        Yield granularity caps the output batch at ~64 MB."""
         import numpy as np
         import pandas as pd
 
@@ -829,16 +843,19 @@ def _cosine_pairs_blocked(
         final = rounded >= threshold
         a = ids_a[ii[final]]
         b = ids_b[jj[final]]
-        frames.append(
-            pd.DataFrame(
+        v1 = np.minimum(a, b)
+        v2 = np.maximum(a, b)
+        r = rounded[final]
+        for s in range(0, len(v1), _EMIT_ROWS):
+            t = s + _EMIT_ROWS
+            yield pd.DataFrame(
                 {
-                    "v1": np.minimum(a, b),
-                    "v2": np.maximum(a, b),
+                    "v1": v1[s:t],
+                    "v2": v2[s:t],
                     block_col: block_val,
-                    "cosine": rounded[final],
+                    "cosine": r[s:t],
                 }
             )
-        )
 
     def _matrix(sub):
         import numpy as np
@@ -852,7 +869,8 @@ def _cosine_pairs_blocked(
             acc = acc + X[:, d] * X[:, d]
         return X, ids, np.sqrt(acc)
 
-    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _score_task(pdf: "pd.DataFrame"):
+        """Yield bounded pair frames for one (block, sa, sb) task."""
         import numpy as np
 
         # Belt to the sharding suspenders: the pre-pass guarantees
@@ -866,7 +884,6 @@ def _cosine_pairs_blocked(
                 "oversized-block pre-pass failed to engage — shard the "
                 "blocking key upstream or lower max_block_rows"
             )
-        frames = []
         pdf = pdf[pdf["embedding"].notna()]
         block_val = int(pdf[block_col].iloc[0]) if len(pdf) else 0
         cross = len(pdf) and int(pdf["_sa"].iloc[0]) != int(pdf["_sb"].iloc[0])
@@ -903,7 +920,7 @@ def _cosine_pairs_blocked(
                         & np.isfinite(cos)
                         & (cos >= threshold - 1e-4)
                     )
-                    _emit(ids_a[s:t], ids_b, cos, cand, block_val, frames)
+                    yield from _emit(ids_a[s:t], ids_b, cos, cand, block_val)
         else:
             lens = pdf["embedding"].map(len)
             for _length, sub in pdf.groupby(lens):
@@ -927,12 +944,24 @@ def _cosine_pairs_blocked(
                         & (cos >= threshold - 1e-4)
                         & (ids[s:t][:, None] < ids[s:][None, :])
                     )
-                    _emit(ids[s:t], ids[s:], cos, cand, block_val, frames)
-        if not frames:
-            return pd.DataFrame(
-                {"v1": [], "v2": [], block_col: [], "cosine": []}
-            ).astype({"v1": "int64", "v2": "int64", block_col: "int64"})
-        return pd.concat(frames, ignore_index=True)
+                    yield from _emit(ids[s:t], ids[s:], cos, cand, block_val)
+
+    def score_partition(batches):
+        """mapInPandas entry: the partition holds every row of each of
+        its (block, sa, sb) task keys (repartition on exactly those
+        keys), so concat-then-groupby reconstructs the tasks. Input is
+        VECTORS (id + embedding), so materializing the partition input
+        is bounded by rows-per-partition x vector width — the
+        unbounded side (output pairs) is what streams out as many
+        small Arrow batches via the per-chunk yields."""
+        import pandas as pd
+
+        rows = [b for b in batches]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        for _key, g in pdf.groupby([block_col, "_sa", "_sb"], sort=False):
+            yield from _score_task(g)
 
     e = e.where(F.col(block_col).isNotNull()).select(
         block_col, "vec_id", "embedding"
@@ -984,7 +1013,16 @@ def _cosine_pairs_blocked(
             F.col("_t.sb").alias("_sb"),
         )
     )
-    return routed.groupBy(block_col, "_sa", "_sb").applyInPandas(score, out_schema)
+    # repartition + mapInPandas, NOT groupBy + applyInPandas: grouped
+    # map serializes each group's whole result as ONE Arrow batch, so a
+    # dense block emitting tens of millions of pairs becomes a multi-GB
+    # direct-memory allocation per task (measured: sf1 under a 4 GiB
+    # heap dies with OutOfDirectMemoryError on a 1.5 GB batch). The
+    # iterator form streams each scoring chunk out as its own bounded
+    # batch; the shuffle is the same hash exchange either way (and
+    # mapInPandas skips grouped-map's within-partition sort).
+    routed = routed.repartition(block_col, "_sa", "_sb")
+    return routed.mapInPandas(score_partition, out_schema)
 
 
 def _norm(a):

@@ -144,6 +144,30 @@ def test_no_cartesian_products_in_dedup(spark, name):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_pair_scorer_routing_is_one_data_pass(spark):
+    # The round-13 block-size enforcement must stay cheap: ONE count
+    # pre-pass + ONE data pass (2 parquet scans total — the first draft
+    # union'd small/big branches and scanned 4x), the oversized-key
+    # table broadcast (never shuffled into the fact side), the shard
+    # fan-out a codegen'd Generate, and exactly two real exchanges
+    # (count agg + the task-key repartition into the scorer). The
+    # scorer must be MapInPandas, NOT FlatMapGroupsInPandas: grouped
+    # map serializes one Arrow batch per block, and a dense block's
+    # pair output is a multi-GB allocation (sf1 under a 4 GiB heap
+    # died on a 1.5 GB batch); the iterator form streams bounded
+    # batches. No cartesian anywhere.
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree
+    assert "BroadcastHashJoin" in tree
+    assert "Generate" in tree
+    assert "MapInPandas" in tree
+    assert "FlatMapGroupsInPandas" not in tree
+    assert "CartesianProduct" not in plan
+    real_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert real_exchanges == 2, tree
+
+
 def test_frame_sample_is_narrow_no_shuffle_no_python(spark):
     # Frame sampling must stay a codegen'd Generate (explode) over the
     # scan: any Exchange or Python worker here would serialize the full
