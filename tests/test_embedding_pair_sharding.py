@@ -28,6 +28,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from copenhagen_traffic_and_weather_etl_pipeline_spark.workload.extension_queries import (
@@ -125,6 +127,66 @@ def test_null_block_key_rows_are_dropped_like_the_old_join(spark):
     got = _run(spark, pdf)
     assert got == expected
     assert not any(5 in p[:2] or 6 in p[:2] for p in got)
+
+
+def _expected_pairs_general(pdf: pd.DataFrame) -> set[tuple[int, int, float]]:
+    """Generalized brute-force oracle: ragged lengths never pair (the
+    zip_with-NULL contract), zero norms drop, NULL labels drop, and the
+    arithmetic is the scorer's exact contract (dimension-ordered float64
+    accumulation, half-away-from-zero rounding of the scaled product)."""
+    out = set()
+    rows = pdf[pdf["label"].notna()].sort_values("vec_id").to_dict("records")
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a["label"] != b["label"] or len(a["embedding"]) != len(b["embedding"]):
+                continue
+            dot = nrm_a = nrm_b = 0.0
+            for d in range(len(a["embedding"])):
+                dot += float(a["embedding"][d]) * float(b["embedding"][d])
+                nrm_a += float(a["embedding"][d]) ** 2
+                nrm_b += float(b["embedding"][d]) ** 2
+            denom = math.sqrt(nrm_a) * math.sqrt(nrm_b)
+            if denom <= 0:
+                continue
+            cos = dot / denom
+            if not math.isfinite(cos):
+                continue
+            rounded = float(_round_half_up_4dp(np.array([cos]))[0])
+            if rounded >= _THRESHOLD:
+                out.add((a["vec_id"], b["vec_id"], rounded))
+    return out
+
+
+_VALS = st.sampled_from([0.0, 0.5, -0.5, 1.0, 0.1, 0.76625, -1.0, 2.0, 0.333])
+_VEC = st.lists(_VALS, min_size=2, max_size=3)
+_ROW = st.tuples(_VEC, st.sampled_from([0, 0, 0, 1, None]))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(_ROW, min_size=2, max_size=24),
+    max_rows=st.sampled_from([4, 1_000_000]),
+)
+def test_property_scorer_matches_bruteforce(spark, corpus, max_rows):
+    # Random ragged/degenerate corpora with NULL labels, at both an
+    # absurdly small max_block_rows (forces sharding of nearly every
+    # block) and the production default (never shards): the scorer must
+    # equal the exact-arithmetic brute force either way.
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(corpus)),
+            "label": pd.array(
+                [lab for _, lab in corpus], dtype="Int64"
+            ).astype("object"),
+            "embedding": [vec for vec, _ in corpus],
+        }
+    )
+    assert _run(spark, pdf, max_block_rows=max_rows) == _expected_pairs_general(pdf)
 
 
 def test_round_half_up_4dp_matches_live_duckdb():
