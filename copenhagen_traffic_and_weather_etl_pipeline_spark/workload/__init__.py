@@ -161,6 +161,14 @@ from . import decorrelation_queries  # noqa: E402,F401
 #      whole similarity family — sharing code with this round's scorer
 #      rewrite), BM25/entropy scores, CDF and interpolation floats,
 #      growth ratios, winsorized tails, kmeans centroids.
+# Mid-round amendment (round 13): dedup_semantic_kmeans was REDEFINED
+# after the round's full-registry sf1 completion gate caught it still
+# running the interpreted per-pair fold the r12 rewrite removed from
+# its two siblings (same bug, third query — never previously run at
+# sf1); it now routes through _cosine_pairs_blocked. It already held
+# window slot 41 from the r10 float-surface cohort, so the mandatory
+# changed-definition placement is satisfied without displacing anyone
+# (drift check: n = 3, all three in-window).
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)

@@ -695,6 +695,7 @@ def _dot(a, b):
 
 
 _MAX_BLOCK_ROWS = 1_000_000
+_PAR_SHARD_ROWS = 8_192  # parallelism chunk target: ~67M-pair tasks
 _CHUNK_CELLS = 8_000_000
 _EMIT_ROWS = 2_000_000  # pair rows per yielded Arrow batch (~64 MB)
 
@@ -807,18 +808,25 @@ def _cosine_pairs_blocked(
       millions of qualifying pairs became a 1.5 GB direct-memory
       allocation that OOM'd a 4 GiB-heap sf1 run (round-13 measured).
     - Block size itself is ENFORCED, not advisory: a cheap count-per-
-      key pre-pass finds blocks over ``max_block_rows`` (default 1M
-      rows ≈ 512 MB of float64 at dim 64) and triangle-shards them —
-      each oversized block's rows are hash-split into ``ceil(n/max)``
-      chunks and replicated to every (chunk_i, chunk_j) task pair
-      (i <= j), so each task scores at most TWO chunks' worth of rows
-      and every within-block pair is produced exactly once. The
-      oversized-key table is tiny by construction (only pathological
-      keys enter it) and broadcast. Replication factor for a sharded
-      block is its shard count — inherent to exact all-pairs.
+      key pre-pass finds blocks over ``min(max_block_rows,
+      _PAR_SHARD_ROWS)`` and triangle-shards them — each such block's
+      rows are hash-split into ``ceil(n/chunk)`` chunks and replicated
+      to every (chunk_i, chunk_j) task pair (i <= j), so each task
+      scores at most TWO chunks' worth of rows and every within-block
+      pair is produced exactly once. ``max_block_rows`` (default 1M
+      rows ≈ 512 MB of float64 at dim 64) is the memory bound;
+      ``_PAR_SHARD_ROWS`` (8k rows ≈ 67M pairs ≈ seconds of numpy per
+      task) is the PARALLELISM bound — without it, a blocking key with
+      few huge blocks (k-means with small k) collapses the quadratic
+      workload onto k tasks. The sharded-key table is tiny by
+      construction (only blocks past the chunk target enter it) and
+      broadcast. Replication factor for a sharded block is its shard
+      count — inherent to exact all-pairs, and worth it: the shuffle
+      grows as Σ n²/chunk vector rows while the scoring work grows as
+      Σ n² pair-dims.
 
-    Parallelism = number of blocks + sum of shard-pair fan-out of the
-    pathological ones."""
+    Parallelism = number of small blocks + shard-pair fan-out
+    (~Σ (n/chunk)²/2) of the big ones."""
     import pandas as pd
 
     out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
@@ -967,15 +975,28 @@ def _cosine_pairs_blocked(
         block_col, "vec_id", "embedding"
     )
     # Count-per-key pre-pass (map-side combinable) → tiny broadcast of
-    # only the pathological keys; normal blocks skip the shard machinery
-    # entirely (single (0, 0) task per block, exactly the pre-shard plan).
+    # only the keys that shard; small blocks skip the shard machinery
+    # entirely (single (0, 0) task per block, exactly the pre-shard
+    # plan). The shard trigger serves BOTH bounds:
+    #   - memory: no task may hold more than ~2 chunks of
+    #     ``max_block_rows`` rows (the docstring's 512 MB budget);
+    #   - parallelism: a blocking key with FEW, HUGE blocks (semantic
+    #     k-means with k=4: ~25k-row clusters at sf1) would otherwise
+    #     collapse the whole quadratic workload onto k tasks — measured
+    #     this round: the densest cluster pinned one task for 15+ min
+    #     while 31 cores idled. Chunking to ``_PAR_SHARD_ROWS`` makes
+    #     each task ~|chunk|^2 ≈ 67M pair-evals (seconds of numpy), and
+    #     the input replication it costs is nsh = n/8k rows of VECTORS
+    #     per block — Σ n_b^2/8k shuffle bytes, always negligible
+    #     against the Σ n_b^2 pair-dim scoring work itself.
+    chunk_rows = min(max_block_rows, _PAR_SHARD_ROWS)
     over = (
         e.groupBy(block_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_block_rows)
+        .where(F.col("_n") > chunk_rows)
         .select(
             block_col,
-            F.ceil(F.col("_n") / F.lit(max_block_rows)).cast("int").alias("_nsh"),
+            F.ceil(F.col("_n") / F.lit(chunk_rows)).cast("int").alias("_nsh"),
         )
     )
     # ONE pass over the vectors (plus the count pre-pass — 2 scans, not
@@ -1021,7 +1042,20 @@ def _cosine_pairs_blocked(
     # iterator form streams each scoring chunk out as its own bounded
     # batch; the shuffle is the same hash exchange either way (and
     # mapInPandas skips grouped-map's within-partition sort).
-    routed = routed.repartition(block_col, "_sa", "_sb")
+    #
+    # Bin count: task keys must spread across MANY more partitions than
+    # there are heavy keys, or birthday collisions stack several
+    # multi-second scoring groups in one task and the sharding's
+    # parallelism win evaporates (measured at sf1: 30 shard-task keys
+    # into 32 bins ran ~1.6x SLOWER than unsharded; fine bins made them
+    # faster). Empty bins cost sub-ms tasks — cheap insurance at any
+    # scale.
+    spark = e.sparkSession
+    nbins = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        16 * spark.sparkContext.defaultParallelism,
+    )
+    routed = routed.repartition(nbins, F.col(block_col), F.col("_sa"), F.col("_sb"))
     return routed.mapInPandas(score_partition, out_schema)
 
 

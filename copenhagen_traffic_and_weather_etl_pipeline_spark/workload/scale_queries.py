@@ -1830,41 +1830,30 @@ WHERE cosine >= {_SEMDEDUP_COS}
     tags=["dedup", "embedding", "clustering"],
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-13 rewrite — the SAME scale bug the r12 sf1 gate caught in
+    # dedup_embedding_cosine survived here unnoticed because this query
+    # was never run at sf1: the cluster-blocked self-join evaluated an
+    # interpreted higher-order dot per candidate pair (~500M
+    # within-cluster pairs on replica data, where k-means recovers the
+    # generating Gaussians — this round's sf1 completion gate found it
+    # still grinding after 13 min where the blocked scorer finishes the
+    # identically-shaped label-blocked query in ~75 s). The shared
+    # Arrow/numpy blocked scorer replaces the join; float parity with
+    # the unrolled-k-means DuckDB oracle is bit-exact by the same
+    # argument as the label/LSH variants (dimension-ordered float64
+    # fold, try_divide-equivalent zero-norm masking, scaled-product
+    # half-away-from-zero rounding — see _cosine_pairs_blocked).
     from ..operators.clustering import assign_clusters, kmeans_fit
-    from .extension_queries import _cosine, _dot, _norm
+    from .extension_queries import _cosine_pairs_blocked
 
     e = load(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, k=_KMEANS_K, iters=_KMEANS_ITERS)
     assign = assign_clusters(e, centroids).select("vec_id", "cluster")
-    j = (
-        e.join(assign, "vec_id")
-        .select(
-            "cluster", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-        )
+    j = e.join(assign, "vec_id").select(
+        F.col("cluster").cast("bigint").alias("cluster"), "vec_id", "embedding"
     )
-    a, b = j.alias("a"), j.alias("b")
-    # try_divide: NULL cosine on zero-norm vectors (= DuckDB's `/`),
-    # then the >= threshold predicate drops those pairs on both engines.
-    cos = F.round(
-        _cosine(
-            _dot(F.col("a.embedding"), F.col("b.embedding")),
-            F.col("a.nrm") * F.col("b.nrm"),
-        ),
-        4,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _SEMDEDUP_COS)
+    return _cosine_pairs_blocked(j, "cluster", _SEMDEDUP_COS).select(
+        "cluster", "v1", "v2", "cosine"
     )
 
 
