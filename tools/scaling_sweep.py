@@ -66,6 +66,11 @@ QUERIES = [
     # output cost, not plan waste.
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    # round 13 addition: the third member of the embedding-pair family —
+    # this round's sf1 completion gate caught it still running the
+    # interpreted per-pair fold its siblings lost in r12 (never before
+    # run at sf1); swept so the whole family carries sf1 rows per round.
+    "dedup_semantic_kmeans",
 ]
 
 # Queries whose cost is expected to grow faster than the table because
@@ -80,6 +85,9 @@ SUPERLINEAR_EXPECTED = {
     "within-label pairs qualify, so the ANSWER itself grows quadratically",
     "dedup_embedding_lsh": "within-bucket similarity is what LSH buckets select "
     "for — qualifying pairs (the answer) grow quadratically on clustered data",
+    "dedup_semantic_kmeans": "k-means recovers the generating Gaussians, so "
+    "within-cluster pairs (the answer) grow quadratically — output-bound like "
+    "its label/LSH siblings",
 }
 
 
