@@ -287,7 +287,18 @@ def overwrite_table_versioned(
     # relative to the snapshot write itself.
     if nxt.exists():
         for entry in [nxt, *nxt.rglob("*")]:
-            fd = os.open(entry, os.O_RDONLY)
+            # Tolerate entries vanishing (or turning unreadable) between
+            # rglob and open — Spark's committer leaves transient
+            # .crc/_temporary droppings it may still be clearing; a
+            # gone-again temp file must not abort a refresh whose
+            # snapshot data is already written. Skip non-regular,
+            # non-directory entries (sockets/fifos can't be fsynced).
+            try:
+                if not (entry.is_file() or entry.is_dir()):
+                    continue
+                fd = os.open(entry, os.O_RDONLY)
+            except OSError:
+                continue
             try:
                 os.fsync(fd)
             finally:

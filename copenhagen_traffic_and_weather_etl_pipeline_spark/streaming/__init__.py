@@ -213,7 +213,21 @@ def latest_joined_snapshot(
     observe a mid-refresh overwrite — the reference's own semantics."""
     path = f"{base_dir}/latest_joined_data"
     if versioned:
-        return read_table_versioned(spark, path)
+        try:
+            return read_table_versioned(spark, path)
+        except FileNotFoundError as e:
+            # The producer default is versioned_snapshot=False (plain
+            # last-writer-wins overwrite, the reference's semantics), so
+            # a default-on-default pairing lands here: explain the
+            # mismatch instead of surfacing a bare _CURRENT miss.
+            raise FileNotFoundError(
+                f"no version pointer at {path}: the producer "
+                "(ingest_and_refresh) was started without "
+                "versioned_snapshot=True, or has not published its first "
+                "snapshot yet. Either start the producer with "
+                "versioned_snapshot=True, or read the plain overwrite "
+                "layout with latest_joined_snapshot(..., versioned=False)."
+            ) from e
     return spark.read.parquet(path)
 
 

@@ -158,14 +158,19 @@ def test_embedding_pair_scorer_routing_is_one_data_pass(spark):
     # batches. No cartesian anywhere.
     plan = plan_of(spark, "dedup_embedding_cosine")
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 2, tree
+    # Upper bounds, not equalities: a Spark upgrade or AQE-setting
+    # change may legally FUSE scans/exchanges (fewer is fine and still
+    # one-data-pass); only MORE of them signals the 4x-scan regression
+    # this test exists to catch. At least one scan must survive, or the
+    # plan string itself changed shape and the test needs a re-look.
+    assert 1 <= tree.count("Scan parquet") <= 2, tree
     assert "BroadcastHashJoin" in tree
     assert "Generate" in tree
     assert "MapInPandas" in tree
     assert "FlatMapGroupsInPandas" not in tree
     assert "CartesianProduct" not in plan
     real_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
-    assert real_exchanges == 2, tree
+    assert 1 <= real_exchanges <= 2, tree
 
 
 def test_frame_sample_is_narrow_no_shuffle_no_python(spark):
