@@ -139,21 +139,30 @@ from . import decorrelation_queries  # noqa: E402,F401
 # entry whose definition had drifted since round 5.
 # Round 14's window, by the same policy (newest-green histogram after
 # r13's 50/50 gate: 29 entries at r10, 48 at r11, 48 at r12, 50 at
-# r13 — tools/window_freshness.json is the machine-checked ledger;
-# `freshness.py --drift` reported n=0 — no definitions changed since
-# the r13 gate, so there are no mandatory changed-definition slots):
-#   1-29. the entire 29-entry r10-era staleness tail, verbatim the
+# r13 — tools/window_freshness.json is the machine-checked ledger):
+#   1-3. MANDATORY changed-definition slots (`freshness.py --drift`
+#      n=3): dedup_embedding_cosine / dedup_embedding_lsh /
+#      dedup_semantic_kmeans share the `_cosine_pairs_blocked` helper,
+#      whose shuffle-bin sizing gained the round-14 ADVICE fix —
+#      `spark.sql.shuffle.partitions` is parsed defensively (platforms
+#      running AQE auto-tuning set it to the string "auto"), falling
+#      back to the 16x-defaultParallelism floor. Bin count only; the
+#      scoring math is untouched, but the v2 definition hash covers
+#      reachable helpers, so all three re-prove in-window.
+#   4-32. the entire 29-entry r10-era staleness tail, verbatim the
 #      round-13 _NEXT_WINDOW order (the r13 judge independently
 #      re-proved all 29 at sf0.01 out-of-window) — after this round's
 #      gate no pre-r11 evidence remains in the registry.
-#   30-50. twenty-one r11-era re-proofs filling the slack slots,
+#   33-50. eighteen r11-era re-proofs filling the slack slots,
 #      highest-float-surface first (float and randomized outputs are
 #      where hash-compare drift risk lives): lift/MAD/EWMA/MI/PMI/
 #      PageRank/percentile/ratio/TF-IDF floats, text-quality and
 #      repetition ratios, the approx-distinct and stratified-sample
 #      hash surfaces, the simhash/levenshtein distance family, Bloom
-#      decontamination, the salted (randomized-key) pair, the
-#      above-avg float compare, and the Kelvin→Celsius float cast.
+#      decontamination, and the salted-group randomized-key count.
+#      (The three lowest-float-surface candidates — salted join,
+#      above-avg compare, Kelvin→Celsius cast — ceded their slots to
+#      the mandatory drift trio and head _NEXT_WINDOW instead.)
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -162,6 +171,9 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic_kmeans",
     "assign_contiguous_ids",
     "compaction_plan",
     "countmin_token_counts",
@@ -209,15 +221,16 @@ _DRIVER_WINDOW = [
     "dedup_levenshtein",
     "decontaminate_bloom",
     "salted_group_count",
-    "salted_join_segments",
-    "above_customer_avg",
-    "kelvin_to_celsius",
 ]
 
 # Positions 51+: definition-unchanged entries in staleness order — the
-# 27 remaining r11-era entries (alphabetical within the round cohort) —
-# so a future rotation is again a window swap.
+# 30 remaining r11-era entries (the three displaced by the mandatory
+# drift trio first, then alphabetical within the round cohort) — so a
+# future rotation is again a window swap.
 _NEXT_WINDOW: list[str] = [
+    "salted_join_segments",
+    "above_customer_avg",
+    "kelvin_to_celsius",
     "asof_join_last_purchase",
     "chunk_documents_overlap",
     "conditional_agg_priorities",

@@ -728,108 +728,17 @@ def _round_half_up_4dp(x):
     return r
 
 
-def _cosine_pairs_blocked(
-    e: DataFrame,
-    block_col: str,
-    threshold: float,
-    max_block_rows: int = _MAX_BLOCK_ROWS,
-) -> DataFrame:
-    """All within-block vector pairs with rounded cosine >= threshold,
-    via an Arrow/numpy blocked scorer — the 100 TB path for exact
-    pairwise cosine inside a blocking key.
+def _blocked_scorer(block_col: str, threshold: float, max_block_rows: int):
+    """Build the mapInPandas scorer for :func:`_cosine_pairs_blocked`.
 
-    Why not pure Spark expressions (all measured, round 12, sf1 =
-    100k vectors, 500M within-label pairs): the higher-order fold
-    (`aggregate`/`zip_with`) never enters whole-stage codegen — inside
-    a join condition it runs interpreted (`ArrayAggregate.eval` in the
-    thread dump), 84k pairs/s/core, and the embeddings file is far
-    below `maxPartitionBytes`, so the probe side was additionally ONE
-    scan split: a single task pinned 45+ minutes. Unrolling the dot to
-    64 explicit `element_at` terms made it WORSE (12k pairs/s/core —
-    the generated predicate method is big enough that the JVM refuses
-    to JIT it). The numpy scorer runs the same arithmetic vectorized
-    across a row-chunk × block pair panel (~100M pair-dims/s/core)
-    with one task per block.
-
-    Cross-engine float parity is preserved EXACTLY, not approximately:
-
-    - The dot/norm accumulate dimension-by-dimension over float64
-      (`acc += X[:, d] * Y[:, d]`), which applies the identical IEEE
-      operations in the identical left-to-right order as the Spark
-      fold `((0.0 + t1) + t2) + ...` and the DuckDB `list_sum` the
-      oracles use — bit-identical sums, no BLAS/pairwise reassociation.
-    - Zero-norm pairs are masked out, matching `try_divide` → NULL →
-      dropped on both engines (one degenerate vector must not kill
-      the job).
-    - Candidates pass a slack filter (`cos >= threshold - 1e-4`), then
-      survivors are rounded HALF-AWAY-FROM-ZERO — DuckDB `round`
-      semantics on the scaled double product — and re-filtered on the
-      rounded value. The rounding itself is vectorized
-      (`floor(|x|*1e4 + 0.5)` on the survivor panel; dense blocks can
-      have HUNDREDS OF MILLIONS of survivors, so a per-survivor Python
-      `Decimal` loop is not an option), with an exactness escape
-      hatch: the float path can disagree with `std::round(|x|*1e4)`
-      only when `|x|*1e4` lands within its own representation error
-      (~1e-8) of a `.5` boundary, so those rare candidates —
-      typically zero per corpus — are re-rounded exactly via
-      `Decimal(scaled).quantize(ROUND_HALF_UP)` on the SCALED double
-      product (the value both engines actually round; quantizing the
-      exact binary expansion of x itself diverges on values like
-      0.76625 whose scaled product lands exactly on .5). Boundary
-      pairs therefore agree with the oracle bit-for-bit at vectorized
-      speed.
-    - Non-finite cosines (NaN/Inf embedding values upstream) are
-      DROPPED, intentionally: a Spark SQL `cosine >= t` predicate
-      would KEEP NaN (Spark orders NaN above every double), so this
-      helper deviates from that filter's NaN behavior by design —
-      NaN "similarity" is garbage, not a near-duplicate. The synthetic
-      generator emits only finite values, so gated row sets are
-      identical; on a real corpus, pre-filter non-finite embedding
-      values upstream ON BOTH ENGINES before comparing to an oracle.
-    - NULL blocking keys are dropped up front, matching the inner
-      equi-join the scorer replaced (a NULL key never matches itself
-      in a join, but WOULD form its own scoring task).
-    - Rows are scored per (block, array-length) subgroup: under
-      `zip_with`, pairs of DIFFERENT lengths produce a NULL dot (and
-      drop) while equal-length pairs score normally — the subgrouping
-      reproduces both without ever crashing on ragged input.
-
-    Memory is bounded along ALL THREE axes:
-
-    - The pair panel is computed in row chunks of ``B = 8M / |block|``
-      accumulator cells; the per-dimension loop keeps the accumulator,
-      the product temporary, and then the denom/cos/cand panels alive
-      simultaneously, so the true peak is ~4 panels ≈ 256 MB of
-      float64 temporaries per task at any block size.
-    - OUTPUT is streamed, not batched per block: the scorer runs under
-      ``mapInPandas`` and yields each scoring chunk's survivors as its
-      own ≤2M-row Arrow batch (~64 MB). A grouped ``applyInPandas``
-      would serialize one batch per block — a dense block's tens of
-      millions of qualifying pairs became a 1.5 GB direct-memory
-      allocation that OOM'd a 4 GiB-heap sf1 run (round-13 measured).
-    - Block size itself is ENFORCED, not advisory: a cheap count-per-
-      key pre-pass finds blocks over ``min(max_block_rows,
-      _PAR_SHARD_ROWS)`` and triangle-shards them — each such block's
-      rows are hash-split into ``ceil(n/chunk)`` chunks and replicated
-      to every (chunk_i, chunk_j) task pair (i <= j), so each task
-      scores at most TWO chunks' worth of rows and every within-block
-      pair is produced exactly once. ``max_block_rows`` (default 1M
-      rows ≈ 512 MB of float64 at dim 64) is the memory bound;
-      ``_PAR_SHARD_ROWS`` (8k rows ≈ 67M pairs ≈ seconds of numpy per
-      task) is the PARALLELISM bound — without it, a blocking key with
-      few huge blocks (k-means with small k) collapses the quadratic
-      workload onto k tasks. The sharded-key table is tiny by
-      construction (only blocks past the chunk target enter it) and
-      broadcast. Replication factor for a sharded block is its shard
-      count — inherent to exact all-pairs, and worth it: the shuffle
-      grows as Σ n²/chunk vector rows while the scoring work grows as
-      Σ n² pair-dims.
-
-    Parallelism = number of small blocks + shard-pair fan-out
-    (~Σ (n/chunk)²/2) of the big ones."""
-    import pandas as pd
-
-    out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
+    Module-level factory (rather than closures inside the query
+    builder) so tests can drive the generator directly with a
+    hand-built partition and assert its OUTPUT BATCH BOUND: every
+    yielded frame is capped at ``_EMIT_ROWS`` rows, the invariant
+    that keeps a dense block's pair output from serializing as one
+    multi-GB Arrow batch (the round-13 OOM).
+    """
+    import pandas as pd  # noqa: F401 — annotations in nested defs
 
     def _emit(ids_a, ids_b, cos_panel, mask, block_val):
         """Round the masked candidates exactly and YIELD survivors as
@@ -971,6 +880,111 @@ def _cosine_pairs_blocked(
         for _key, g in pdf.groupby([block_col, "_sa", "_sb"], sort=False):
             yield from _score_task(g)
 
+    return score_partition
+
+
+def _cosine_pairs_blocked(
+    e: DataFrame,
+    block_col: str,
+    threshold: float,
+    max_block_rows: int = _MAX_BLOCK_ROWS,
+) -> DataFrame:
+    """All within-block vector pairs with rounded cosine >= threshold,
+    via an Arrow/numpy blocked scorer — the 100 TB path for exact
+    pairwise cosine inside a blocking key.
+
+    Why not pure Spark expressions (all measured, round 12, sf1 =
+    100k vectors, 500M within-label pairs): the higher-order fold
+    (`aggregate`/`zip_with`) never enters whole-stage codegen — inside
+    a join condition it runs interpreted (`ArrayAggregate.eval` in the
+    thread dump), 84k pairs/s/core, and the embeddings file is far
+    below `maxPartitionBytes`, so the probe side was additionally ONE
+    scan split: a single task pinned 45+ minutes. Unrolling the dot to
+    64 explicit `element_at` terms made it WORSE (12k pairs/s/core —
+    the generated predicate method is big enough that the JVM refuses
+    to JIT it). The numpy scorer runs the same arithmetic vectorized
+    across a row-chunk × block pair panel (~100M pair-dims/s/core)
+    with one task per block.
+
+    Cross-engine float parity is preserved EXACTLY, not approximately:
+
+    - The dot/norm accumulate dimension-by-dimension over float64
+      (`acc += X[:, d] * Y[:, d]`), which applies the identical IEEE
+      operations in the identical left-to-right order as the Spark
+      fold `((0.0 + t1) + t2) + ...` and the DuckDB `list_sum` the
+      oracles use — bit-identical sums, no BLAS/pairwise reassociation.
+    - Zero-norm pairs are masked out, matching `try_divide` → NULL →
+      dropped on both engines (one degenerate vector must not kill
+      the job).
+    - Candidates pass a slack filter (`cos >= threshold - 1e-4`), then
+      survivors are rounded HALF-AWAY-FROM-ZERO — DuckDB `round`
+      semantics on the scaled double product — and re-filtered on the
+      rounded value. The rounding itself is vectorized
+      (`floor(|x|*1e4 + 0.5)` on the survivor panel; dense blocks can
+      have HUNDREDS OF MILLIONS of survivors, so a per-survivor Python
+      `Decimal` loop is not an option), with an exactness escape
+      hatch: the float path can disagree with `std::round(|x|*1e4)`
+      only when `|x|*1e4` lands within its own representation error
+      (~1e-8) of a `.5` boundary, so those rare candidates —
+      typically zero per corpus — are re-rounded exactly via
+      `Decimal(scaled).quantize(ROUND_HALF_UP)` on the SCALED double
+      product (the value both engines actually round; quantizing the
+      exact binary expansion of x itself diverges on values like
+      0.76625 whose scaled product lands exactly on .5). Boundary
+      pairs therefore agree with the oracle bit-for-bit at vectorized
+      speed.
+    - Non-finite cosines (NaN/Inf embedding values upstream) are
+      DROPPED, intentionally: a Spark SQL `cosine >= t` predicate
+      would KEEP NaN (Spark orders NaN above every double), so this
+      helper deviates from that filter's NaN behavior by design —
+      NaN "similarity" is garbage, not a near-duplicate. The synthetic
+      generator emits only finite values, so gated row sets are
+      identical; on a real corpus, pre-filter non-finite embedding
+      values upstream ON BOTH ENGINES before comparing to an oracle.
+    - NULL blocking keys are dropped up front, matching the inner
+      equi-join the scorer replaced (a NULL key never matches itself
+      in a join, but WOULD form its own scoring task).
+    - Rows are scored per (block, array-length) subgroup: under
+      `zip_with`, pairs of DIFFERENT lengths produce a NULL dot (and
+      drop) while equal-length pairs score normally — the subgrouping
+      reproduces both without ever crashing on ragged input.
+
+    Memory is bounded along ALL THREE axes:
+
+    - The pair panel is computed in row chunks of ``B = 8M / |block|``
+      accumulator cells; the per-dimension loop keeps the accumulator,
+      the product temporary, and then the denom/cos/cand panels alive
+      simultaneously, so the true peak is ~4 panels ≈ 256 MB of
+      float64 temporaries per task at any block size.
+    - OUTPUT is streamed, not batched per block: the scorer runs under
+      ``mapInPandas`` and yields each scoring chunk's survivors as its
+      own ≤2M-row Arrow batch (~64 MB). A grouped ``applyInPandas``
+      would serialize one batch per block — a dense block's tens of
+      millions of qualifying pairs became a 1.5 GB direct-memory
+      allocation that OOM'd a 4 GiB-heap sf1 run (round-13 measured).
+    - Block size itself is ENFORCED, not advisory: a cheap count-per-
+      key pre-pass finds blocks over ``min(max_block_rows,
+      _PAR_SHARD_ROWS)`` and triangle-shards them — each such block's
+      rows are hash-split into ``ceil(n/chunk)`` chunks and replicated
+      to every (chunk_i, chunk_j) task pair (i <= j), so each task
+      scores at most TWO chunks' worth of rows and every within-block
+      pair is produced exactly once. ``max_block_rows`` (default 1M
+      rows ≈ 512 MB of float64 at dim 64) is the memory bound;
+      ``_PAR_SHARD_ROWS`` (8k rows ≈ 67M pairs ≈ seconds of numpy per
+      task) is the PARALLELISM bound — without it, a blocking key with
+      few huge blocks (k-means with small k) collapses the quadratic
+      workload onto k tasks. The sharded-key table is tiny by
+      construction (only blocks past the chunk target enter it) and
+      broadcast. Replication factor for a sharded block is its shard
+      count — inherent to exact all-pairs, and worth it: the shuffle
+      grows as Σ n²/chunk vector rows while the scoring work grows as
+      Σ n² pair-dims.
+
+    Parallelism = number of small blocks + shard-pair fan-out
+    (~Σ (n/chunk)²/2) of the big ones."""
+    out_schema = f"v1 bigint, v2 bigint, {block_col} bigint, cosine double"
+    score_partition = _blocked_scorer(block_col, threshold, max_block_rows)
+
     e = e.where(F.col(block_col).isNotNull()).select(
         block_col, "vec_id", "embedding"
     )
@@ -1051,10 +1065,14 @@ def _cosine_pairs_blocked(
     # faster). Empty bins cost sub-ms tasks — cheap insurance at any
     # scale.
     spark = e.sparkSession
-    nbins = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        16 * spark.sparkContext.defaultParallelism,
-    )
+    # The conf value is not always an integer: platforms running AQE
+    # auto-tuning set spark.sql.shuffle.partitions to the string
+    # "auto". Fall back to the parallelism-derived floor alone then.
+    try:
+        conf_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        conf_partitions = 0
+    nbins = max(conf_partitions, 16 * spark.sparkContext.defaultParallelism)
     routed = routed.repartition(nbins, F.col(block_col), F.col("_sa"), F.col("_sb"))
     return routed.mapInPandas(score_partition, out_schema)
 

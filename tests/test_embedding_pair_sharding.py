@@ -224,3 +224,41 @@ def test_boundary_suspects_take_the_decimal_path():
     # products and resolves them via Decimal on the SCALED value.
     x = np.array([0.76625])
     assert float(_round_half_up_4dp(x)[0]) == pytest.approx(0.7663, abs=0)
+
+
+def test_scorer_output_batches_never_exceed_emit_rows(monkeypatch):
+    # The load-bearing fix of round 13: a dense block's pair output must
+    # stream out as MANY bounded Arrow batches (each yielded frame is
+    # one batch under mapInPandas), never as one giant allocation. Drive
+    # the partition generator directly with a dense single-task block
+    # whose survivors exceed a small _EMIT_ROWS override and pin:
+    # multiple frames, every frame within the bound, and the union of
+    # frames equal to the brute-force oracle (the bound must slice the
+    # result, not change it).
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
+        extension_queries as eq,
+    )
+
+    pdf = _corpus(80)
+    expected = _expected_pairs(pdf)
+    bound = 100
+    assert len(expected) > 3 * bound, "corpus too sparse to exercise the bound"
+
+    task = pdf.copy()
+    task["label"] = task["label"].astype("int64")
+    task["_sa"] = 0
+    task["_sb"] = 0
+    task["_c"] = 0
+
+    monkeypatch.setattr(eq, "_EMIT_ROWS", bound)
+    scorer = eq._blocked_scorer("label", _THRESHOLD, max_block_rows=1_000_000)
+    frames = list(scorer(iter([task])))
+
+    assert len(frames) > 1, "dense block produced a single output batch"
+    assert max(len(f) for f in frames) <= bound
+    got = {
+        (int(r.v1), int(r.v2), float(r.cosine))
+        for f in frames
+        for r in f.itertuples()
+    }
+    assert got == expected
