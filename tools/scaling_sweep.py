@@ -91,6 +91,65 @@ SUPERLINEAR_EXPECTED = {
 }
 
 
+def _worker(sf: str, queries: list[str]) -> int:
+    """Time the given queries at one SF in THIS process and print JSON.
+
+    Each decade runs in its own subprocess (fresh JVM) because a
+    long-lived session accumulates allocator/JIT state that inflates
+    late-sweep measurements 4-5x (round 13: dedup_embedding_lsh
+    recorded 168 s at sf1 after ~2200 stages where a fresh session
+    measures 33-42 s on the identical tree). Committed sweep numbers
+    must be steady-state, so the parent forks one worker per decade.
+    """
+    import json
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    spark = get_spark(app_name=f"scaling-sweep-sf{sf}")
+    # Warm the fresh JVM once (codegen, Arrow, shuffle machinery) on the
+    # smallest SF so warm-up cost never pollutes the first timed query.
+    REGISTRY[QUERIES[0]].fn(spark, resolve_sf(str(SFS[0]))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    sf_dir = resolve_sf(sf)
+    out: dict[str, float] = {}
+    for q in queries:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[q] = best
+    print("WORKER_RESULT " + json.dumps(out))
+    return 0
+
+
+def _run_decade(sf: str, queries: list[str]) -> dict[str, float]:
+    """Fork a fresh-JVM worker for one decade and collect its timings."""
+    import json
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--worker-sf", sf, "--worker-queries",
+         ",".join(queries)],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"sweep worker for sf{sf} failed:\n{proc.stdout}\n{proc.stderr}"
+        )
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    raise RuntimeError(f"sweep worker for sf{sf} printed no result:\n{proc.stdout}")
+
+
 def main() -> int:
     import argparse
 
@@ -109,36 +168,21 @@ def main() -> int:
         help="how many of the most-expensive-at-sf0.1 queries get the "
         "extra-sf column",
     )
+    ap.add_argument("--worker-sf", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--worker-queries", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.worker_sf is not None:
+        return _worker(args.worker_sf, args.worker_queries.split(","))
     if args.extra_sf:
         # Normalize spelling ("1.0" -> "1") to the one directory name
         # the replica generator writes (gen_sf uses f"sf{sf:g}").
         args.extra_sf = f"{float(args.extra_sf):g}"
 
-    from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
-    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
-
-    spark = get_spark(app_name="scaling-sweep")
-    # Warm the session once.
-    REGISTRY[QUERIES[0]].fn(spark, resolve_sf(str(SFS[0]))).write.format(
-        "noop"
-    ).mode("overwrite").save()
-
-    def time_best2(q: str, sf_dir: str) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     for sf in SFS:
-        sf_dir = resolve_sf(str(sf))
+        decade = _run_decade(str(sf), QUERIES)
         for q in QUERIES:
-            results[q][sf] = time_best2(q, sf_dir)
+            results[q][sf] = decade[q]
 
     # One more decade for the most expensive queries: sf0.001->0.1
     # ratios can flatter a plan while fixed overhead dominates; the
@@ -170,9 +214,8 @@ def main() -> int:
             for q in SUPERLINEAR_EXPECTED
             if q in QUERIES and q not in top and q not in growers
         ]
-        sf_dir = resolve_sf(extra_sf)
-        for q in top + growers + known:
-            extra[q] = time_best2(q, sf_dir)
+        resolve_sf(extra_sf)  # materialize replica data once, untimed
+        extra = _run_decade(extra_sf, top + growers + known)
 
     step = float(extra_sf) / 0.1 if extra_sf else None
     print("# SCALING_SWEEP — measured wall time across scale factors\n")
@@ -185,7 +228,11 @@ def main() -> int:
     )
     print(
         "Best-of-2 full materialization (noop sink) per query per SF on "
-        "local[32]. `x10 ratio` = t(sf0.1)/t(sf0.01) over a 10x data "
+        "local[32]; each SF decade runs in a FRESH subprocess JVM so "
+        "numbers are steady-state, not inflated by session-tail "
+        "allocator/JIT state (round 13 measured a 4-5x late-sweep "
+        "inflation after ~2200 stages in one session). "
+        "`x10 ratio` = t(sf0.1)/t(sf0.01) over a 10x data "
         "step: << 10 means fixed overhead still dominates, ~10 is "
         "linear-in-data, > 10 is super-linear and annotated with why. "
         + extra_blurb
