@@ -81,6 +81,55 @@ def _subtree(node: PlanNode):
         yield from _subtree(c)
 
 
+# Single-child operators that never INCREASE row count: the funneled
+# row volume crossing an exchange is bounded by whatever sits below a
+# chain of these. Anything not listed (Generate/explode, Expand, any
+# join, union) can multiply rows and conservatively ends the walk.
+_ROW_BOUNDED_OPS = {
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "AQEShuffleRead",
+    "Coalesce",
+    "Window",
+    "WindowGroupLimit",
+    "ColumnarToRow",
+    "InputAdapter",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+}
+_AGG_OPS = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+
+def _funnel_input_is_preaggregate(exchange: PlanNode) -> bool:
+    """True iff every row entering ``exchange`` provably passed through
+    an aggregate with no row-multiplying operator in between.
+
+    This is the machine-checkable half of the standing "unpartitioned
+    window runs over a pre-aggregate" justification: walk DOWN from the
+    exchange through row-preserving/reducing single-child operators; if
+    an aggregate is reached first, the funneled volume is that
+    aggregate's group cardinality (spine/histogram/bucket-sized), not
+    the fact table. Hitting a scan, a join, a Generate/Expand, or any
+    unrecognized operator first means raw (or multiplied) rows funnel —
+    the strictly stronger flag. WHY the group cardinality is bounded
+    (calendar domain, value histogram, N/bucket_size) still needs the
+    per-query prose justification; this check eliminates the half that
+    used to live only in prose.
+    """
+    node = exchange
+    while len(node.children) == 1:
+        node = node.children[0]
+        base = node.name.split(" ")[0]
+        if base in _AGG_OPS:
+            return True
+        if base not in _ROW_BOUNDED_OPS:
+            return False
+    return False
+
+
 def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
     """For each single-partition exchange: ``(consumer_name, verdict)``.
 
@@ -88,14 +137,19 @@ def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
     - ``agg-final``   consumer merges partial aggregates (bounded input:
       one row per upstream partition) — fine at any scale.
     - ``limit``       consumer is a limit collect — bounded by the limit.
-    - ``window``      a Sort/Window consumes it: every row of the input
-      funnels through one task. Fine ONLY if the input frame is
-      manifest/histogram-sized — must be justified per query.
+    - ``window-preagg``  a Sort/Window consumes it AND the exchange
+      input is machine-verified to be an aggregate's output reached
+      through row-preserving operators only: the funnel carries group
+      cardinality, not fact rows. Still needs a per-query justification
+      for WHY that cardinality is bounded.
+    - ``window``      a Sort/Window consumes raw (or possibly
+      multiplied) rows: the strongest flag — every fact row funnels
+      through one task. Must be justified per query, and the CI audit
+      pins the exact set of queries allowed to carry it.
     - ``other``       anything else — must be justified per query.
     """
     nodes = parse_formatted_plan(plan)
     out: list[tuple[str, str]] = []
-    agg = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
     for n in nodes.values():
         if "Exchange" not in n.name:
             continue
@@ -105,7 +159,7 @@ def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
         pname = p.name if p else "<root>"
         if p is None:
             verdict = "other"
-        elif p.name in agg:
+        elif p.name in _AGG_OPS:
             verdict = "agg-final"
         elif "Limit" in p.name:
             verdict = "limit"
@@ -116,7 +170,11 @@ def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
                 if p.parent.parent is not None:
                     chain.add(p.parent.parent.name)
             if {"Window", "WindowGroupLimit", "Sort"} & chain:
-                verdict = "window"
+                verdict = (
+                    "window-preagg"
+                    if _funnel_input_is_preaggregate(n)
+                    else "window"
+                )
             else:
                 verdict = "other"
         out.append((pname, verdict))

@@ -58,10 +58,13 @@ def test_global_agg_single_partition_classifies_agg_final(spark):
     assert consumers and all(v == "agg-final" for _, v in consumers)
 
 
-def test_bucket_ranking_single_partition_classifies_window(spark):
+def test_bucket_ranking_single_partition_classifies_window_preagg(spark):
+    # The bucket-offset window is by design — AND its input must
+    # machine-verify as an aggregate's output (group cardinality
+    # funnels, not fact rows).
     plan = _plan(spark, "assign_contiguous_ids")
     verdicts = [v for _, v in single_partition_consumers(plan)]
-    assert "window" in verdicts  # the bucket-offset window, by design
+    assert "window-preagg" in verdicts
 
 
 def test_full_registry_plan_audit_has_no_violations(spark):
@@ -81,6 +84,20 @@ def test_full_registry_plan_audit_has_no_violations(spark):
         if f not in hits.get(n, {})
     ]
     assert not stale, f"stale ALLOW entries (no longer flagged): {stale}"
+    # Single-partition window funnels split into two grades: `window-
+    # preagg` is machine-verified (the exchange input is an aggregate's
+    # output reached through row-preserving operators — group
+    # cardinality funnels, never fact rows), while bare `window` means
+    # the lint could NOT prove it (raw or possibly-multiplied rows) and
+    # the justification lives entirely in prose. Pin the prose-only set
+    # exactly: a new member means either fix the plan or consciously
+    # extend this pin alongside its ALLOW entry.
+    raw_window = {
+        n
+        for n, flags in hits.items()
+        if "(window)" in flags.get("single_part", "")
+    }
+    assert raw_window == {"running_distinct_users"}, raw_window
 
 
 def test_no_registry_query_outputs_nonscalar_columns(spark):

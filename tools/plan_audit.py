@@ -19,7 +19,14 @@ Classification (copenhagen_traffic_and_weather_etl_pipeline_spark/plans/audit.py
                      Sort/Window consumer needs an ALLOW entry stating
                      why the input frame is bounded (manifest-,
                      histogram-, bucket- or model-sized — never fact-
-                     table-sized).
+                     table-sized). The lint machine-verifies the
+                     structural half where it can: ``window-preagg``
+                     means the exchange input provably passed through
+                     an aggregate with only row-preserving operators in
+                     between (group cardinality funnels, not fact
+                     rows); bare ``window`` means raw or possibly-
+                     multiplied rows funnel and the whole justification
+                     is prose — the CI audit pins that set exactly.
 
 Usage:
     python tools/plan_audit.py            # audit, print table, exit 1 on violations
@@ -63,7 +70,16 @@ ALLOW: dict[str, dict[str, str]] = {
     "equidepth_histogram": {"single_part": _BUCKET_WINDOW},
     "compaction_plan": {"single_part": _MANIFEST_WINDOW},
     "kaplan_meier_retention": {"single_part": _HISTOGRAM_WINDOW},
-    "running_distinct_users": {"single_part": _SPINE_WINDOW},
+    "running_distinct_users": {
+        # The one window funnel the preagg walk cannot machine-verify
+        # (tests pin it as the sole `window` grade): the spine LEFT-
+        # JOINs the per-day new-user aggregate before the exchange, and
+        # the lint cannot prove the build side's day key is unique
+        # (groupBy day => it is), so rows-entering = |days| exactly.
+        "single_part": _SPINE_WINDOW
+        + "; the day-keyed left join ahead of the exchange is row-"
+        "preserving because the build side is grouped BY the join key"
+    },
     "revenue_mom_growth": {"single_part": _SPINE_WINDOW},
     "daily_counts_gapfilled": {"single_part": _SPINE_WINDOW},
     "interpolate_hourly_values": {
@@ -158,7 +174,13 @@ def main() -> int:
             "`copenhagen_traffic_and_weather_etl_pipeline_spark/plans/audit.py`). "
             "Scalar-broadcast nested loops and partial-merge exchanges "
             "are auto-cleared; every remaining hit carries its "
-            "justification below. The audit runs in CI "
+            "justification below. Window funnels additionally carry a "
+            "machine-checked grade: `window-preagg` means the lint "
+            "PROVED the exchange input is an aggregate's output "
+            "reached through row-preserving operators only (group "
+            "cardinality funnels, never fact rows); bare `window` "
+            "means the justification is prose-only, and CI pins that "
+            "set exactly. The audit runs in CI "
             "(`tests/test_plan_audit.py`) — an unjustified hit fails.\n"
         )
         print(
