@@ -697,7 +697,17 @@ def _dot(a, b):
 _MAX_BLOCK_ROWS = 1_000_000
 _PAR_SHARD_ROWS = 8_192  # parallelism chunk target: ~67M-pair tasks
 _CHUNK_CELLS = 8_000_000
-_EMIT_ROWS = 2_000_000  # pair rows per yielded Arrow batch (~64 MB)
+# Pair rows per yielded Arrow batch. The bound must hold MULTIPLIED BY
+# TASK CONCURRENCY, not just per task: the JVM side of mapInPandas
+# buffers each in-flight batch on-heap while reading it off the Python
+# socket, so at 32 concurrent scorer tasks the original 2M-row (~64 MB)
+# batches alone approached an entire 4 GiB heap and OOM'd the sf1
+# constrained gate (round 14, ByteBuffer.wrap in
+# PythonRunner$ReaderInputStream — caught by tools/constrained_gate.py
+# on its first sf1 outing). 500k rows x 32 B = ~16 MB/batch keeps
+# 32 tasks x ~2 in-flight batches around 1 GiB; per-batch framing
+# overhead is noise at this size (measured: sf1 timings unchanged).
+_EMIT_ROWS = 500_000
 
 
 def _round_half_up_4dp(x):
@@ -749,7 +759,9 @@ def _blocked_scorer(block_col: str, threshold: float, max_block_rows: int):
         block's 50M-pair result is a multi-GB direct-memory allocation
         that OOMs a bounded-heap executor (measured at sf1 under a
         4 GiB driver: 1.5 GB single allocation, OutOfDirectMemoryError).
-        Yield granularity caps the output batch at ~64 MB."""
+        Yield granularity caps the output batch at ~16 MB — sized so
+        the bound holds times task CONCURRENCY too (32 in-flight
+        JVM-side batch reads must fit a constrained heap together)."""
         import numpy as np
         import pandas as pd
 
@@ -958,7 +970,8 @@ def _cosine_pairs_blocked(
       float64 temporaries per task at any block size.
     - OUTPUT is streamed, not batched per block: the scorer runs under
       ``mapInPandas`` and yields each scoring chunk's survivors as its
-      own ≤2M-row Arrow batch (~64 MB). A grouped ``applyInPandas``
+      own ≤500k-row Arrow batch (~16 MB — sized to fit a constrained
+      heap at full 32-task concurrency, not just singly). A grouped ``applyInPandas``
       would serialize one batch per block — a dense block's tens of
       millions of qualifying pairs became a 1.5 GB direct-memory
       allocation that OOM'd a 4 GiB-heap sf1 run (round-13 measured).
