@@ -129,19 +129,58 @@ def test_stale_ledger_diagnosis_is_self_explaining(tmp_path):
     msg = stale_ledger_diagnosis(stale, True, tmp_path)
     assert "NOT an engine regression" in msg
     assert "CORRECTNESS_r02.json" in msg
-    assert "python tools/freshness.py --baseline --helpers" in msg
+    # Round-14 verdict item #2: the failure text names the ONE
+    # turnover command (not just the manual rebuild steps).
+    assert "python tools/freshness.py --turnover" in msg
+    assert "--baseline --helpers" in msg
 
-    # Committed artifacts but skipped rebuild → plain stale message.
+    # Committed artifacts but skipped rebuild → plain stale message,
+    # still pointing at the one command.
     git("add", "-A")
     git("commit", "-qm", "round 2: verdict/advice/correctness/bench")
     msg2 = stale_ledger_diagnosis(stale, True, tmp_path)
     assert "NOT an engine regression" not in msg2
     assert "out of date" in msg2
+    assert "python tools/freshness.py --turnover" in msg2
     assert "--baseline --helpers" in msg2
 
     # v1 ledger mode → no --helpers in the rebuild command.
     msg3 = stale_ledger_diagnosis(stale, False, tmp_path)
     assert "--helpers" not in msg3
+
+
+def test_turnover_plan_decisions():
+    """The --turnover artifact-commit step: round inference from the
+    dirty set, nothing-to-do on a clean tree, and a hard refusal when
+    the round's driver subject already exists (a duplicate would be
+    silently ignored by the oldest-wins evidence-tree resolver)."""
+    import pytest
+
+    from freshness import _turnover_plan
+
+    log = "aaa1111 round 1: verdict/advice/correctness/bench\n"
+
+    # Clean tree → no commit planned.
+    assert _turnover_plan([], log, [1, 2]) == (None, None)
+
+    # Dirty CORRECTNESS names the round directly (newest wins).
+    rnd, subject = _turnover_plan(
+        ["CORRECTNESS_r02.json", "BENCH_r02.json", "VERDICT.md"], log, [1, 2]
+    )
+    assert rnd == 2
+    assert subject == "round 2: verdict/advice/correctness/bench"
+
+    # Dirty non-CORRECTNESS artifacts infer the round from disk.
+    rnd2, subject2 = _turnover_plan(["VERDICT.md", "ADVICE.md"], log, [1, 2])
+    assert (rnd2, subject2) == (2, "round 2: verdict/advice/correctness/bench")
+
+    # Duplicate driver subject → refuse, never a silent second commit.
+    with pytest.raises(SystemExit, match="already exists"):
+        _turnover_plan(["CORRECTNESS_r01.json"], log, [1])
+
+    # No round inferable at all → refuse with instructions.
+    with pytest.raises(SystemExit, match="no CORRECTNESS"):
+        _turnover_plan(["VERDICT.md"], log, [])
 
 
 def test_import_resolution_covers_all_forms(tmp_path):

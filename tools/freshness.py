@@ -34,6 +34,10 @@ Usage:
     python tools/freshness.py --dump [--repo DIR] [--helpers]
         Print one JSON object {entry: hash} for the tree at DIR
         (default: this repo).
+    python tools/freshness.py --turnover
+        One-command round-boundary fix: commit untracked driver
+        artifacts under the exact driver subject, rebuild the ledger
+        in its recorded mode, commit the rebuilt ledger.
     python tools/freshness.py --baseline [--helpers]
         Rebuild tools/window_freshness.json: for each entry, its
         newest green driver round (from CORRECTNESS_r*.json) and its
@@ -775,6 +779,124 @@ def newest_green_rounds(repo: Path) -> dict[str, int]:
     return newest
 
 
+_ARTIFACT_GLOBS = (
+    "CORRECTNESS_r*.json",
+    "BENCH_r*.json",
+    "VERDICT.md",
+    "ADVICE.md",
+)
+
+
+def _dirty_artifacts(repo: Path = REPO) -> list[str]:
+    """Round artifact files the driver dropped that git does not yet
+    track (or tracks with modifications)."""
+    r = subprocess.run(
+        ["git", "status", "--porcelain", "--", *_ARTIFACT_GLOBS],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    return [ln[3:].strip() for ln in r.stdout.splitlines() if ln.strip()]
+
+
+def _turnover_plan(
+    dirty: list[str], log_text: str, rounds_on_disk: list[int]
+) -> tuple[int | None, str | None]:
+    """(round, commit subject) for the artifact-commit step of
+    --turnover, as a pure decision so tests can exercise it without a
+    repo. Returns (None, None) when there is nothing to commit.
+    Raises SystemExit when the exact driver subject for the detected
+    round already exists in the log — committing a duplicate would
+    NOT re-pin the evidence tree (oldest wins in _parse_round_revs),
+    so the situation needs a human ROUND_REVS decision, never a silent
+    second commit."""
+    if not dirty:
+        return None, None
+    dirty_rounds = [
+        int(m.group(1))
+        for f in dirty
+        if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
+    ]
+    rnd = max(dirty_rounds) if dirty_rounds else (
+        max(rounds_on_disk) if rounds_on_disk else None
+    )
+    if rnd is None:
+        raise SystemExit(
+            f"--turnover: dirty artifacts {dirty} but no CORRECTNESS_r*.json "
+            "on disk to infer the round from — commit them manually."
+        )
+    if rnd in _parse_round_revs(log_text):
+        raise SystemExit(
+            f"--turnover: a 'round {rnd}: verdict/advice/correctness/bench' "
+            f"commit already exists, yet {dirty} are dirty. A duplicate "
+            "subject would be ignored by the evidence-tree resolver "
+            "(oldest wins) — commit these by hand and, if the evidence "
+            "tree moved, add an explicit ROUND_REVS override."
+        )
+    return rnd, f"round {rnd}: verdict/advice/correctness/bench"
+
+
+def turnover() -> int:
+    """One-command round-boundary fix (round-14 verdict item #2).
+
+    The designed round-boundary red — the driver drops
+    CORRECTNESS_r{N}.json/BENCH_r{N}.json and the checked-in freshness
+    ledger predates them — recurred as a manual three-step prescription
+    in five consecutive verdicts (r10–r14). This automates it:
+
+      1. if round artifacts are untracked/modified, commit them under
+         the EXACT driver subject ``round N: verdict/advice/
+         correctness/bench`` (the ledger rebuild resolves each round's
+         evidence tree from that subject);
+      2. rebuild tools/window_freshness.json in the ledger's recorded
+         hash mode;
+      3. if the ledger changed, commit it.
+
+    Idempotent: on a clean, current tree it reports nothing-to-do and
+    exits 0.
+    """
+    ledger = REPO / "tools" / "window_freshness.json"
+    mode = True
+    before: str | None = None
+    if ledger.exists():
+        before = ledger.read_text()
+        mode = json.loads(before).get("__meta__", {}).get("helpers", False)
+
+    def git(*args: str) -> None:
+        r = subprocess.run(
+            ["git", *args], cwd=REPO, capture_output=True, text=True
+        )
+        if r.returncode != 0:
+            raise SystemExit(
+                f"git {' '.join(args)} failed (rc={r.returncode}):\n{r.stderr}"
+            )
+
+    log = subprocess.run(
+        ["git", "log", "--format=%h %s"], cwd=REPO, capture_output=True, text=True
+    )
+    rounds_on_disk = [
+        int(m.group(1))
+        for f in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r0*(\d+)", f.name))
+    ]
+    dirty = _dirty_artifacts(REPO)
+    rnd, subject = _turnover_plan(dirty, log.stdout, rounds_on_disk)
+    if subject is not None:
+        git("add", "--", *dirty)
+        git("commit", "-m", subject)
+        print(f"[turnover] committed {len(dirty)} artifact(s): {subject!r}")
+    build_baseline(include_helpers=mode)
+    after = ledger.read_text()
+    if after != before:
+        tag = f"round {rnd}" if rnd is not None else "current"
+        git("add", "--", str(ledger))
+        git("commit", "-m", f"Rebuild freshness ledger against {tag} artifacts")
+        print("[turnover] committed rebuilt tools/window_freshness.json")
+    if subject is None and after == before:
+        print("[turnover] nothing to do: artifacts committed, ledger current")
+    return 0
+
+
 def stale_ledger_diagnosis(
     stale: dict, include_helpers: bool, repo: Path = REPO
 ) -> str:
@@ -810,17 +932,20 @@ def stale_ledger_diagnosis(
             f"engine regression. New driver artifact(s) {dirty} are "
             "not yet committed, so tools/window_freshness.json "
             "predates them (the rebuild needs the round's commit for "
-            "its per-round worktree). Fix, in order: (1) commit the "
+            "its per-round worktree). Fix with ONE command: "
+            "`python tools/freshness.py --turnover` — it commits the "
             "round's artifacts under the exact subject 'round N: "
-            f"verdict/advice/correctness/bench'; (2) run `{cmd}`; "
-            "(3) commit the rebuilt tools/window_freshness.json. "
+            "verdict/advice/correctness/bench', rebuilds the ledger "
+            f"(`{cmd}`), and commits the result. "
             f"({len(stale)} entries affected; newest green rounds "
             f"involved: {rounds})"
         )
     return (
         "window_freshness.json is out of date vs the committed "
         "CORRECTNESS_r*.json ledger (entry: baseline round vs newest "
-        f"green round): {stale} — rerun `{cmd}` and commit the result."
+        f"green round): {stale} — run "
+        f"`python tools/freshness.py --turnover` (rebuilds via `{cmd}` "
+        "and commits the result)."
     )
 
 
@@ -911,8 +1036,18 @@ def main() -> int:
         "the baseline's recorded __meta__ mode, or --helpers to preview "
         "drift under v2 before switching the ledger.",
     )
+    p.add_argument(
+        "--turnover",
+        action="store_true",
+        help="one-command round-boundary fix: commit untracked driver "
+        "artifacts under the exact driver subject, rebuild the ledger "
+        "in its recorded hash mode, commit the rebuilt ledger. "
+        "Idempotent on a clean tree.",
+    )
     p.add_argument("--repo", default=str(REPO))
     args = p.parse_args()
+    if args.turnover:
+        return turnover()
     if args.drift:
         baseline = json.loads((REPO / "tools" / "window_freshness.json").read_text())
         base_mode = baseline.get("__meta__", {}).get("helpers", False)
