@@ -110,9 +110,14 @@ def _funnel_input_is_preaggregate(exchange: PlanNode) -> bool:
     This is the machine-checkable half of the standing "unpartitioned
     window runs over a pre-aggregate" justification: walk DOWN from the
     exchange through row-preserving/reducing single-child operators; if
-    an aggregate is reached first, the funneled volume is that
-    aggregate's group cardinality (spine/histogram/bucket-sized), not
-    the fact table. Hitting a scan, a join, a Generate/Expand, or any
+    an aggregate is reached first, the funneled volume is
+    aggregate-bounded. Precisely: the first aggregate below a shuffle
+    exchange is typically the PARTIAL aggregate, whose output is
+    bounded by groups × upstream-partitions, not bare group
+    cardinality — still spine/histogram/bucket-sized times a constant
+    factor (the shuffle-partition count), never the fact table
+    (round-14 ADVICE: the claim here is "aggregate-bounded", not "one
+    row per group"). Hitting a scan, a join, a Generate/Expand, or any
     unrecognized operator first means raw (or multiplied) rows funnel —
     the strictly stronger flag. WHY the group cardinality is bounded
     (calendar domain, value histogram, N/bucket_size) still needs the
@@ -139,9 +144,10 @@ def single_partition_consumers(plan: str) -> list[tuple[str, str]]:
     - ``limit``       consumer is a limit collect — bounded by the limit.
     - ``window-preagg``  a Sort/Window consumes it AND the exchange
       input is machine-verified to be an aggregate's output reached
-      through row-preserving operators only: the funnel carries group
-      cardinality, not fact rows. Still needs a per-query justification
-      for WHY that cardinality is bounded.
+      through row-preserving operators only: the funnel carries an
+      aggregate-bounded volume (groups × upstream-partitions when the
+      first aggregate is a partial), not fact rows. Still needs a
+      per-query justification for WHY the group cardinality is bounded.
     - ``window``      a Sort/Window consumes raw (or possibly
       multiplied) rows: the strongest flag — every fact row funnels
       through one task. Must be justified per query, and the CI audit

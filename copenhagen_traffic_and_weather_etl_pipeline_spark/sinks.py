@@ -250,6 +250,7 @@ def overwrite_table_versioned(
     pointer file read adds one metadata round-trip per query — noise
     against any real scan.
     """
+    import errno
     import os
     import shutil
     import uuid
@@ -287,18 +288,24 @@ def overwrite_table_versioned(
     # relative to the snapshot write itself.
     if nxt.exists():
         for entry in [nxt, *nxt.rglob("*")]:
-            # Tolerate entries vanishing (or turning unreadable) between
-            # rglob and open — Spark's committer leaves transient
-            # .crc/_temporary droppings it may still be clearing; a
-            # gone-again temp file must not abort a refresh whose
-            # snapshot data is already written. Skip non-regular,
-            # non-directory entries (sockets/fifos can't be fsynced).
+            # Tolerate entries VANISHING between rglob and open —
+            # Spark's committer leaves transient .crc/_temporary
+            # droppings it may still be clearing; a gone-again temp
+            # file must not abort a refresh whose snapshot data is
+            # already written. Only ENOENT/ESTALE qualify: a broader
+            # OSError catch (EMFILE/EACCES/EIO) could skip fsyncing a
+            # REAL snapshot parquet and publish the pointer over
+            # unflushed data, silently voiding the data-before-pointer
+            # guarantee. Skip non-regular, non-directory entries
+            # (sockets/fifos can't be fsynced).
             try:
                 if not (entry.is_file() or entry.is_dir()):
                     continue
                 fd = os.open(entry, os.O_RDONLY)
-            except OSError:
-                continue
+            except OSError as e:
+                if e.errno in (errno.ENOENT, errno.ESTALE):
+                    continue
+                raise
             try:
                 os.fsync(fd)
             finally:

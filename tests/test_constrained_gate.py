@@ -9,13 +9,21 @@ warranted, sf1) variants by hand.
 
 Runs in a SUBPROCESS by design: the heap cap must be set before the
 JVM launches, so it cannot share the session-scoped fixture.
+
+Marked ``gate`` (round-14 ADVICE): it forks a full Spark JVM and
+oracle-compares the costliest registry queries, so targeted unit runs
+can deselect it with ``-m 'not gate'``; plain ``pytest tests/`` (CI,
+the driver) still runs everything.
 """
 
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.gate
 def test_constrained_gate_sf001():
     import sys
 

@@ -23,7 +23,8 @@ Classification (copenhagen_traffic_and_weather_etl_pipeline_spark/plans/audit.py
                      structural half where it can: ``window-preagg``
                      means the exchange input provably passed through
                      an aggregate with only row-preserving operators in
-                     between (group cardinality funnels, not fact
+                     between (aggregate-bounded volume funnels — groups
+                     x upstream-partitions for a partial — not fact
                      rows); bare ``window`` means raw or possibly-
                      multiplied rows funnel and the whole justification
                      is prose — the CI audit pins that set exactly.
@@ -71,14 +72,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "compaction_plan": {"single_part": _MANIFEST_WINDOW},
     "kaplan_meier_retention": {"single_part": _HISTOGRAM_WINDOW},
     "running_distinct_users": {
-        # The one window funnel the preagg walk cannot machine-verify
-        # (tests pin it as the sole `window` grade): the spine LEFT-
-        # JOINs the per-day new-user aggregate before the exchange, and
-        # the lint cannot prove the build side's day key is unique
-        # (groupBy day => it is), so rows-entering = |days| exactly.
+        # Machine-verified `window-preagg` since round 15: the former
+        # spine-LEFT-JOIN-aggregate shape (which the lint could not
+        # prove row-preserving) was folded into one union-fed day
+        # aggregate, so the preagg walk proves the funnel is
+        # |days|-sized.
         "single_part": _SPINE_WINDOW
-        + "; the day-keyed left join ahead of the exchange is row-"
-        "preserving because the build side is grouped BY the join key"
     },
     "revenue_mom_growth": {"single_part": _SPINE_WINDOW},
     "daily_counts_gapfilled": {"single_part": _SPINE_WINDOW},
@@ -177,8 +176,10 @@ def main() -> int:
             "justification below. Window funnels additionally carry a "
             "machine-checked grade: `window-preagg` means the lint "
             "PROVED the exchange input is an aggregate's output "
-            "reached through row-preserving operators only (group "
-            "cardinality funnels, never fact rows); bare `window` "
+            "reached through row-preserving operators only (an "
+            "aggregate-bounded volume funnels — groups x "
+            "upstream-partitions for a partial — never fact rows); "
+            "bare `window` "
             "means the justification is prose-only, and CI pins that "
             "set exactly. The audit runs in CI "
             "(`tests/test_plan_audit.py`) — an unjustified hit fails.\n"
