@@ -1029,14 +1029,29 @@ FROM days LEFT JOIN d USING (day)
     tags=["window", "analytics"],
 )
 def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day spine + per-day new-user counts in ONE day-keyed aggregate:
+    # raw event days tagged 0 union-all per-user first days tagged 1,
+    # then sum by day. Every first_day is an event day, so the group
+    # set IS the day spine and the sum is exactly coalesce(new_users,
+    # 0). The former shape (spine LEFT JOIN day-agg) was semantically
+    # identical but sat a join between the window's single-partition
+    # exchange and the aggregate, leaving it the one funnel the plan
+    # lint could not machine-verify (round-14 verdict item #4); with
+    # the union folded into the aggregate, the preagg walk proves the
+    # funnel carries |days| rows. Cost shape is unchanged: the union's
+    # event side partial-combines map-side to day cardinality before
+    # its one shuffle.
     e = load(spark, sf_dir, "events")
-    f = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
-    d = f.groupBy(F.col("first_day").alias("day")).agg(
-        F.count("*").alias("new_users")
+    ev_days = e.select(F.to_date("ts").alias("day"), F.lit(0).alias("tag"))
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("day"))
+        .select("day", F.lit(1).alias("tag"))
     )
-    days = e.select(F.to_date("ts").alias("day")).distinct()
-    j = days.join(d, "day", "left").select(
-        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    j = (
+        ev_days.unionAll(firsts)
+        .groupBy("day")
+        .agg(F.sum("tag").alias("new_users"))
     )
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return j.select(

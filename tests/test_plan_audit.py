@@ -91,13 +91,16 @@ def test_full_registry_plan_audit_has_no_violations(spark):
     # the lint could NOT prove it (raw or possibly-multiplied rows) and
     # the justification lives entirely in prose. Pin the prose-only set
     # exactly: a new member means either fix the plan or consciously
-    # extend this pin alongside its ALLOW entry.
+    # extend this pin alongside its ALLOW entry. Empty since round 15 —
+    # running_distinct_users, the last holdout, was rewritten so its
+    # day spine comes from a union-fed aggregate the preagg walk can
+    # prove (round-14 verdict item #4); all 12 funnels machine-verify.
     raw_window = {
         n
         for n, flags in hits.items()
         if "(window)" in flags.get("single_part", "")
     }
-    assert raw_window == {"running_distinct_users"}, raw_window
+    assert raw_window == set(), raw_window
 
 
 def test_no_registry_query_outputs_nonscalar_columns(spark):
