@@ -73,6 +73,24 @@ QUERIES = [
     "dedup_semantic_kmeans",
 ]
 
+# Queries whose execution forks Python workers (mapInPandas /
+# applyInPandas / Arrow batch transfer) or a Structured Streaming
+# micro-batch engine. Under the fresh-JVM-per-decade protocol their
+# small-SF absolute times include a per-JVM worker-spawn + Arrow-init
+# floor that a warm session never shows (round-14 verdict cosmetic
+# item: cosine sf0.001 read 4.1 s where a shared session measures
+# 0.57 s). The floor is measured once per decade worker and published
+# in the header; these rows carry a dagger so nobody reads their
+# sf0.001 column as a regression.
+PY_WORKER_FLOOR = {
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic_kmeans",
+    "heavy_hitters_tokens",
+    "sessionize_stream_replay",
+    "stream_join_replay",
+}
+
 # Queries whose cost is expected to grow faster than the table because
 # the DOMAIN grows (pair candidates, graph wedges): called out honestly
 # rather than hidden.
@@ -113,8 +131,23 @@ def _worker(sf: str, queries: list[str]) -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Measure this JVM's Python-worker floor once: a 1-row mapInPandas
+    # identity pays daemon spawn + Arrow init exactly like the first
+    # real Python-worker query would. Best-of-2 so the number reported
+    # is the PERSISTENT per-plan floor (worker reuse absorbs the spawn
+    # on the second run), matching what each timed query's best-of-2
+    # actually contains.
+    tiny = spark.range(1)
+    floor = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tiny.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        floor = min(floor, time.perf_counter() - t0)
+
     sf_dir = resolve_sf(sf)
-    out: dict[str, float] = {}
+    out: dict[str, float] = {"__py_floor__": floor}
     for q in queries:
         best = float("inf")
         for _ in range(2):
@@ -179,8 +212,10 @@ def main() -> int:
         args.extra_sf = f"{float(args.extra_sf):g}"
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    floors: dict[str, float] = {}
     for sf in SFS:
         decade = _run_decade(str(sf), QUERIES)
+        floors[sf] = decade.pop("__py_floor__", float("nan"))
         for q in QUERIES:
             results[q][sf] = decade[q]
 
@@ -238,6 +273,17 @@ def main() -> int:
         + extra_blurb
         + "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
     )
+    floor_txt = ", ".join(f"sf{sf}: {floors[sf]:.2f} s" for sf in SFS)
+    print(
+        "Queries marked † fork Python workers (mapInPandas/Arrow or a "
+        "streaming micro-batch engine); under the fresh-JVM protocol "
+        "each decade pays a persistent per-plan Python-worker + "
+        "Arrow-init floor a warm shared session never shows, measured "
+        f"in each decade's JVM as a 1-row mapInPandas round-trip: "
+        f"{floor_txt}. Their small-SF absolute columns sit on that "
+        "floor — read the growth ratios, not the absolutes, below "
+        "sf0.1.\n"
+    )
     extra_head = f"| sf{extra_sf} s | x{step:g} ratio " if extra_sf else ""
     print(
         f"| query | sf0.001 s | sf0.01 s | sf0.1 s | x10 ratio "
@@ -263,8 +309,9 @@ def main() -> int:
             note = SUPERLINEAR_EXPECTED.get(q, "**UNEXPECTED super-linear**")
             if q not in SUPERLINEAR_EXPECTED:
                 flagged += 1
+        mark = " †" if q in PY_WORKER_FLOOR else ""
         print(
-            f"| {q} | {r['0.001']:.2f} | {r['0.01']:.2f} | {r['0.1']:.2f} "
+            f"| {q}{mark} | {r['0.001']:.2f} | {r['0.01']:.2f} | {r['0.1']:.2f} "
             f"| {ratio:.1f} |{ecols} {note} |"
         )
     print(
