@@ -80,10 +80,19 @@ def test_baseline_rounds_match_correctness_artifacts():
     """The checked-in baseline must agree with the CORRECTNESS_r*.json
     ledger about each entry's newest green round — a stale baseline
     (e.g. not regenerated after a new round's artifacts landed) would
-    silently weaken the drift check above."""
+    silently weaken the drift check above.
+
+    Round-15 verdict item #1: when the staleness is attributable
+    SOLELY to uncommitted driver artifacts (the DESIGNED round-boundary
+    state — the ledger rebuild needs the round's commit for its
+    worktree, so it CANNOT have run yet), this is process sequencing,
+    not a regression, and the suite must not judge red for it: skip
+    with the full diagnosis (which names the one-command fix,
+    ``python tools/freshness.py --turnover``). Every other stale cause
+    — committed artifacts with a skipped rebuild — stays a hard fail."""
     import pytest
 
-    from freshness import stale_ledger_diagnosis
+    from freshness import stale_ledger_diagnosis, uncommitted_driver_artifacts
 
     newest = newest_green_rounds(REPO)
     stale = {
@@ -92,10 +101,10 @@ def test_baseline_rounds_match_correctness_artifacts():
         if n in REGISTRY and BASELINE.get(n, {}).get("round") != r
     }
     if stale:
-        # Distinguish the DESIGNED round-boundary state (new driver
-        # artifact still uncommitted → rebuild cannot have run) from a
-        # real engine/process regression (round-10 verdict item).
-        pytest.fail(stale_ledger_diagnosis(stale, HELPERS_MODE, REPO))
+        msg = stale_ledger_diagnosis(stale, HELPERS_MODE, REPO)
+        if uncommitted_driver_artifacts(REPO):
+            pytest.skip(msg)
+        pytest.fail(msg)
 
 
 def test_stale_ledger_diagnosis_is_self_explaining(tmp_path):
@@ -181,6 +190,88 @@ def test_turnover_plan_decisions():
     # No round inferable at all → refuse with instructions.
     with pytest.raises(SystemExit, match="no CORRECTNESS"):
         _turnover_plan(["VERDICT.md"], log, [])
+
+
+def test_porcelain_z_parsing_handles_renames_and_special_paths():
+    """Round-15 advice: porcelain output must be parsed NUL-delimited —
+    line slicing mangles rename entries into bogus 'old -> new' paths
+    and chokes on git-quoted special characters (which -z never
+    emits)."""
+    from freshness import _parse_porcelain_z
+
+    out = "\0".join(
+        [
+            "?? CORRECTNESS_r16.json",
+            " M BENCH_r16.json",
+            "R  VERDICT.md",  # rename: next field is the SOURCE path
+            "VERDICT_old.md",
+            "A  name with spaces.md",
+            "",
+        ]
+    )
+    assert _parse_porcelain_z(out) == [
+        "CORRECTNESS_r16.json",
+        "BENCH_r16.json",
+        "VERDICT.md",
+        "name with spaces.md",
+    ]
+
+
+def test_designed_round_boundary_detection(tmp_path):
+    """Round-15 verdict item #1: the CI gate skips (not fails) exactly
+    when uncommitted CORRECTNESS artifacts exist — the state in which
+    the ledger rebuild CANNOT have run. Committed artifacts → empty
+    detection → the stale path stays a hard fail."""
+    import subprocess
+
+    from freshness import uncommitted_driver_artifacts
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r01.json").write_text("{}")  # never a trigger
+    assert uncommitted_driver_artifacts(tmp_path) == ["CORRECTNESS_r01.json"]
+    git("add", "-A")
+    # Staged-but-uncommitted still counts: the worktree resolver needs
+    # a COMMIT for the round.
+    assert uncommitted_driver_artifacts(tmp_path) == ["CORRECTNESS_r01.json"]
+    git("commit", "-qm", "round 1: verdict/advice/correctness/bench")
+    assert uncommitted_driver_artifacts(tmp_path) == []
+
+
+def test_turnover_refuses_polluted_index(tmp_path, monkeypatch):
+    """Round-15 advice (medium): a previously-staged unrelated change
+    must never be absorbed into the round's evidence commit — turnover
+    refuses outright when the index is non-empty."""
+    import subprocess
+
+    import freshness
+    import pytest
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=tmp_path, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "engine.py").write_text("x = 1\n")
+    git("add", "-A")
+    git("commit", "-qm", "base")
+    # Stage an unrelated engine edit, then drop a round artifact.
+    (tmp_path / "engine.py").write_text("x = 2\n")
+    git("add", "engine.py")
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    monkeypatch.setattr(freshness, "REPO", tmp_path)
+    with pytest.raises(SystemExit, match="staged changes"):
+        freshness.turnover()
 
 
 def test_import_resolution_covers_all_forms(tmp_path):

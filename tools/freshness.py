@@ -787,16 +787,55 @@ _ARTIFACT_GLOBS = (
 )
 
 
+def _parse_porcelain_z(stdout: str) -> list[str]:
+    """Paths from ``git status --porcelain=v1 -z`` output.
+
+    NUL-delimited parsing instead of line slicing: quoted paths are
+    never emitted in -z mode, and rename/copy entries ("R"/"C" status)
+    carry the ORIGINAL path as a separate NUL field that must be
+    skipped — naive ``ln[3:]`` would yield the bogus "old -> new"
+    composite (round-15 advice)."""
+    fields = stdout.split("\0")
+    paths: list[str] = []
+    i = 0
+    while i < len(fields):
+        ent = fields[i]
+        i += 1
+        if len(ent) < 4:
+            continue
+        xy, path = ent[:2], ent[3:]
+        if xy[0] in "RC":
+            i += 1  # consume the rename/copy source field
+        paths.append(path)
+    return paths
+
+
 def _dirty_artifacts(repo: Path = REPO) -> list[str]:
     """Round artifact files the driver dropped that git does not yet
     track (or tracks with modifications)."""
     r = subprocess.run(
-        ["git", "status", "--porcelain", "--", *_ARTIFACT_GLOBS],
+        ["git", "status", "--porcelain=v1", "-z", "--", *_ARTIFACT_GLOBS],
         cwd=repo,
         capture_output=True,
         text=True,
     )
-    return [ln[3:].strip() for ln in r.stdout.splitlines() if ln.strip()]
+    return _parse_porcelain_z(r.stdout)
+
+
+def uncommitted_driver_artifacts(repo: Path = REPO) -> list[str]:
+    """CORRECTNESS_r*.json files present on disk but not yet committed
+    — the marker of the DESIGNED round-boundary state. When this is
+    non-empty, a stale freshness ledger is process sequencing (the
+    rebuild needs the round's commit for its worktree), never an
+    engine regression; CI treats it as a skip, not a failure
+    (round-15 verdict item #1)."""
+    r = subprocess.run(
+        ["git", "status", "--porcelain=v1", "-z", "--", "CORRECTNESS_r*.json"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    return _parse_porcelain_z(r.stdout)
 
 
 def _turnover_plan(
@@ -856,7 +895,11 @@ def turnover() -> int:
     exits 0.
     """
     ledger = REPO / "tools" / "window_freshness.json"
-    mode = True
+    # Missing-ledger bootstrap uses the same absent-__meta__ default
+    # (False/v1) as every read path in this file — a divergent default
+    # here would rebuild in a hash mode --drift/--check don't expect
+    # (round-15 advice).
+    mode = False
     before: str | None = None
     if ledger.exists():
         before = ledger.read_text()
@@ -871,6 +914,23 @@ def turnover() -> int:
                 f"git {' '.join(args)} failed (rc={r.returncode}):\n{r.stderr}"
             )
 
+    # The commits below use explicit pathspecs, so a dirty WORKING TREE
+    # elsewhere is fine — but `git commit -- <paths>` still refuses odd
+    # index states and, more importantly, the round's evidence tree
+    # must contain exactly the artifacts plus whatever was already
+    # committed, never unrelated half-staged engine edits (round-15
+    # advice: a polluted evidence tree defeats the drift detection
+    # this ledger exists for).
+    staged = subprocess.run(
+        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+    )
+    if staged.returncode != 0:
+        raise SystemExit(
+            "--turnover: the git index has staged changes unrelated to "
+            "this command. Commit or unstage them first — the round's "
+            "evidence commit must not absorb them."
+        )
+
     log = subprocess.run(
         ["git", "log", "--format=%h %s"], cwd=REPO, capture_output=True, text=True
     )
@@ -883,14 +943,23 @@ def turnover() -> int:
     rnd, subject = _turnover_plan(dirty, log.stdout, rounds_on_disk)
     if subject is not None:
         git("add", "--", *dirty)
-        git("commit", "-m", subject)
+        # Pathspec commit: only the artifact files enter the evidence
+        # tree even if something else were staged (belt to the index
+        # guard's suspenders).
+        git("commit", "-m", subject, "--", *dirty)
         print(f"[turnover] committed {len(dirty)} artifact(s): {subject!r}")
     build_baseline(include_helpers=mode)
     after = ledger.read_text()
     if after != before:
         tag = f"round {rnd}" if rnd is not None else "current"
         git("add", "--", str(ledger))
-        git("commit", "-m", f"Rebuild freshness ledger against {tag} artifacts")
+        git(
+            "commit",
+            "-m",
+            f"Rebuild freshness ledger against {tag} artifacts",
+            "--",
+            str(ledger),
+        )
         print("[turnover] committed rebuilt tools/window_freshness.json")
     if subject is None and after == before:
         print("[turnover] nothing to do: artifacts committed, ledger current")
@@ -918,13 +987,7 @@ def stale_ledger_diagnosis(
     cmd = "python tools/freshness.py --baseline" + (
         " --helpers" if include_helpers else ""
     )
-    r = subprocess.run(
-        ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
-        cwd=repo,
-        capture_output=True,
-        text=True,
-    )
-    dirty = [ln[3:].strip() for ln in r.stdout.splitlines() if ln.strip()]
+    dirty = uncommitted_driver_artifacts(repo)
     if dirty:
         rounds = sorted({rec[1] for rec in stale.values()})
         return (

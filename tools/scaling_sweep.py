@@ -251,6 +251,12 @@ def main() -> int:
         ]
         resolve_sf(extra_sf)  # materialize replica data once, untimed
         extra = _run_decade(extra_sf, top + growers + known)
+        # The extra decade's JVM measures its own Python-worker floor
+        # too — pop it like the main decades do (a stray pseudo-query
+        # key would otherwise dangle in `extra`) and report it in the
+        # floor line so dagger rows in the extra-sf column are covered
+        # (round-15 advice).
+        floors[extra_sf] = extra.pop("__py_floor__", float("nan"))
 
     step = float(extra_sf) / 0.1 if extra_sf else None
     print("# SCALING_SWEEP — measured wall time across scale factors\n")
@@ -273,7 +279,8 @@ def main() -> int:
         + extra_blurb
         + "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
     )
-    floor_txt = ", ".join(f"sf{sf}: {floors[sf]:.2f} s" for sf in SFS)
+    floor_sfs = list(SFS) + ([extra_sf] if extra_sf else [])
+    floor_txt = ", ".join(f"sf{sf}: {floors[sf]:.2f} s" for sf in floor_sfs)
     print(
         "Queries marked † fork Python workers (mapInPandas/Arrow or a "
         "streaming micro-batch engine); under the fresh-JVM protocol "
