@@ -137,28 +137,24 @@ from . import decorrelation_queries  # noqa: E402,F401
 # 171-entry union; round 6's driver gate was void-environmental (wiped
 # /root/testdata); round 7 re-proved 50 (all green) including every
 # entry whose definition had drifted since round 5.
-# Round 15's window, by the same policy (newest-green histogram after
-# r14's 50/50 gate: 30 entries at r11, 48 at r12, 47 at r13, 50 at
-# r14 — tools/window_freshness.json is the machine-checked ledger):
-#   1. MANDATORY changed-definition slot (`freshness.py --drift` after
-#      the edit): running_distinct_users was rewritten so its day
-#      spine comes from a union-fed aggregate the plan lint's preagg
-#      walk can machine-verify (round-14 verdict item #4 — it was the
-#      last prose-only window funnel). Same semantics, same oracle;
-#      the definition hash flips, so it re-proves in-window.
-#   2-31. the entire 30-entry r11-era staleness tail, verbatim the
-#      round-14 _NEXT_WINDOW order (the r14 judge independently
-#      re-proved 10 of the 30 at sf0.01 out-of-window) — after this
-#      round's gate no pre-r12 evidence remains in the registry.
-#   32-50. nineteen r12-era re-proofs filling the slack slots,
+# Round 16's window, by the same policy (newest-green histogram after
+# r15's 50/50 gate: 29 entries at r12, 46 at r13, 50 at r14, 50 at
+# r15 — tools/window_freshness.json is the machine-checked ledger):
+#   no changed-definition slot this round (`freshness.py --drift`
+#   after the r15 ledger rebuild: n=0 — round 16 is hardening-only,
+#   registry definitions untouched).
+#   1-29. the entire 29-entry r12-era staleness tail, verbatim the
+#      round-15 _NEXT_WINDOW order — after this round's gate no
+#      pre-r13 evidence remains in the registry.
+#   30-50. twenty-one r13-era re-proofs filling the slack slots,
 #      highest-float-surface first (float and randomized outputs are
-#      where hash-compare drift risk lives): quantile/percentile/
-#      histogram/equidepth distributions, Benford and Kaplan-Meier
-#      ratios, cohort retention, perplexity, record-linkage and
-#      dedup-method-eval scores, embedding norms, weighted sampling,
-#      skew/moment profiles, mixture weights, time-weighted averages,
-#      DOULION's randomized triangle estimate, window distribution
-#      functions, and the PPJoin similarity threshold.
+#      where hash-compare drift risk lives): the four ANN paths and
+#      their recall eval, BM25 scores, correlation/regression/moment
+#      statistics, centroid-outlier distances, k-means, KMV
+#      intersection estimates, hourly interpolation, MoM growth
+#      ratios, entropy, moving averages, winsorized values, z-scores,
+#      then the three deterministic-hash partitioners (sampling,
+#      sharding, splits) whose output hangs on exact hash arithmetic.
 # Freshness is enforced in CI: tests/test_window_freshness.py
 # recomputes each entry's definition hash (v2: entry fn + reachable
 # module-level helpers, per the ledger's recorded __meta__ mode)
@@ -167,62 +163,6 @@ from . import decorrelation_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    "running_distinct_users",
-    "salted_join_segments",
-    "above_customer_avg",
-    "kelvin_to_celsius",
-    "asof_join_last_purchase",
-    "chunk_documents_overlap",
-    "conditional_agg_priorities",
-    "curriculum_buckets",
-    "daily_counts_gapfilled",
-    "date_roundtrip",
-    "grouping_sets_revenue",
-    "hourly_tumbling",
-    "mm_binary_dedup",
-    "mm_binary_meta",
-    "mm_byte_features",
-    "mm_frame_sample",
-    "mm_image_decode",
-    "mm_magic_sniff",
-    "profile_customer",
-    "range_join_value_bands",
-    "regexp_extract_types",
-    "sessionize_stream_replay",
-    "sliding_window_counts",
-    "small_qty_revenue_q17",
-    "stream_join_replay",
-    "text_fingerprint",
-    "text_normalize",
-    "time_rollup_multigrain",
-    "top_supplier_share_q20",
-    "variant_open_schema_agg",
-    "window_time_range_sum",
-    "approx_quantile_value",
-    "benford_price_digits",
-    "cohort_retention",
-    "dedup_method_eval",
-    "dedup_prefix_filter_jaccard",
-    "embedding_norm_stats",
-    "equidepth_histogram",
-    "funnel_latency_percentiles",
-    "histogram_prices",
-    "kaplan_meier_retention",
-    "ngram_lm_perplexity",
-    "percentile_by_priority",
-    "record_linkage_score",
-    "sample_weighted_docs",
-    "skew_profile",
-    "source_mixture_weights",
-    "time_weighted_avg_value",
-    "triangle_count_doulion",
-    "window_distribution_funcs",
-]
-
-# Positions 51+: definition-unchanged entries in staleness order — the
-# 29 remaining r12-era entries (alphabetical within the round cohort)
-# — so a future rotation is again a window swap.
-_NEXT_WINDOW: list[str] = [
     "anti_join_customers",
     "array_first_last",
     "attribution_first_touch",
@@ -252,6 +192,58 @@ _NEXT_WINDOW: list[str] = [
     "unpivot_lineitem_metrics",
     "window_lead_lag",
     "window_rank_suite",
+    "ann_recall_eval",
+    "bm25_retrieval",
+    "corr_value_props",
+    "embedding_centroid_outliers",
+    "interpolate_hourly_values",
+    "ivf_ann_search",
+    "kmeans_clusters",
+    "kmv_set_intersection",
+    "pq_ann_adc",
+    "revenue_mom_growth",
+    "sim_topk_bruteforce",
+    "sim_topk_vectorized",
+    "stats_moments_orders",
+    "text_entropy",
+    "trend_regression_events",
+    "window_moving_avg",
+    "winsorize_values",
+    "zscore_by_user",
+    "hash_sample_orders",
+    "shuffle_shards_deterministic",
+    "split_train_val_test",
+]
+
+# Positions 51+: definition-unchanged entries in staleness order — the
+# 25 remaining r13-era entries (alphabetical within the round cohort)
+# — so a future rotation is again a window swap.
+_NEXT_WINDOW: list[str] = [
+    "array_agg_orderkeys",
+    "bpe_pair_merges",
+    "chain_components_recursive",
+    "dq_expectations",
+    "exists_over_balance",
+    "funnel_view_click_purchase",
+    "gaps_islands_activity",
+    "hashed_feature_buckets",
+    "map_agg_event_counts",
+    "mode_return_priority",
+    "multi_distinct_aggs",
+    "null_safe_join_brands",
+    "pricing_summary",
+    "rolling_7d_active_users",
+    "scd2_intervals",
+    "set_except_all_keys",
+    "set_intersect_all_keys",
+    "skyline_orders",
+    "snapshot_diff_cdf",
+    "text_token_encode",
+    "topn_orders_per_customer",
+    "web_blocklist_filter",
+    "web_domain_caps",
+    "web_url_canonicalize",
+    "window_first_last",
 ]
 
 
