@@ -23,6 +23,13 @@ contention window. Per-query value = MIN across reps
 BENCH_BASELINE.json); median/IQR/rep-count are published per query
 under "query_stats". Session startup is excluded.
 
+Contention self-adjudication (round-15 verdict item #3): each set
+(headline, extended) gets its own /proc/stat steal window; a window
+above 0.1% steal triggers ONE extra interleaved retry pass, and the
+artifact carries "steal_windows" plus a top-level "contended" flag
+(true only when every window for some set exceeded the threshold) so a
+reader never mistakes hypervisor steal for a code regression.
+
 Usage: python bench.py [query ...]
 """
 
@@ -137,7 +144,7 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def time_set(qnames: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
+    def run_set(qnames: list[str]) -> dict[str, list[float]]:
         # Best-of-2 with the two attempts separated by a FULL pass over
         # the set, not back-to-back: ambient host contention on this VM
         # varies on a minutes timescale (uniform 1.4-1.9x inflation of
@@ -170,6 +177,11 @@ def main() -> int:
             for name in qnames:
                 if extra[name] > _pass:
                     runs[name].append(time_one(name))
+        return runs
+
+    def summarize(
+        runs: dict[str, list[float]]
+    ) -> tuple[dict[str, float], dict[str, dict]]:
         # Headline per-query stat stays MIN (ambient contention only
         # ever ADDS time on this shared host, so min is the estimator
         # closest to the query's true cost, and it keeps round-over-
@@ -189,19 +201,65 @@ def main() -> int:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:]]
 
+    def steal_between(t0: list[int], t1: list[int]) -> float | None:
+        deltas = [b - a for a, b in zip(t0, t1)]
+        if len(deltas) <= 7:
+            return None
+        return round(100.0 * deltas[7] / max(1, sum(deltas)), 2)
+
+    # Round-15 verdict item #3: a contended run must be visible IN the
+    # artifact. r15's extended totals (19.95 s at steal 0.26%) read as
+    # a 22% regression until the judge re-ran them clean (17.32 s at
+    # 0.02%) — per-set steal windows plus this threshold make the
+    # artifact self-adjudicating. 0.1% is far above the 0.01-0.02%
+    # observed on quiet windows and far below the 0.26% of the
+    # contaminated r15 run.
+    STEAL_THRESHOLD_PCT = 0.1
+
+    def measured_set(
+        qnames: list[str],
+    ) -> tuple[dict[str, list[float]], list[float | None], bool]:
+        """Time a query set with its own steal window; if that window
+        was contended, grant ONE extra interleaved pass (per-query MIN
+        is monotone-improving, so the retry can only sharpen the
+        published numbers) and flag ``contended`` only if every
+        measurement window exceeded the threshold."""
+        if not qnames:
+            return {}, [], False
+        t0 = cpu_ticks()
+        runs = run_set(qnames)
+        windows: list[float | None] = [steal_between(t0, cpu_ticks())]
+        if windows[0] is not None and windows[0] > STEAL_THRESHOLD_PCT:
+            print(
+                f"[bench] steal {windows[0]:.2f}% > "
+                f"{STEAL_THRESHOLD_PCT}% during set — one clean-window "
+                "retry pass",
+                file=sys.stderr,
+            )
+            t0 = cpu_ticks()
+            for name in qnames:
+                runs[name].append(time_one(name))
+            windows.append(steal_between(t0, cpu_ticks()))
+        contended = all(
+            w is not None and w > STEAL_THRESHOLD_PCT for w in windows
+        )
+        return runs, windows, contended
+
     ticks0 = cpu_ticks()
-    timings, stats = time_set(names)
-    total = round(sum(timings.values()), 3)
-    ext_timings, ext_stats = time_set(extended)
+    head_runs, head_windows, head_contended = measured_set(names)
+    ext_runs, ext_windows, ext_contended = measured_set(extended)
     ticks1 = cpu_ticks()
+    timings, stats = summarize(head_runs)
+    total = round(sum(timings.values()), 3)
+    ext_timings, ext_stats = summarize(ext_runs)
+    contended = head_contended or ext_contended
     # Ambient-interference telemetry: on this shared-host VM the
     # hypervisor steals cycles under sustained full-width load
     # (measured 8%+ steal while all 32 vCPUs burn), which moved
     # same-code headline totals between 10.7 s and 15.5 s in round 6.
     # Publishing the run's own steal share makes each BENCH artifact
     # self-describing about how contended its numbers are.
-    deltas = [b - a for a, b in zip(ticks0, ticks1)]
-    steal_pct = round(100.0 * deltas[7] / max(1, sum(deltas)), 2) if len(deltas) > 7 else None
+    steal_pct = steal_between(ticks0, ticks1)
 
     # Round-over-round regression guard: compare against the checked-in
     # BENCH_BASELINE.json (round 2's numbers) and surface any query that
@@ -246,6 +304,11 @@ def main() -> int:
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf_val,
                 "steal_pct": steal_pct,
+                "steal_windows": {
+                    "headline": head_windows,
+                    "extended": ext_windows,
+                },
+                "contended": contended,
                 "data_root": sf_dir,
                 "data_source": data_source,
             }
@@ -269,6 +332,7 @@ def main() -> int:
                 "sf": sf_val,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "steal_pct": steal_pct,
+                "contended": contended,
                 "worst_query": worst_query,
                 "worst_ratio": worst_ratio,
                 "trailer": True,
