@@ -180,6 +180,64 @@ def test_migration_guard_refuses_plain_table_root(tmp_path):
     assert (path / "part-00000.parquet").read_text() == "plain table data"
 
 
+def test_crash_window_between_data_fsync_and_pointer_publish(tmp_path, monkeypatch):
+    """Round-15 verdict item #5: the narrowest crash window — the
+    snapshot's data blocks are fully written AND fsynced, but the
+    pointer publish (tmp write → replace) has not begun. The protocol's
+    guarantee there: the previous version is still served verbatim, the
+    orphaned (complete, durable, unpointed) version dir is invisible to
+    readers, and the next successful refresh garbage-collects it.
+
+    Injection point: ``uuid.uuid4()`` is the first call after the
+    step-1 fsync loop and before a single pointer byte exists
+    (sinks.py: ``tmp = root / f"..{uuid.uuid4().hex[:8]}"``), so
+    raising there lands exactly inside the window."""
+    import uuid as uuid_mod
+
+    path = str(tmp_path / "table")
+    sinks.overwrite_table_versioned(_FakeDF("gen-0"), path)
+    assert _read_published(path) == "gen-0"
+
+    fsynced: list[str] = []
+    real_fsync = os.fsync
+
+    def tracking_fsync(fd):
+        fsynced.append(os.readlink(f"/proc/self/fd/{fd}"))
+        return real_fsync(fd)
+
+    def crash_before_pointer(*a, **kw):
+        raise RuntimeError("simulated crash after data fsync, before pointer")
+
+    monkeypatch.setattr(os, "fsync", tracking_fsync)
+    monkeypatch.setattr(uuid_mod, "uuid4", crash_before_pointer)
+    with pytest.raises(RuntimeError, match="before pointer"):
+        sinks.overwrite_table_versioned(_FakeDF("gen-1"), path)
+    monkeypatch.undo()
+
+    root = Path(path)
+    # The window is real: the orphan's data reached disk durably (its
+    # parquet file and the dir itself were both fsynced) ...
+    orphan = root / "v_1"
+    assert orphan.is_dir() and (orphan / "_COMPLETE").exists()
+    assert any(p.endswith("v_1/part-00000.parquet") for p in fsynced)
+    assert any(p.endswith("/v_1") for p in fsynced)
+    # ... yet not one pointer byte exists for it: no tmp file, and the
+    # durable pointer still names (and serves) the previous version.
+    assert list(root.glob(f"{sinks._CURRENT_POINTER}.tmp.*")) == []
+    pointer_lines = (root / sinks._CURRENT_POINTER).read_text().splitlines()
+    assert pointer_lines[0] == "v_0" and "v_1" not in pointer_lines
+    assert _read_published(path) == "gen-0"
+
+    # The orphan is GC-able: the next successful refresh sweeps it (it
+    # is not on the publish history) and versions past it.
+    sinks.overwrite_table_versioned(_FakeDF("gen-2"), path)
+    assert _read_published(path) == "gen-2"
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert "v_1" not in dirs
+    history = (root / sinks._CURRENT_POINTER).read_text().splitlines()
+    assert history[0] == "v_2" and "v_1" not in history
+
+
 # ---------------------------------------------------------------------------
 # Plain-directory compaction swap: the docstring claims NO DATA LOSS at
 # any crash point (the table is either the old or the new content after
