@@ -89,12 +89,19 @@ def fetch_endpoints(
     api_keys: dict[str, str] | None = None,
     tries: int = 3,
     delay: float = 0.0,
+    templates: dict[str, str] | None = None,
 ) -> DataFrame:
     """S1: the distributed fetch stage.
 
     ``mapInPandas`` streams Arrow batches of endpoint rows through a
     Python worker per task; each row yields exactly one result row
     (payload or error) so downstream flattening is a narrow dependency.
+
+    ``templates`` overrides the per-data_type URL templates (same
+    ``{lat}/{lon}/{api_key}`` placeholders) — production uses the
+    reference's real endpoints (the default), while an integration
+    smoke or a mirror/proxy deployment points the identical stage at a
+    different host.
     """
     if api_keys is None:
         from ..config import api_keys as resolve_keys
@@ -102,7 +109,8 @@ def fetch_endpoints(
         # S4: env-var/spark.conf secret source with test-safe defaults.
         api_keys = resolve_keys(endpoints_df.sparkSession)
     keys = api_keys
-    templates = {"traffic": TRAFFIC_URL, "weather": WEATHER_URL}
+    if templates is None:
+        templates = {"traffic": TRAFFIC_URL, "weather": WEATHER_URL}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,6 +137,29 @@ def fetch_endpoints(
             yield pd.DataFrame(out)
 
     return endpoints_df.mapInPandas(run, FETCH_RESULT_SCHEMA)
+
+
+def requests_fetcher(timeout: float = 10.0) -> Fetcher:
+    """The production HTTP client: a ``requests``-backed fetcher with a
+    per-call timeout, matching the reference's ``requests.get`` call
+    (deployment_function.py:78-81 — it reads ``response.status_code``
+    and ``response.content``). Import is deferred so environments
+    without ``requests`` can still use every fixture-backed path; the
+    session is created lazily INSIDE the worker process (a
+    ``requests.Session`` holds sockets that must not be pickled into
+    the mapInPandas closure) and reused across calls for connection
+    pooling."""
+    state: dict[str, Any] = {}
+
+    def fetch(url: str) -> tuple[int, str]:
+        if "session" not in state:
+            import requests
+
+            state["session"] = requests.Session()
+        resp = state["session"].get(url, timeout=timeout)
+        return resp.status_code, resp.text
+
+    return fetch
 
 
 def fixture_fetcher(responses: dict[str, tuple[int, dict | str]]) -> Fetcher:
