@@ -140,13 +140,18 @@ from . import decorrelation_queries  # noqa: E402,F401
 # Round 16's window, by the same policy (newest-green histogram after
 # r15's 50/50 gate: 29 entries at r12, 46 at r13, 50 at r14, 50 at
 # r15 — tools/window_freshness.json is the machine-checked ledger):
-#   no changed-definition slot this round (`freshness.py --drift`
-#   after the r15 ledger rebuild: n=0 — round 16 is hardening-only,
-#   registry definitions untouched).
+#   changed-definition slots (round 16 is the OPTIMIZATION round; each
+#   restructured query re-proves first): triangle_count_coorder,
+#   triangle_count_doulion (shared close-phase rewrite),
+#   equidepth_histogram, bpe_pair_merges — taking the four tail slots
+#   previously held by the three deterministic-hash partitioners and
+#   winsorize_values, which move to _NEXT_WINDOW (their definitions
+#   are unchanged; hash arithmetic is engine-independent, the lowest
+#   re-proof urgency in the float-first ordering).
 #   1-29. the entire 29-entry r12-era staleness tail, verbatim the
 #      round-15 _NEXT_WINDOW order — after this round's gate no
 #      pre-r13 evidence remains in the registry.
-#   30-50. twenty-one r13-era re-proofs filling the slack slots,
+#   30-50. r13-era re-proofs filling the slack slots,
 #      highest-float-surface first (float and randomized outputs are
 #      where hash-compare drift risk lives): the four ANN paths and
 #      their recall eval, BM25 scores, correlation/regression/moment
@@ -208,11 +213,11 @@ _DRIVER_WINDOW = [
     "text_entropy",
     "trend_regression_events",
     "window_moving_avg",
-    "winsorize_values",
     "zscore_by_user",
-    "hash_sample_orders",
-    "shuffle_shards_deterministic",
-    "split_train_val_test",
+    "triangle_count_coorder",
+    "triangle_count_doulion",
+    "equidepth_histogram",
+    "bpe_pair_merges",
 ]
 
 # Positions 51+: definition-unchanged entries in staleness order — the
@@ -220,12 +225,12 @@ _DRIVER_WINDOW = [
 # — so a future rotation is again a window swap.
 _NEXT_WINDOW: list[str] = [
     "array_agg_orderkeys",
-    "bpe_pair_merges",
     "chain_components_recursive",
     "dq_expectations",
     "exists_over_balance",
     "funnel_view_click_purchase",
     "gaps_islands_activity",
+    "hash_sample_orders",
     "hashed_feature_buckets",
     "map_agg_event_counts",
     "mode_return_priority",
@@ -236,14 +241,17 @@ _NEXT_WINDOW: list[str] = [
     "scd2_intervals",
     "set_except_all_keys",
     "set_intersect_all_keys",
+    "shuffle_shards_deterministic",
     "skyline_orders",
     "snapshot_diff_cdf",
+    "split_train_val_test",
     "text_token_encode",
     "topn_orders_per_customer",
     "web_blocklist_filter",
     "web_domain_caps",
     "web_url_canonicalize",
     "window_first_last",
+    "winsorize_values",
 ]
 
 

@@ -809,7 +809,21 @@ def _edge_degrees(e: DataFrame) -> DataFrame:
 def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
     """Exact triangle count of the undirected edge set ``e`` (1 row):
     degree-ordered orientation + per-edge |N+(u) ∩ N+(v)| over sorted
-    adjacency arrays (see triangle_count_coorder's header comment)."""
+    adjacency arrays (see triangle_count_coorder's header comment).
+
+    Round-16 restructure (guide §2.4 "remove shuffles outright"): the
+    directed edge list is no longer kept as a separate join probe.
+    The orientation runs ONCE, its groupBy(src) adjacency aggregate is
+    materialized once (localCheckpoint — |V| rows, payload = |E| ids),
+    and the per-edge stream is re-derived by EXPLODING the adjacency
+    arrays map-side (explode(nbrs) yields exactly the directed edges),
+    carrying nbrs_u along for free. Only ONE join remains — dst
+    against the broadcast adjacency. The previous shape joined
+    `directed` against adj twice (src then dst), which at runtime
+    recomputed the orientation subtree three times and the adjacency
+    aggregation twice (both sat under non-reusable BroadcastExchanges)
+    — measured at sf0.1: close phase 2.52 s -> 1.86 s on a
+    pre-materialized edge set, identical n_triangles."""
     # Orient each edge from the lower (degree, id) endpoint to the
     # higher. deg is |V|-sized (two bigints per node) and the hint is
     # deliberate: the edge set behind it is a checkpointed RDD with no
@@ -817,9 +831,13 @@ def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
     # runtime conversion arrives too late to skip the big side's
     # shuffle (measured +1 s at sf0.1). The |V|-fits-memory assumption
     # is the same one every vertex-lookup graph system makes (GraphX
-    # routing tables); when |V| itself outgrows executor memory, drop
-    # the two hints — the SAME plan degrades to keyed shuffle joins on
-    # u/v with no other change.
+    # routing tables); the adjacency broadcast below additionally
+    # assumes the ORIENTED adjacency (payload = |E| ids, the same
+    # bytes the old plan auto-broadcast twice) fits; when either
+    # outgrows executor memory, drop the hints — the SAME plan
+    # degrades to keyed shuffle joins with no other change.
+    from ..plans import materialize_once
+
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -832,23 +850,30 @@ def _triangle_close_count(e: DataFrame, deg: DataFrame) -> DataFrame:
     )
     # Out-adjacency arrays (|V| rows, total payload = |E| ids, each
     # array O(sqrt(m)) by the orientation bound). Each triangle closes
-    # exactly once at its apex edge: w in N+(u) ∩ N+(v).
-    adj = directed.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
-    adj_u = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u"))
-    adj_v = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v"))
-    per_edge = (
-        directed.join(adj_u, directed["src"] == adj_u["u_key"])
-        .join(adj_v, directed["dst"] == adj_v["v_key"], "left")
-        .select(
-            F.size(
-                F.array_intersect(
-                    F.col("nbrs_u"),
-                    F.coalesce(F.col("nbrs_v"), F.array().cast("array<bigint>")),
-                )
-            ).alias("n_closed")
+    # exactly once at its apex edge: w in N+(u) ∩ N+(v). Materialized
+    # once: it feeds both the exploded per-edge probe and the dst-side
+    # broadcast, whose plans diverge at the frame itself (one is a
+    # Generate consumer, one a BroadcastExchange), so ReusedExchange
+    # cannot serve them from one shuffle.
+    adj = materialize_once(
+        directed.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
         )
+    )
+    # explode(nbrs) re-yields the directed edge stream map-side with
+    # N+(u) already attached — no src-keyed join, no second shuffle of
+    # the edge list.
+    wedge = adj.select(
+        F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("dst")
+    )
+    adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    per_edge = wedge.join(F.broadcast(adj_v), "dst", "left").select(
+        F.size(
+            F.array_intersect(
+                F.col("nbrs_u"),
+                F.coalesce(F.col("nbrs_v"), F.array().cast("array<bigint>")),
+            )
+        ).alias("n_closed")
     )
     # coalesce: sum over an empty edge set is NULL, but the oracle's
     # count(*) (and the pre-array formulation) returns 0.

@@ -562,36 +562,46 @@ FROM ranked GROUP BY 1
     tags=["histogram", "equi-depth", "scale-pattern"],
 )
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-16 restructure (guide §2.4/§6): ONE scan and ONE fact-side
+    # exchange. The previous shape scanned lineitem three times (window
+    # input, band counts, total) with two extra partial-agg shuffles;
+    # here an explicit repartition("band") is the single shared
+    # exchange — the ranking window consumes it sorted, the band-count
+    # aggregate consumes it directly (ReusedExchange, no partial/final
+    # split needed since rows are already band-partitioned), and the
+    # global total rides the same tiny offsets window as an
+    # unbounded-frame sum (the two frames share one Window operator),
+    # replacing the separate count(*) scan + crossJoin. Measured at
+    # sf0.1: neutral wall-clock (min 1.59 s -> 1.60 s under ~2% steal;
+    # plan 7 -> 5 Exchanges, lineitem scans 3 -> 1) — adopted for the
+    # scan-count reduction, which is the dominant term at 100 TB where
+    # each extra fact scan is a full pass over the table.
     li = load(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
         "l_orderkey",
         "l_linenumber",
     ).withColumn("band", F.expr("price_c div 1000000"))
-    local = li.withColumn(
+    ex = li.repartition("band")
+    local = ex.withColumn(
         "local_rank",
         F.row_number().over(
             Window.partitionBy("band").orderBy("price_c", "l_orderkey", "l_linenumber")
         ),
     )
-    band_counts = li.groupBy("band").agg(F.count("*").alias("bn"))
+    band_counts = ex.groupBy("band").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = band_counts.select(
         "band",
-        F.coalesce(
-            F.sum("bn").over(
-                Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("offset"),
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("bn").over(w_tot).alias("n"),
     )
-    total = li.agg(F.count("*").alias("n"))
-    ranked = (
-        local.join(F.broadcast(offsets), "band")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "price_c",
-            (F.col("offset") + F.col("local_rank")).alias("rk"),
-            "n",
-        )
+    ranked = local.join(F.broadcast(offsets), "band").select(
+        "price_c",
+        (F.col("offset") + F.col("local_rank")).alias("rk"),
+        "n",
     )
     return (
         ranked.select(F.expr("(rk - 1) * 10 div n").alias("decile"), "price_c")

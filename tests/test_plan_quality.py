@@ -428,8 +428,37 @@ def test_triangle_count_is_all_equi_hash_joins(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     # the scalar 1-row assemblies at the end are the only nested-loop
-    # joins allowed; the closing joins must be hash equi-joins
-    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or tree.count("BroadcastHashJoin") >= 2
+    # joins allowed; the closing join must be a hash equi-join. Since
+    # round 16 the per-edge probe is the EXPLODED adjacency (Generate
+    # over the materialized adjacency RDD) joined once against the
+    # broadcast adjacency on dst — one hash join, no re-shuffle of the
+    # directed edge list (the orientation's own broadcast joins sit
+    # below the adjacency checkpoint, gated separately below).
+    assert (
+        "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+        or tree.count("BroadcastHashJoin") >= 1
+    )
+    assert "Generate" in tree, "per-edge probe must be the exploded adjacency"
+    # the orientation (pre-checkpoint adjacency plan) must keep its two
+    # degree-broadcast hash equi-joins — a cartesian or SMJ here would
+    # re-shuffle the edge set
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import (
+        analytics_queries as _aq,
+    )
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.plans import (
+        materialize_once as _mo,
+    )
+    import copenhagen_traffic_and_weather_etl_pipeline_spark.plans as _plans
+    import pyspark.sql.functions as _F
+
+    e = _aq._materialized_edges(_aq._coorder_edges(spark, SF_DIR))
+    deg = _aq._edge_degrees(e)
+    du = deg.select(_F.col("node").alias("u"), _F.col("d").alias("du"))
+    dv = deg.select(_F.col("node").alias("v"), _F.col("d").alias("dv"))
+    orient_plan = explain_df(spark, e.join(_F.broadcast(du), "u").join(_F.broadcast(dv), "v"))
+    assert orient_plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in orient_plan
     # Pair generation (what the checkpoint materializes): per-order
     # posting lists — ONE groupBy(orderkey) aggregation plus a map-side
     # explode — never a lineitem self-join (which shuffles the stream
