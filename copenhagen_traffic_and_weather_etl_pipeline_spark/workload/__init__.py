@@ -143,11 +143,12 @@ from . import decorrelation_queries  # noqa: E402,F401
 #   changed-definition slots (round 16 is the OPTIMIZATION round; each
 #   restructured query re-proves first): triangle_count_coorder,
 #   triangle_count_doulion (shared close-phase rewrite),
-#   equidepth_histogram, bpe_pair_merges — taking the four tail slots
-#   previously held by the three deterministic-hash partitioners and
-#   winsorize_values, which move to _NEXT_WINDOW (their definitions
-#   are unchanged; hash arithmetic is engine-independent, the lowest
-#   re-proof urgency in the float-first ordering).
+#   equidepth_histogram, bpe_pair_merges, heavy_hitters_tokens —
+#   taking the five tail slots previously held by the three
+#   deterministic-hash partitioners, winsorize_values and
+#   zscore_by_user, which move to _NEXT_WINDOW (their definitions are
+#   unchanged; the partitioners' hash arithmetic is engine-independent
+#   — the lowest re-proof urgency in the float-first ordering).
 #   1-29. the entire 29-entry r12-era staleness tail, verbatim the
 #      round-15 _NEXT_WINDOW order — after this round's gate no
 #      pre-r13 evidence remains in the registry.
@@ -213,7 +214,7 @@ _DRIVER_WINDOW = [
     "text_entropy",
     "trend_regression_events",
     "window_moving_avg",
-    "zscore_by_user",
+    "heavy_hitters_tokens",
     "triangle_count_coorder",
     "triangle_count_doulion",
     "equidepth_histogram",
@@ -252,6 +253,7 @@ _NEXT_WINDOW: list[str] = [
     "web_url_canonicalize",
     "window_first_last",
     "winsorize_values",
+    "zscore_by_user",
 ]
 
 
