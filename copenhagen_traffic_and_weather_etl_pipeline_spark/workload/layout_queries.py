@@ -332,20 +332,33 @@ FROM m, ex
     tags=["sketch", "kmv", "approx"],
 )
 def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import materialize_once
+
     ev = load(spark, sf_dir, "events")
     h = F.md5(F.col("user_id").cast("string")).alias("h")
 
-    def sketch(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .select("user_id")
-            .distinct()
-            .select(h)
-            .orderBy("h")
-            .limit(_KMV_K)
-        )
+    # Round 16: the two distinct-user sets and the two k-row sketches
+    # are each referenced by 3+ consumers (sketch build, union-top-k,
+    # both semi-joins, exact intersection/union). ReusedExchange serves
+    # the distinct's shuffle, but every consumer re-ran the final
+    # distinct aggregate + md5 + TakeOrdered tail above it —
+    # materializing the four frames (two |distinct users|-sized, two
+    # k=128-row) computes each tail once. Paired interleaved A/B at
+    # sf0.1: wins 13/14 contention-matched pairs, min 1.33 s -> 0.94 s.
+    # At 100 TB the user-set checkpoints are |distinct users|-bounded —
+    # the same rows the distinct exchange already persists to shuffle
+    # disk — and the sketches are model-sized.
+    vu = materialize_once(
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    )
+    pu = materialize_once(
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
 
-    vh, ph = sketch("view"), sketch("purchase")
+    def sketch(base: DataFrame) -> DataFrame:
+        return materialize_once(base.select(h).orderBy("h").limit(_KMV_K))
+
+    vh, ph = sketch(vu), sketch(pu)
     union_top = vh.union(ph).distinct().orderBy("h").limit(_KMV_K)
     usize = union_top.agg(F.count("*").alias("union_size"))
     matches = (
@@ -353,8 +366,6 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ph, "h", "semi")
         .agg(F.count("*").alias("kmv_matches"))
     )
-    vu = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    pu = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     exact_i = vu.join(pu, "user_id", "semi").agg(F.count("*").alias("exact_inter"))
     exact_u = vu.union(pu).distinct().agg(F.count("*").alias("exact_union"))
     return (
