@@ -143,12 +143,16 @@ from . import decorrelation_queries  # noqa: E402,F401
 #   changed-definition slots (round 16 is the OPTIMIZATION round; each
 #   restructured query re-proves first): triangle_count_coorder,
 #   triangle_count_doulion (shared close-phase rewrite),
-#   equidepth_histogram, bpe_pair_merges, heavy_hitters_tokens —
-#   taking the five tail slots previously held by the three
-#   deterministic-hash partitioners, winsorize_values and
-#   zscore_by_user, which move to _NEXT_WINDOW (their definitions are
-#   unchanged; the partitioners' hash arithmetic is engine-independent
-#   — the lowest re-proof urgency in the float-first ordering).
+#   equidepth_histogram, bpe_pair_merges, heavy_hitters_tokens,
+#   kmv_set_intersection (already windowed), countmin_token_counts,
+#   mutual_information_event_value, ngram_lm_perplexity,
+#   pagerank_event_transitions, pmi_token_pairs — taking the tail
+#   slots previously held by the three deterministic-hash
+#   partitioners and the lowest-urgency r13 float re-proofs
+#   (winsorize_values, zscore_by_user, corr_value_props,
+#   revenue_mom_growth, stats_moments_orders, trend_regression_events,
+#   window_moving_avg), which move to _NEXT_WINDOW with definitions
+#   unchanged.
 #   1-29. the entire 29-entry r12-era staleness tail, verbatim the
 #      round-15 _NEXT_WINDOW order — after this round's gate no
 #      pre-r13 evidence remains in the registry.
@@ -200,20 +204,20 @@ _DRIVER_WINDOW = [
     "window_rank_suite",
     "ann_recall_eval",
     "bm25_retrieval",
-    "corr_value_props",
     "embedding_centroid_outliers",
     "interpolate_hourly_values",
     "ivf_ann_search",
     "kmeans_clusters",
     "kmv_set_intersection",
     "pq_ann_adc",
-    "revenue_mom_growth",
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
-    "stats_moments_orders",
     "text_entropy",
-    "trend_regression_events",
-    "window_moving_avg",
+    "countmin_token_counts",
+    "mutual_information_event_value",
+    "ngram_lm_perplexity",
+    "pagerank_event_transitions",
+    "pmi_token_pairs",
     "heavy_hitters_tokens",
     "triangle_count_coorder",
     "triangle_count_doulion",
@@ -227,6 +231,7 @@ _DRIVER_WINDOW = [
 _NEXT_WINDOW: list[str] = [
     "array_agg_orderkeys",
     "chain_components_recursive",
+    "corr_value_props",
     "dq_expectations",
     "exists_over_balance",
     "funnel_view_click_purchase",
@@ -238,6 +243,7 @@ _NEXT_WINDOW: list[str] = [
     "multi_distinct_aggs",
     "null_safe_join_brands",
     "pricing_summary",
+    "revenue_mom_growth",
     "rolling_7d_active_users",
     "scd2_intervals",
     "set_except_all_keys",
@@ -246,12 +252,15 @@ _NEXT_WINDOW: list[str] = [
     "skyline_orders",
     "snapshot_diff_cdf",
     "split_train_val_test",
+    "stats_moments_orders",
     "text_token_encode",
     "topn_orders_per_customer",
+    "trend_regression_events",
     "web_blocklist_filter",
     "web_domain_caps",
     "web_url_canonicalize",
     "window_first_last",
+    "window_moving_avg",
     "winsorize_values",
     "zscore_by_user",
 ]

@@ -666,10 +666,16 @@ def mutual_information_event_value(spark: SparkSession, sf_dir: str) -> DataFram
             "least(3, greatest(0, cast(floor(value * 100) as bigint) div 2500))"
         ).alias("y"),
     )
-    cxy = e.groupBy("x", "y").agg(F.count("*").alias("c"))
-    cx = e.groupBy("x").agg(F.count("*").alias("cx"))
-    cy = e.groupBy("y").agg(F.count("*").alias("cy"))
-    n = e.agg(F.count("*").alias("n"))
+    # Round 16 (guide §2.3): both marginals and the total are exact
+    # integer sums over the contingency table — deriving them from cxy
+    # (category-cardinality rows, materialized once) removes three of
+    # the four events scans; the fact table is read exactly once.
+    from ..plans import materialize_once
+
+    cxy = materialize_once(e.groupBy("x", "y").agg(F.count("*").alias("c")))
+    cx = cxy.groupBy("x").agg(F.sum("c").alias("cx"))
+    cy = cxy.groupBy("y").agg(F.sum("c").alias("cy"))
+    n = cxy.agg(F.sum("c").alias("n"))
     joined = (
         cxy.join(F.broadcast(cx), "x")
         .join(F.broadcast(cy), "y")

@@ -145,8 +145,12 @@ GROUP BY t.doc_id
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words_col()).alias("word"))
-    n = tok.agg(F.count("*").cast("double").alias("n"))
     lm = tok.groupBy("word").agg(F.count("*").alias("c"))
+    # Round 16 (guide §2.3): the token total is the exact sum of the
+    # vocab-sized model's counts — deriving it from lm removes one full
+    # tokenize+explode pass (the count's agg subtree shared no exchange
+    # with the model build).
+    n = lm.agg(F.sum("c").cast("double").alias("n"))
     return (
         tok.join(F.broadcast(lm), "word")
         .crossJoin(F.broadcast(n))
@@ -220,14 +224,26 @@ SELECT w AS token, exact_n, cm_estimate FROM probed
     tags=["sketch", "countmin", "approx"],
 )
 def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import materialize_once
+
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.explode(_words_col()).alias("w"))
+    # Round 16 (guide §2.3 "aggregate before you shuffle"): everything
+    # downstream is derivable from the vocab-sized word-count table —
+    # each grid row r is sum(c) grouped by bucket_r(w) (identical
+    # integers to counting tokens directly) and the exact top-10 is a
+    # TakeOrdered over it. The old shape re-ran the tokenize+explode
+    # FOUR times (once per grid row + once for the exact counts) and
+    # hashed md5 per TOKEN; now the corpus is tokenized once and md5
+    # runs per distinct WORD (Heaps-law-bounded). Paired A/B at sf0.1:
+    # 6/7 pairs faster, min 1.09 s -> 0.73 s.
+    wc = materialize_once(tok.groupBy("w").agg(F.count("*").alias("c")))
 
-    def bucket(row: int):
+    def bucket(row: int, col: str):
         return (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit(f"r{row}:"), F.col("w")).cast("binary")),
+                    F.md5(F.concat(F.lit(f"r{row}:"), F.col(col)).cast("binary")),
                     1,
                     8,
                 ),
@@ -239,36 +255,20 @@ def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = None
     for r in range(_CM_D):
-        c = tok.groupBy(bucket(r).alias("bucket")).agg(
-            F.count("*").alias("cnt")
+        c = wc.groupBy(bucket(r, "w").alias("bucket")).agg(
+            F.sum("c").alias("cnt")
         ).select(F.lit(r).alias("row_id"), "bucket", "cnt")
         cells = c if cells is None else cells.unionByName(c)
 
     top = (
-        tok.groupBy("w")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "w")
+        wc.orderBy(F.desc("c"), "w")
         .limit(10)
-        .withColumnRenamed("w", "token")
+        .select(F.col("w").alias("token"), F.col("c").alias("exact_n"))
     )
     probe = None
     for r in range(_CM_D):
         p = top.withColumn("row_id", F.lit(r)).withColumn(
-            "bucket",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(F.lit(f"r{r}:"), F.col("token")).cast("binary")
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _CM_W
-            ),
+            "bucket", bucket(r, "token")
         )
         probe = p if probe is None else probe.unionByName(p)
     return (
