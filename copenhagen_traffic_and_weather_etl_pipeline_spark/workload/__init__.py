@@ -212,7 +212,7 @@ _DRIVER_WINDOW = [
     "pq_ann_adc",
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
-    "text_entropy",
+    "fk_containment_profile",
     "countmin_token_counts",
     "mutual_information_event_value",
     "ngram_lm_perplexity",
@@ -253,6 +253,7 @@ _NEXT_WINDOW: list[str] = [
     "snapshot_diff_cdf",
     "split_train_val_test",
     "stats_moments_orders",
+    "text_entropy",
     "text_token_encode",
     "topn_orders_per_customer",
     "trend_regression_events",

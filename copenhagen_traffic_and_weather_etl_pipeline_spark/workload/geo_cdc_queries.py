@@ -509,10 +509,18 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile(candidate, child, ccol, parent, pcol):
         ch = load(spark, sf_dir, child).select(F.col(ccol).alias("k"))
         pa = load(spark, sf_dir, parent).select(F.col(pcol).alias("pk"))
-        child_distinct = ch.agg(F.countDistinct("k").alias("child_distinct"))
+        # Round 16 (guide §2.4): both child-side numbers read ONE
+        # distinct frame — count(*) over the non-null distinct set
+        # equals countDistinct exactly (NULL filtered first; a NULL
+        # key never semi-matches either), and the distinct's exchange
+        # is then shared by the count and the containment semi-join.
+        # The old shape scanned each child table twice (countDistinct
+        # agg + a separate distinct), 4 extra fact scans across the
+        # candidate list.
+        dk = ch.filter(F.col("k").isNotNull()).distinct()
+        child_distinct = dk.agg(F.count("*").alias("child_distinct"))
         contained = (
-            ch.select("k").distinct()
-            .join(pa, F.col("k") == F.col("pk"), "semi")
+            dk.join(pa, F.col("k") == F.col("pk"), "semi")
             .agg(F.count("*").alias("contained"))
         )
         dupes = pa.agg(
