@@ -92,6 +92,11 @@ EXTENDED = [
     "snapshot_diff_cdf",
     "triangle_count_doulion",
     "mm_image_decode",
+    # Round-16 additions (structural rewrites tracked round-over-round;
+    # entries may be ADDED here, never removed/renamed).
+    "pmi_token_pairs",
+    "countmin_token_counts",
+    "pagerank_event_transitions",
 ]
 
 

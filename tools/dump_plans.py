@@ -122,28 +122,31 @@ SHOWCASE = [
     (
         "heavy_hitters_tokens",
         "Misra-Gries candidates come from an ArrowEvalPython/mapInPandas "
-        "stage with bounded state; the exact confirm pass is a broadcast "
-        "LEFT-SEMI on the candidate set then one partial-combinable hash "
-        "agg — the full vocabulary is never shuffled.",
+        "stage with bounded state (since round 16: per-batch "
+        "value_counts + weighted decrements, so Python touches "
+        "vocab-sized not stream-sized state per batch); the exact "
+        "confirm pass is a broadcast LEFT-SEMI on the candidate set then "
+        "one partial-combinable hash agg — the full vocabulary is never "
+        "shuffled.",
     ),
     (
         "triangle_count_coorder",
         "Degree-ordered orientation with the O(wedges) arithmetic inside "
         "codegen: per-edge |N+(u) ∩ N+(v)| over sorted adjacency arrays "
         "(array_intersect), so wedges are never materialized as rows — "
-        "the out-degree bound O(sqrt(m)) caps the intersection work. The "
-        "multiply-referenced edge set shows as a 'Scan ExistingRDD': it "
-        "is materialized ONCE via plans.materialize_once (lazy "
-        "localCheckpoint) instead of re-running the pair-generating "
-        "self-join per consumer; the edge plan itself is gated "
-        "separately in tests/test_plan_quality.py. REJECTED A/B "
-        "(round 11, verdict item): pre-filtering degree-1 nodes before "
-        "the orientation join — measured at sf0.1, the co-order graph "
-        "has ZERO degree-1 nodes (20,000 nodes, 1,196,000 edges, 0 "
-        "edges touching a degree-1 endpoint: every part co-occurs with "
-        ">=2 others in TPC-H-shaped data), so the filter removes "
-        "nothing and would add a per-edge predicate plus a degree-join "
-        "pass. Not adopted.",
+        "the out-degree bound O(sqrt(m)) caps the intersection work. "
+        "Both the edge set and (since round 16) the oriented ADJACENCY "
+        "show as 'Scan ExistingRDD': each is materialized ONCE via "
+        "plans.materialize_once, and the per-edge probe is the EXPLODED "
+        "adjacency (Generate) joined once against the broadcast "
+        "adjacency on dst — the pre-r16 shape joined the directed edge "
+        "list against the adjacency twice, recomputing the orientation "
+        "3x and the adjacency aggregate 2x under non-reusable broadcast "
+        "exchanges (44 -> 14 Exchanges; sf1/4 GiB completion 40.9 s -> "
+        "26.7 s). REJECTED A/B (round 11, verdict item): pre-filtering "
+        "degree-1 nodes before the orientation join — measured at "
+        "sf0.1, the co-order graph has ZERO degree-1 nodes, so the "
+        "filter removes nothing. Not adopted.",
     ),
     (
         "interpolate_hourly_values",
@@ -164,8 +167,13 @@ SHOWCASE = [
         "equidepth_histogram",
         "Exact deciles with NO single-partition sort: ranking windows "
         "partition by the price band (monotone in the sort key), band "
-        "offsets and the total count come back as broadcasts — the same "
-        "two-level trick as contiguous IDs, applied to ranking by value.",
+        "offsets come back as a broadcast — the same two-level trick as "
+        "contiguous IDs, applied to ranking by value. Since round 16 the "
+        "fact table is scanned ONCE: an explicit repartition(band) is "
+        "the single shared exchange (window + band counts via "
+        "ReusedExchange) and the global total rides the tiny offsets "
+        "window as an unbounded frame instead of a third scan + "
+        "crossJoin.",
     ),
     (
         "record_linkage_score",
@@ -311,7 +319,9 @@ SHOWCASE += [
         "partial-combinable aggs over O(vocab) rows, each argmax is "
         "TakeOrderedAndProject(1), and learned merges apply via "
         "broadcast string-replace — the corpus is scanned once to build "
-        "word frequencies and never again.",
+        "word frequencies and never again (since round 16 literally: "
+        "the vocab table is checkpointed once, so its three divergent "
+        "consumers stop re-running the corpus tokenize+agg).",
     ),
 ]
 
