@@ -207,11 +207,11 @@ _DRIVER_WINDOW = [
     "embedding_centroid_outliers",
     "interpolate_hourly_values",
     "ivf_ann_search",
-    "kmeans_clusters",
     "kmv_set_intersection",
     "pq_ann_adc",
     "sim_topk_bruteforce",
-    "sim_topk_vectorized",
+    "dedup_prefix_filter_jaccard",
+    "dedup_method_eval",
     "fk_containment_profile",
     "countmin_token_counts",
     "mutual_information_event_value",
@@ -238,6 +238,7 @@ _NEXT_WINDOW: list[str] = [
     "gaps_islands_activity",
     "hash_sample_orders",
     "hashed_feature_buckets",
+    "kmeans_clusters",
     "map_agg_event_counts",
     "mode_return_priority",
     "multi_distinct_aggs",
@@ -249,6 +250,7 @@ _NEXT_WINDOW: list[str] = [
     "set_except_all_keys",
     "set_intersect_all_keys",
     "shuffle_shards_deterministic",
+    "sim_topk_vectorized",
     "skyline_orders",
     "snapshot_diff_cdf",
     "split_train_val_test",

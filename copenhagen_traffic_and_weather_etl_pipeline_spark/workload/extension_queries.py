@@ -2249,6 +2249,34 @@ def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _prefix_rarest_first_arrays(d: DataFrame) -> DataFrame:
+    """Rarest-first (df, shh) token arrays per doc — the pre-checkpoint
+    frame of dedup_prefix_filter_jaccard, exposed so the plan-quality
+    gate can inspect the window shape that the checkpoint otherwise
+    hides from the final plan.
+
+    Document frequency via a window over the shingle key, not a
+    groupBy+join back: the join form computes the shingle build twice
+    (once under the df aggregate, once as probe) while the window
+    shuffles the single build once by shh — paired A/B at sf0.1:
+    this frame 1.20 s -> 0.71 s, full query median 2.37 s -> 2.15 s
+    (downstream candidate join dominates the rest). At 100 TB the
+    join form is strictly worse: |distinct shingles| outgrows the
+    broadcast threshold and forces the same shh shuffle ON TOP of
+    the double build."""
+    hh = (
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shh")
+    )
+    shc = shingles(d).select("doc_id", hh)
+    return (
+        shc.withColumn("df", F.count("*").over(W.partitionBy("shh")))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
+    )
+
+
 @register(
     "dedup_prefix_filter_jaccard",
     oracle=f"""
@@ -2328,38 +2356,26 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT shingles per doc, so |array_intersect| == the exact
     # intersection count.
     d = load(spark, sf_dir, "documents")
-    hh = (
-        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("shh")
-    )
-    shc = shingles(d).select("doc_id", hh)
-    # Document frequency via a window over the shingle key, not a
-    # groupBy+join back: the join form computes the shingle build twice
-    # (once under the df aggregate, once as probe) while the window
-    # shuffles the single build once by shh — paired A/B at sf0.1:
-    # this frame 1.20 s -> 0.71 s, full query median 2.37 s -> 2.15 s
-    # (downstream candidate join dominates the rest). At 100 TB the
-    # join form is strictly worse: |distinct shingles| outgrows the
-    # broadcast threshold and forces the same shh shuffle ON TOP of
-    # the double build.
-    per_doc = (
-        shc.withColumn("df", F.count("*").over(W.partitionBy("shh")))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shh"))).alias("toks"))
-    )
-    # The rarest-first token arrays feed three consumers (prefix
-    # explode, both verification sides) — but do NOT checkpoint them:
-    # the consumers sit on one identical agg subtree, so Spark's
-    # ReusedExchange already serves all three from a single shuffle,
-    # and a localCheckpoint only adds a block write + three reads of
-    # the array column (measured 3.7 s vs 3.0 s at sf0.1, struct and
-    # shh-only variants alike). materialize_once pays off only where
-    # consumers diverge BELOW the shared frame's exchange (see the
-    # triangle queries). The prefix is a slice of the same sorted
-    # array, so dropping the (df, shh) rank structs here loses nothing.
-    arr_all = per_doc.select(
-        "doc_id", F.transform("toks", lambda t: t["shh"]).alias("shs")
+    per_doc = _prefix_rarest_first_arrays(d)
+    # The rarest-first token arrays feed four consumers (both prefix
+    # self-join sides, both verification sides). ReusedExchange serves
+    # the doc_id shuffle below them, but each consumer re-ran the
+    # final collect_list + array_sort + transform tail above it. The
+    # r13 A/B rejected a checkpoint here (3.7 s vs 3.0 s), but that
+    # predates the window-form df rewrite; re-measured in round 16
+    # (two interleaved A/B sessions, 14 contention-matched pairs):
+    # 10/14 pairs faster, medians 2.31->2.32 / 2.09->1.86, min
+    # 2.20->2.03 then 1.71->1.73 — never materially worse, and the
+    # 4x final-aggregate recompute disappears, which is the term that
+    # grows with corpus size. The checkpoint is doc-count-sized (one
+    # sorted 64-bit array per doc — the same payload class as the
+    # pmi/triangle materializations).
+    from ..plans import materialize_once
+
+    arr_all = materialize_once(
+        per_doc.select(
+            "doc_id", F.transform("toks", lambda t: t["shh"]).alias("shs")
+        )
     )
     # The emitted predicate is round(jaccard, 6) >= 0.8, which accepts
     # any true jaccard >= 0.7999995 (HALF_UP at the 6th decimal). All
