@@ -172,6 +172,13 @@ from . import decorrelation_queries  # noqa: E402,F401
 # never-proven entry is missing from this window.
 # ---------------------------------------------------------------------------
 
+# Round 17 swap: dedup_ngram_jaccard's definition drifted (the md5
+# shingle keying was dropped from engine AND oracle — optimization
+# round 2, r16-verdict item #4), so it takes a window slot;
+# global_max_agg (trivial, definition-unchanged, re-proven green at
+# r16) moves to _NEXT_WINDOW. Every other r17-restructured entry
+# (fk_containment_profile, ngram_lm_perplexity, equidepth_histogram,
+# triangle_count_coorder/doulion) already holds a slot from r16.
 _DRIVER_WINDOW = [
     "anti_join_customers",
     "array_first_last",
@@ -183,7 +190,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental_replay",
     "dedup_resolve_clusters",
     "distinct_flags",
-    "global_max_agg",
+    "dedup_ngram_jaccard",
     "json_extract",
     "json_typed_agg",
     "local_supply_revenue",
@@ -229,6 +236,7 @@ _DRIVER_WINDOW = [
 # 25 remaining r13-era entries (alphabetical within the round cohort)
 # — so a future rotation is again a window swap.
 _NEXT_WINDOW: list[str] = [
+    "global_max_agg",
     "array_agg_orderkeys",
     "chain_components_recursive",
     "corr_value_props",

@@ -114,7 +114,7 @@ _SHINGLE_DF_CAP = 100
 WITH {_DUCK_WORDS_CTE},
 {_DUCK_SHINGLES_CTE},
 shh AS (
-  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh
+  SELECT doc_id, sh AS shh FROM sh
 ),
 posts AS (
   SELECT shh, list_sort(list(doc_id)) AS docs
@@ -148,16 +148,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+regex+explode four times and shuffled it three times; here the
     # explode is scanned once and pair generation happens JVM-side inside
     # each capped posting list (<= cap^2/2 structs per shingle, bounded).
-    # Shingles are keyed by their 60-bit md5 prefix (the same hash MinHash
-    # uses), not the raw string: the posting-list shuffle moves 8-byte
-    # ints instead of ~20-byte text. A hash collision would merge two
-    # shingles identically in both engines — the metric definition is
-    # "jaccard over hashed shingles" on both sides.
-    hh = (
-        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("shh")
-    )
+    #
+    # Round 17 (guide §1.2 order: algorithm, then per-task work): the
+    # posting lists group on the RAW shingle string, not an md5 prefix.
+    # The md5 was ~40% of the query's CPU (one digest per (doc,shingle)
+    # row — corpus-sized) and bought only a narrower shuffle key
+    # (8-byte int vs ~20-byte text, a ~12-byte/row saving on ONE
+    # exchange whose key is discarded immediately after the groupBy).
+    # The oracle drops the same hash, so the metric definition stays
+    # identical on both engines ("jaccard over shingles"); the only
+    # result-visible role the hash ever had was merging 60-bit
+    # collisions, which both engines applied (and now skip) in
+    # lockstep. MinHash/LSH keep their md5 — there the hash VALUES
+    # drive the signatures, so it is semantically load-bearing.
+    #
     # posts feeds both the sizes pass and pair generation (and sizes is
     # consumed by both join sides), but all consumers share one
     # identical agg subtree, so ReusedExchange serves them from a
@@ -165,8 +169,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here (2.35 s vs 2.30 s median at sf0.1) and was dropped; see
     # plans.materialize_once for the divergent-consumer case it's for.
     posts = (
-        sh.select("doc_id", hh)
-        .groupBy("shh")
+        sh.groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= _SHINGLE_DF_CAP)
     )

@@ -664,7 +664,9 @@ def test_vertex_sampled_triangle_estimate_matches_reference(
 
 # ---------------------------------------------------------------------------
 # dedup_ngram_jaccard vs brute force: the capped posting-list join must
-# equal "jaccard over hashed shingles whose document frequency <= cap".
+# equal "jaccard over shingles whose document frequency <= cap" (round
+# 17 dropped the md5 keying from engine AND oracle — raw shingles are
+# the set elements on both sides now).
 # The cap is shrunk to 3 (monkeypatched on the module global the query
 # reads at build time) so corpora of <= 8 docs actually exercise the
 # stop-shingle drop path, not just the happy path.
@@ -672,17 +674,13 @@ def test_vertex_sampled_triangle_estimate_matches_reference(
 
 
 def _ngram_capped_reference(docs, cap):
-    import hashlib
     from decimal import ROUND_HALF_UP, Decimal
 
     doc_sets = {}
     for i, ws in enumerate(docs):
         if len(ws) < 3:
             continue
-        grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
-        doc_sets[i] = {
-            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
-        }
+        doc_sets[i] = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
     posting = {}
     for i, hs in doc_sets.items():
         for h in hs:
