@@ -789,6 +789,16 @@ def _materialized_edges(e: DataFrame) -> DataFrame:
 # Ordered pairs (u < v) within one order's sorted part array, expanded
 # map-side in codegen — the same slice/transform expansion the capped
 # ngram posting lists use.
+#
+# Round 17: fusing the pair into ONE 64-bit key (u<<32 | v, guide §2.3
+# "narrower types") to halve the dedup shuffle's key bytes was tried
+# and REJECTED on measurement: interleaved A/B of the full exact
+# triangle query read NEUTRAL at both sizes (sf0.1 min 3.063 -> 3.153 s,
+# 2/7 wins; sf1 across two sessions min 11.307 -> 11.594 s, 5/12 wins)
+# — the distinct's key width is not the binding cost (the pair-build
+# groupBy input and the close phase are), and the fuse adds a 32-bit
+# part-id assumption that breaks past ~21 TB (partkey = 200k x SF).
+# The scale-safe struct form stands.
 _ORDER_PAIRS = (
     "flatten(transform(ps, (x, i) -> "
     "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
