@@ -44,6 +44,16 @@ artifact carries "steal_windows" plus a top-level "contended" flag
 reader never mistakes hypervisor steal for a code regression.
 
 Usage: python bench.py [query ...]
+
+A/B mode (round-17 verdict item #9 — driver-runnable adjudication
+under ambient contention): ``python bench.py --ab <gitref> [query ...]``
+checks out ``<gitref>`` into a git worktree and interleaves WHOLE
+timing passes between the two trees (ref, HEAD, ref, HEAD, ...), each
+pass a fresh subprocess JVM over the same query list, so both trees
+sample every contention window. Prints one JSON line with per-query
+MINs per tree, ratios, and pairwise win counts. Queries default to
+the headline set; the normal two-line stdout contract is unaffected
+(this mode prints its own single "ab_compare" line).
 """
 
 from __future__ import annotations
@@ -113,11 +123,96 @@ EXTENDED = [
 ]
 
 
+# One-pass runner source for --ab subprocesses: only touches APIs that
+# exist in every round's tree (session.get_spark + workload.REGISTRY),
+# so the ref side needs no --ab-aware bench.py of its own.
+_AB_PASS_SRC = """
+import json, os, sys, time
+sys.path.insert(0, sys.argv[1])
+from copenhagen_traffic_and_weather_etl_pipeline_spark.session import get_spark
+from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+names = sys.argv[2:]
+spark = get_spark(app_name="bench_ab_pass")
+REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+out = {}
+for n in names:
+    spark.sparkContext.setJobDescription("ab:" + n)
+    t0 = time.perf_counter()
+    REGISTRY[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out[n] = round(time.perf_counter() - t0, 3)
+print(json.dumps(out))
+"""
+
+_AB_PASSES = 2  # interleaved passes per tree
+
+
+def _ab_main(ref: str, names: list[str]) -> int:
+    import subprocess
+
+    sf_env = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    wt = Path("/tmp") / f"bench_ab_{ref.replace('/', '_')}"
+    if not wt.exists():
+        subprocess.run(
+            ["git", "-C", str(REPO), "worktree", "add", str(wt), ref],
+            check=True,
+            capture_output=True,
+        )
+
+    def one_pass(tree: Path) -> dict[str, float]:
+        r = subprocess.run(
+            [sys.executable, "-c", _AB_PASS_SRC, str(tree), *names],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_env},
+        )
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"ab pass failed in {tree}")
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    old_runs: list[dict[str, float]] = []
+    new_runs: list[dict[str, float]] = []
+    for p in range(_AB_PASSES):
+        print(f"[bench --ab] pass {p + 1}/{_AB_PASSES}: {ref}", file=sys.stderr)
+        old_runs.append(one_pass(wt))
+        print(f"[bench --ab] pass {p + 1}/{_AB_PASSES}: HEAD", file=sys.stderr)
+        new_runs.append(one_pass(REPO))
+    report = {}
+    for n in names:
+        o = min(r[n] for r in old_runs)
+        w = min(r[n] for r in new_runs)
+        wins = sum(nr[n] < orr[n] for orr, nr in zip(old_runs, new_runs))
+        report[n] = {
+            "old": o,
+            "new": w,
+            "ratio": round(w / o, 3),
+            "wins": f"{wins}/{_AB_PASSES}",
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "ab_compare",
+                "ref": ref,
+                "passes": _AB_PASSES,
+                "sf_dir": sf_env,
+                "queries": report,
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     from copenhagen_traffic_and_weather_etl_pipeline_spark.testdata import (
         _populated,
         sf_dir as _resolve,
     )
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--ab":
+        ref = sys.argv[2]
+        ab_names = sys.argv[3:] or HEADLINE
+        return _ab_main(ref, ab_names)
 
     env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
     if env_dir and _populated(Path(env_dir)):

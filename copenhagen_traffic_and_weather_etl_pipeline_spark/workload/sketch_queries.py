@@ -37,11 +37,18 @@ _HH_K = 50  # support threshold 1/50 = 2% of the token stream
 
 def _misra_gries_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-partition weighted Misra-Gries: at most _HH_K - 1 counters
-    survive.
+    survive, plus ONE sentinel row (word=NULL) carrying the partition's
+    exact token count.
 
     State lives across the partition's Arrow batches; emits only the
     surviving candidate words (counts are NOT trustworthy estimates at
-    this point — the exact confirm pass computes real counts).
+    this point — the exact confirm pass computes real counts) and the
+    sentinel. The sentinel folds the global-N aggregation into this
+    pass (round 17, guide §2.4): the sketch already touches every
+    token, so a separate scan+tokenize+explode+count(*) pass existed
+    only to learn N — summing the per-partition totals here removes a
+    full corpus pass. NULL can never collide with a real token
+    (``split`` yields at worst empty strings, never NULLs).
 
     Round 16 (guide §4.2): each batch is first collapsed to
     (word, count) with vectorized ``value_counts`` (C speed), then the
@@ -57,13 +64,22 @@ def _misra_gries_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     state per batch).
     """
     counters: dict[str, int] = {}
+    total = 0
     for pdf in batches:
-        for w, c in pdf["word"].value_counts().items():
+        vc = pdf["word"].value_counts()
+        total += int(vc.sum())
+        for w, c in vc.items():
             counters[w] = counters.get(w, 0) + int(c)
             if len(counters) > _HH_K - 1:
                 m = min(counters.values())
                 counters = {k: v - m for k, v in counters.items() if v > m}
-    yield pd.DataFrame({"word": list(counters.keys())})
+    words = list(counters.keys())
+    yield pd.DataFrame(
+        {
+            "word": words + [None],
+            "pcount": pd.array([None] * len(words) + [total], dtype="Int64"),
+        }
+    )
 
 
 @register(
@@ -88,12 +104,20 @@ HAVING count(*) * {_HH_K} > max(n.n)
     tags=["sketch", "text"],
 )
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import materialize_once
+
     d = load(spark, sf_dir, "documents")
     tokens = d.select(F.explode(_words_col()).alias("word"))
-    candidates = (
-        tokens.mapInPandas(_misra_gries_candidates, "word string").distinct()
+    # The MG output is tiny (<= _HH_K-1 words + one NULL-keyed
+    # partition-count sentinel per partition) but feeds TWO consumers
+    # (candidate set + global N); materialize it so the corpus-sized
+    # sketch pass runs once (round 17, guide §2.4 — this replaces the
+    # old separate count(*) pass over a second tokenize).
+    mg = materialize_once(
+        tokens.mapInPandas(_misra_gries_candidates, "word string, pcount long")
     )
-    n = tokens.agg(F.count("*").alias("n"))
+    candidates = mg.filter(F.col("word").isNotNull()).select("word").distinct()
+    n = mg.agg(F.coalesce(F.sum("pcount"), F.lit(0)).alias("n"))
     return (
         tokens.join(F.broadcast(candidates), "word", "left_semi")
         .groupBy("word")

@@ -353,6 +353,7 @@ def test_misra_gries_candidates_are_superset_of_heavy_hitters(stream, n_parts):
     words = [f"w{x}" for x in stream]
     chunk = max(1, len(words) // n_parts)
     candidates = set()
+    sentinel_total = 0
     for i in range(0, len(words), chunk):
         part = words[i : i + chunk]
         # feed each partition as two batches to exercise cross-batch state
@@ -361,9 +362,18 @@ def test_misra_gries_candidates_are_superset_of_heavy_hitters(stream, n_parts):
             [pd.DataFrame({"word": part[:mid]}), pd.DataFrame({"word": part[mid:]})]
         )
         for out in _misra_gries_candidates(batches):
-            candidates.update(out["word"])
+            real = out[out["word"].notna()]
+            sentinel = out[out["word"].isna()]
+            candidates.update(real["word"])
+            # r17 sentinel contract: exactly one NULL-word row per
+            # partition carrying the exact token count; real candidate
+            # rows carry NULL pcount (so sum() over the column is N).
+            assert len(sentinel) == 1
+            assert real["pcount"].isna().all()
+            sentinel_total += int(sentinel["pcount"].iloc[0])
     counts = Counter(words)
     n = len(words)
+    assert sentinel_total == n
     true_hh = {w for w, c in counts.items() if c * _HH_K > n}
     assert true_hh <= candidates
 
