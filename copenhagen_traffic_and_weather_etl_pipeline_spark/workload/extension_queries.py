@@ -2266,7 +2266,21 @@ def _prefix_rarest_first_arrays(d: DataFrame) -> DataFrame:
     (downstream candidate join dominates the rest). At 100 TB the
     join form is strictly worse: |distinct shingles| outgrows the
     broadcast threshold and forces the same shh shuffle ON TOP of
-    the double build."""
+    the double build.
+
+    Round 17: dropping the md5 keying here (the change that won 0.909x
+    on dedup_ngram_jaccard, where the hash only re-keyed one groupBy)
+    was tried and REJECTED on measurement. Unlike ngram, this key is
+    payload-width-load-bearing downstream: it keys the per-doc
+    array_sort, the checkpointed arrays, the prefix self-join, and the
+    array_intersect verification — 8-byte longs vs ~25-byte strings.
+    Raw-string variant (engine + oracle in lockstep): pooled 12
+    interleaved pairs at sf0.1, MIN 2.701 -> 2.792 s (1.03x), 5/12
+    wins — neutral-to-worse. Hybrid (raw strings for verification,
+    engine-side xxhash64 for order/join; exact because hash collisions
+    only ADD candidates that verification prunes): 0/6 wins, ~1.17x —
+    the double transform + wider checkpoint payload costs more than
+    the digests saved. The md5 key pays for itself here; it stays."""
     hh = (
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
         .cast("long")
