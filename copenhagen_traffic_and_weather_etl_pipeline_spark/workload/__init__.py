@@ -172,13 +172,19 @@ from . import decorrelation_queries  # noqa: E402,F401
 # never-proven entry is missing from this window.
 # ---------------------------------------------------------------------------
 
-# Round 17 swap: dedup_ngram_jaccard's definition drifted (the md5
-# shingle keying was dropped from engine AND oracle — optimization
+# Round 17 swaps: (1) dedup_ngram_jaccard's definition drifted (the
+# md5 shingle keying was dropped from engine AND oracle — optimization
 # round 2, r16-verdict item #4), so it takes a window slot;
 # global_max_agg (trivial, definition-unchanged, re-proven green at
-# r16) moves to _NEXT_WINDOW. Every other r17-restructured entry
-# (fk_containment_profile, ngram_lm_perplexity, equidepth_histogram,
-# triangle_count_coorder/doulion) already holds a slot from r16.
+# r16) moves to _NEXT_WINDOW. (2) record_linkage_score's ENGINE was
+# restructured (pair enumeration -> O(n log n) window-sum counting;
+# oracle unchanged, results identical), so it takes a slot for
+# re-proof; distinct_flags (trivial, definition-unchanged, re-proven
+# green at r16) moves to _NEXT_WINDOW. Every other r17-restructured
+# entry (fk_containment_profile, ngram_lm_perplexity,
+# equidepth_histogram, triangle_count_coorder/doulion,
+# heavy_hitters_tokens, dedup_prefix_filter_jaccard) already holds a
+# slot from r16.
 _DRIVER_WINDOW = [
     "anti_join_customers",
     "array_first_last",
@@ -189,7 +195,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "dedup_incremental_replay",
     "dedup_resolve_clusters",
-    "distinct_flags",
+    "record_linkage_score",
     "dedup_ngram_jaccard",
     "json_extract",
     "json_typed_agg",
@@ -237,6 +243,7 @@ _DRIVER_WINDOW = [
 # — so a future rotation is again a window swap.
 _NEXT_WINDOW: list[str] = [
     "global_max_agg",
+    "distinct_flags",
     "array_agg_orderkeys",
     "chain_components_recursive",
     "corr_value_props",

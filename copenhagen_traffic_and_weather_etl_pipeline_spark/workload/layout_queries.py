@@ -478,8 +478,39 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (nationkey, acctbal band) bounds the candidate pair space — the part
 # that decides whether entity resolution survives 100 TB — then each
 # pair accumulates integer field-agreement weights. Output is the
-# score histogram (exact integers). The a.key < b.key predicate
-# dedupes unordered pairs inside the equi-join, never via distinct.
+# score histogram (exact integers).
+#
+# Round 17 (guide §1.2 step 1 — fix the algorithm): the engine no
+# longer ENUMERATES the within-block pairs (measured on sf1 replica
+# data, fresh JVMs: 75.8-92.1 s at local[32] — quadratic in block
+# size). The histogram over score = 24*S + 16*D + 8*M needs only the
+# COUNT of pairs in each of the 2^3 (S, D, M) feature cells, and every
+# upward-closed marginal is a sum of per-ROW window counts, O(n log n):
+#   - pairs agreeing on a group key G beyond the block:
+#     sum over rows of (count(*) over (partition by G) - 1) = n*(n-1)
+#     per group — halve after the global sum (always even);
+#   - D (|bal diff| < 10000, integer cents): with
+#     sv = count(*) over (partition by G order by bal
+#                         range between 9999 preceding and current row)
+#     the sum of (sv - 1) counts strict-distance pairs once and
+#     equal-bal pairs twice, so subtracting half the equal-bal pair
+#     sum (same identity with mv = count over (G, bal)) is exact;
+#   - the full joint follows by inclusion-exclusion (all integer).
+# Pairs require strict a.k < b.k, so row pairs SHARING a custkey must
+# come back out: they are enumerated exactly by a self-join restricted
+# to keys with >1 row — EMPTY on PK-clean data, so the subtree
+# processes zero rows; it exists so the rewrite is unconditionally
+# equivalent, not "equivalent when custkey is unique".
+# Plan shape: ONE data exchange (repartition by block) serves every
+# window and the dup self-join — each clustering below is a superset
+# of (nat, band), and Spark's subset rule (HashPartitioning(e)
+# satisfies ClusteredDistribution(c) when e ⊆ c) makes them all
+# exchange-free local sorts; the only other exchanges are the two
+# 1-row aggregates. The oracle keeps the pair join (DuckDB-cheap at
+# oracle SFs), so equivalence is re-proven by the gate on every run;
+# tests/test_properties.py additionally pins the histogram against a
+# pair-enumeration reference on adversarial shapes (duplicate keys,
+# NULL nation/segment/balance, band/distance boundary values).
 # ---------------------------------------------------------------------------
 
 
@@ -505,8 +536,9 @@ SELECT score, count(*) AS n_pairs FROM pairs GROUP BY score
     "(nationkey, acctbal//2000-dollar band), score candidate pairs by "
     "integer field-agreement weights (segment 24, balance-within-$100 "
     "16, external-id last digit 8), return the score histogram. "
-    "Blocking bounds pairs; the join is a hash equi-join on the block "
-    "key",
+    "Engine counts the 8 feature-cell pair totals via block-keyed "
+    "window sums + inclusion-exclusion (O(n log n)); the oracle "
+    "enumerates pairs",
     tags=["linkage", "dedup", "blocking"],
 )
 def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,21 +548,92 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
     ).withColumn("band", F.expr("bal_c div 200000"))
-    a = c.select(*(F.col(x).alias(f"a_{x}") for x in c.columns))
-    b = c.select(*(F.col(x).alias(f"b_{x}") for x in c.columns))
-    pairs = a.join(
-        b,
-        (F.col("a_nat") == F.col("b_nat"))
-        & (F.col("a_band") == F.col("b_band"))
-        & (F.col("a_k") < F.col("b_k")),
+    # Rows with NULL nat/band/k can never satisfy the (null-rejecting)
+    # pair predicate; NULL seg rows still pair, just never with S=1.
+    base = c.filter(
+        F.col("nat").isNotNull() & F.col("band").isNotNull() & F.col("k").isNotNull()
+    ).select("nat", "band", "k", (F.col("k") % 10).alias("md"), "seg", "bal_c")
+    r = base.repartition("nat", "band")
+
+    blk = ["nat", "band"]
+    variants = {
+        "a": (blk, False),  # all in-block pairs
+        "s": (blk + ["seg"], True),  # same non-null segment
+        "m": (blk + ["md"], False),  # same k % 10
+        "sm": (blk + ["seg", "md"], True),
+        # Equal-custkey levels: pairs excluded by a.k < b.k but present
+        # in every sum above — the SAME counting identity one level
+        # deeper (same key implies same md, so "ka"/"ks" correct the
+        # M/SM columns too). Zero extra scans or joins; on PK-clean
+        # data these windows see singleton partitions and the sums
+        # come out 0.
+        "ka": (blk + ["k"], False),
+        "ks": (blk + ["k", "seg"], True),
+    }
+    # All expressions are built as SQL strings (one JVM parse each):
+    # the Column-API form of this many window specs cost ~1.5 s of
+    # py4j round-trips PER CALL at bench time — more than the query's
+    # own execution. (Chained withColumn was worse still: each call
+    # clones and re-analyzes the whole plan.)
+    cols, sums = [], []
+    for tag, (keys, seg_req) in variants.items():
+        part = ", ".join(keys)
+        gate = "seg is not null" if seg_req else "true"
+        cols += [
+            f"case when {gate} then count(*) over "
+            f"(partition by {part}) - 1 else 0 end as cn_{tag}",
+            f"case when {gate} then count(*) over "
+            f"(partition by {part}, bal_c) - 1 else 0 end as se_{tag}",
+            f"case when {gate} then count(*) over "
+            f"(partition by {part} order by bal_c range between "
+            f"9999 preceding and current row) - 1 else 0 end as sd_{tag}",
+        ]
+        sums.append(
+            f"cast(coalesce(sum(cn_{tag}), 0) as bigint) as cn_{tag}"
+        )
+        sums.append(
+            f"cast(coalesce(sum(se_{tag}), 0) as bigint) as se_{tag}"
+        )
+        sums.append(
+            f"cast(coalesce(sum(sd_{tag}), 0) as bigint) as sd_{tag}"
+        )
+    main = r.selectExpr(*cols).selectExpr(*sums)
+
+    # Per-variant pair count and in-distance pair count, corrected for
+    # equal-bal double counting (both sums are even by construction).
+    cd = {
+        t: (f"(cn_{t} div 2)", f"(sd_{t} - (se_{t} div 2))")
+        for t in variants
+    }
+    scal = main.selectExpr(
+        f"{cd['a'][0]} - {cd['ka'][0]} as A",
+        f"{cd['s'][0]} - {cd['ks'][0]} as S",
+        f"{cd['m'][0]} - {cd['ka'][0]} as M",
+        f"{cd['sm'][0]} - {cd['ks'][0]} as SM",
+        f"{cd['a'][1]} - {cd['ka'][1]} as D",
+        f"{cd['s'][1]} - {cd['ks'][1]} as DS",
+        f"{cd['m'][1]} - {cd['ka'][1]} as DM",
+        f"{cd['sm'][1]} - {cd['ks'][1]} as DSM",
     )
-    score = (
-        F.when(F.col("a_seg") == F.col("b_seg"), 24).otherwise(0)
-        + F.when(F.abs(F.col("a_bal_c") - F.col("b_bal_c")) < 10000, 16).otherwise(0)
-        + F.when(F.col("a_k") % 10 == F.col("b_k") % 10, 8).otherwise(0)
-    )
-    return pairs.select(score.alias("score")).groupBy("score").agg(
-        F.count("*").alias("n_pairs")
+    # Möbius inversion of the upward-closed sums to the 8 disjoint
+    # (S, D, M) cells; two cells share score 24 (S alone vs D-and-M),
+    # hence the final groupBy.
+    return (
+        scal.selectExpr(
+            "stack(8, "
+            "48, DSM, "
+            "40, DS - DSM, "
+            "32, SM - DSM, "
+            "24, S - DS - SM + DSM, "
+            "24, DM - DSM, "
+            "16, D - DS - DM + DSM, "
+            "8, M - SM - DM + DSM, "
+            "0, A - S - D - M + DS + SM + DM - DSM"
+            ") as (score, n)"
+        )
+        .groupBy("score")
+        .agg(F.sum("n").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
     )
 
 

@@ -468,6 +468,17 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's own runtime bloom join (spark.sql.optimizer.runtime.bloomFilter)
 # does this implicitly; the explicit form keeps the mechanism visible,
 # testable, and tunable (m, k).
+#
+# Round 17: two restructures of the materialized shingle+source frame
+# were REJECTED on interleaved A/B at sf0.1 — carrying source through
+# the shingle explode instead of the documents join (0/4 wins, ~1.07x)
+# and splitting bench/train on source BEFORE shingling to drop the
+# checkpoint entirely (1.15-1.30x): the split-first form pays
+# fan_out_small_scan's text repartition per branch, and the
+# pre-exploded checkpoint feeds the probe/confirm job a ready shingle
+# stream. The r16 shape stands. (Note kept OUTSIDE the function body so
+# the freshness ledger's definition hash — inspect.getsource(fn) —
+# stays stable across a comment-only observation.)
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 8192  # bit-space size
@@ -510,13 +521,6 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diverge right above the shared frame — materializing each once
     # beats the recompute (1.22 s -> 1.12 s median at sf0.1; see
     # plans.materialize_once).
-    # Round 17: two restructures REJECTED on interleaved A/B at sf0.1 —
-    # carrying source through the shingle explode instead of this join
-    # (0/4 wins, ~1.07x) and splitting bench/train on source BEFORE
-    # shingling to drop this checkpoint entirely (1.15-1.30x): the
-    # split-first form pays fan_out_small_scan's text repartition per
-    # branch, and the pre-exploded checkpoint feeds the probe/confirm
-    # job a ready shingle stream. This shape stands.
     sh = materialize_once(shingles(d).join(d.select("doc_id", "source"), "doc_id"))
     bench = materialize_once(
         sh.filter(F.col("source") == _BENCH_SOURCE).select("sh").distinct()

@@ -798,3 +798,92 @@ def test_q20_window_decorrelation_matches_naive(spark, rows):
         (p, s, q) for (p, s), q in per_naive.items() if q > 0.5 * tot_naive[p]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# record_linkage_score vs the pair-enumeration reference: the round-17
+# rewrite computes the score histogram from value-multiplicity tables +
+# range windows + inclusion-exclusion instead of enumerating within-
+# block pairs. Equivalence must hold on ADVERSARIAL shapes the driver
+# tables never show: duplicate custkeys (strict a.k < b.k excludes
+# same-key row pairs), NULL nation/segment/balance, negative balances
+# straddling the band boundary, and |bal diff| exactly at the 10000
+# threshold. Reference = an inline copy of the pre-r17 pair join, run
+# on the same SparkSession over the same parquet, so round()/div
+# semantics match by construction.
+# ---------------------------------------------------------------------------
+
+
+def _record_linkage_pairs_reference(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import load
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    ).withColumn("band", F.expr("bal_c div 200000"))
+    a = c.select(*(F.col(x).alias(f"a_{x}") for x in c.columns))
+    b = c.select(*(F.col(x).alias(f"b_{x}") for x in c.columns))
+    pairs = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.col("a_band") == F.col("b_band"))
+        & (F.col("a_k") < F.col("b_k")),
+    )
+    score = (
+        F.when(F.col("a_seg") == F.col("b_seg"), 24).otherwise(0)
+        + F.when(F.abs(F.col("a_bal_c") - F.col("b_bal_c")) < 10000, 16).otherwise(0)
+        + F.when(F.col("a_k") % 10 == F.col("b_k") % 10, 8).otherwise(0)
+    )
+    return pairs.select(score.alias("score")).groupBy("score").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+_rl_key = st.integers(min_value=1, max_value=12)  # few keys -> duplicates
+_rl_nat = st.one_of(st.none(), st.sampled_from([0, 1]))
+_rl_seg = st.one_of(st.none(), st.sampled_from(["AUTOMOBILE", "BUILDING"]))
+# Balances hug the +-10000-cent distance threshold and the 200000-cent
+# band boundary (incl. negatives, where div truncation matters).
+_rl_bal = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [-999.99, -100.0, -0.01, 0.0, 0.01, 99.99, 100.0, 100.01,
+         1999.99, 2000.0, 2000.01, 2099.99, 9999.99]
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(_rl_key, _rl_nat, _rl_seg, _rl_bal), min_size=0, max_size=25
+    )
+)
+def test_record_linkage_histogram_matches_pair_enumeration(
+    spark, tmp_path_factory, rows
+):
+    from copenhagen_traffic_and_weather_etl_pipeline_spark.workload import REGISTRY
+
+    sf_dir = tmp_path_factory.mktemp("rl_sf")
+    spark.createDataFrame(
+        [(k, n, s, b) for k, n, s, b in rows],
+        "c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(sf_dir / "customer.parquet"))
+
+    got = sorted(
+        (r["score"], r["n_pairs"])
+        for r in REGISTRY["record_linkage_score"].fn(spark, str(sf_dir)).collect()
+    )
+    want = sorted(
+        (r["score"], r["n_pairs"])
+        for r in _record_linkage_pairs_reference(spark, str(sf_dir)).collect()
+    )
+    assert got == want
