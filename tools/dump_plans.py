@@ -169,18 +169,23 @@ SHOWCASE = [
         "partition by the price band (monotone in the sort key), band "
         "offsets come back as a broadcast — the same two-level trick as "
         "contiguous IDs, applied to ranking by value. Since round 16 the "
-        "fact table is scanned ONCE: an explicit repartition(band) is "
-        "the single shared exchange (window + band counts via "
-        "ReusedExchange) and the global total rides the tiny offsets "
-        "window as an unbounded frame instead of a third scan + "
-        "crossJoin.",
+        "fact table is scanned TWICE (window input + band counts; the "
+        "r16 one-scan claim was corrected in r17 — column pruning "
+        "canonicalizes the two band exchanges differently, and forcing "
+        "one scan re-sorts full rows and measured 1.3-1.6x slower) and "
+        "the global total rides the tiny offsets window as an unbounded "
+        "frame instead of a third scan + crossJoin.",
     ),
     (
         "record_linkage_score",
-        "Entity-resolution pair scoring survives scale in the blocking "
-        "key: the self-join is a hash equi-join on (nation, balance "
-        "band), so the pair space is sum(|block|^2), never |table|^2; "
-        "per-pair scoring is pure codegen'd integer arithmetic.",
+        "Since round 17 the engine never enumerates pairs: the score "
+        "histogram is exact pair COUNTS per feature cell, from per-row "
+        "window sums over ONE block-keyed exchange (every window "
+        "clustering is a superset of the block key, so Spark's subset "
+        "rule keeps them all exchange-free) + integer Mobius inversion "
+        "— O(n log n) where the old blocked self-join was "
+        "sum(|block|^2) (96.9 -> 2.6 s at sf1); the DuckDB oracle still "
+        "enumerates, re-proving equivalence on every gate run.",
     ),
     (
         "kmv_set_intersection",

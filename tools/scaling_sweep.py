@@ -71,6 +71,10 @@ QUERIES = [
     # interpreted per-pair fold its siblings lost in r12 (never before
     # run at sf1); swept so the whole family carries sf1 rows per round.
     "dedup_semantic_kmeans",
+    # round 17 addition: the pair-enumeration -> window-counting
+    # rewrite must carry decade evidence (its former quadratic growth
+    # was never swept — the sf1 core sweep is what exposed it).
+    "record_linkage_score",
 ]
 
 # Queries whose execution forks Python workers (mapInPandas /
@@ -249,6 +253,13 @@ def main() -> int:
             for q in SUPERLINEAR_EXPECTED
             if q in QUERIES and q not in top and q not in growers
         ]
+        # record_linkage_score's r17 rewrite exists PRECISELY to kill a
+        # quadratic upper decade (96.9 -> 2.6 s at sf1); its extra-sf
+        # row is the per-round regression canary for that property, so
+        # it rides along even when cheap enough to miss the top-N.
+        for q in ("record_linkage_score",):
+            if q in QUERIES and q not in top and q not in growers:
+                known.append(q)
         resolve_sf(extra_sf)  # materialize replica data once, untimed
         extra = _run_decade(extra_sf, top + growers + known)
         # The extra decade's JVM measures its own Python-worker floor
@@ -277,7 +288,11 @@ def main() -> int:
         "step: << 10 means fixed overhead still dominates, ~10 is "
         "linear-in-data, > 10 is super-linear and annotated with why. "
         + extra_blurb
-        + "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
+        + "Core-count (c8 vs c32) scaling at sf1 lives in "
+        "CPU_SCALING_SF1.md (tools/cpu_scaling_sweep.py) — on this "
+        "host steal is load-induced above ~8-16 busy cores, so growth "
+        "ratios here are the trustworthy scaling signal. "
+        "Regenerate: `python tools/scaling_sweep.py > SCALING_SWEEP.md`.\n"
     )
     floor_sfs = list(SFS) + ([extra_sf] if extra_sf else [])
     floor_txt = ", ".join(f"sf{sf}: {floors[sf]:.2f} s" for sf in floor_sfs)
